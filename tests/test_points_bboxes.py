@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import (
+    BoundingBoxes,
+    BoundingBoxFormat,
+    Points,
+    Representation,
+)
+
+
+def test_points_basics():
+    pts = Points([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    assert pts.num_points == 2
+    assert len(pts) == 2
+    assert pts.axes == "IJK"
+    with pytest.raises(ValueError):
+        Points([[1.0, 2.0]])
+
+
+def test_points_to_world():
+    aff = AffineMatrix.from_spacing((2.0, 2.0, 2.0), origin=(10, 0, 0))
+    pts = Points([[1.0, 1.0, 1.0]], affine=aff)
+    np.testing.assert_allclose(pts.to_world(), [[12.0, 2.0, 2.0]])
+
+
+def test_points_voxel_permutation():
+    pts = Points([[1.0, 2.0, 3.0]], axes="IJK")
+    out = pts.to_axes("KJI")
+    np.testing.assert_allclose(out.data, [[3.0, 2.0, 1.0]])
+    assert out.axes == "KJI"
+
+
+def test_points_anatomical_flip():
+    pts = Points([[1.0, 2.0, 3.0]], axes="RAS")
+    out = pts.to_axes("LPS")
+    np.testing.assert_allclose(out.data, [[-1.0, -2.0, 3.0]])
+
+
+def test_points_cross_type_roundtrip():
+    aff = AffineMatrix.from_spacing((2.0, 2.0, 2.0), origin=(5, 6, 7))
+    pts = Points([[1.0, 2.0, 3.0]], axes="IJK", affine=aff)
+    ras = pts.to_axes("RAS")
+    np.testing.assert_allclose(ras.data, [[7.0, 10.0, 13.0]])
+    back = ras.to_axes("IJK")
+    np.testing.assert_allclose(back.data, pts.data, atol=1e-5)
+
+
+def test_bbox_representation_roundtrip():
+    boxes = BoundingBoxes(
+        [[0.0, 0.0, 0.0, 4.0, 6.0, 8.0]], format=BoundingBoxFormat.IJKIJK
+    )
+    cs = boxes.to_format(BoundingBoxFormat.IJKWHD)
+    np.testing.assert_allclose(cs.data, [[2.0, 3.0, 4.0, 4.0, 6.0, 8.0]])
+    back = cs.to_format(BoundingBoxFormat.IJKIJK)
+    np.testing.assert_allclose(back.data, boxes.data)
+
+
+def test_bbox_anatomical_flip_resorts_corners():
+    fmt_ras = BoundingBoxFormat("RAS")
+    fmt_las = BoundingBoxFormat("LAS")
+    boxes = BoundingBoxes([[1.0, 0.0, 0.0, 3.0, 1.0, 1.0]], format=fmt_ras)
+    out = boxes.to_format(fmt_las)
+    # R-axis flips: [1, 3] -> [-3, -1], min/max re-sorted
+    np.testing.assert_allclose(out.data, [[-3.0, 0.0, 0.0, -1.0, 1.0, 1.0]])
+
+
+def test_bbox_cross_type():
+    aff = AffineMatrix.from_spacing((2.0, 2.0, 2.0))
+    boxes = BoundingBoxes(
+        [[1.0, 1.0, 1.0, 2.0, 2.0, 2.0]],
+        format=BoundingBoxFormat.IJKIJK,
+        affine=aff,
+    )
+    world = boxes.to_format(BoundingBoxFormat("RAS"))
+    np.testing.assert_allclose(world.data, [[2.0, 2.0, 2.0, 4.0, 4.0, 4.0]])
+    back = world.to_format(BoundingBoxFormat.IJKIJK)
+    np.testing.assert_allclose(back.data, boxes.data, atol=1e-5)
+
+
+def test_bbox_labels_validated():
+    with pytest.raises(ValueError):
+        BoundingBoxes([[0, 0, 0, 1, 1, 1]], labels=[1, 2])
+    b = BoundingBoxes([[0, 0, 0, 1, 1, 1]], labels=[7])
+    assert b.labels is not None
+    assert b.labels[0] == 7
+
+
+def test_bbox_format_equality():
+    assert BoundingBoxFormat("IJK") == BoundingBoxFormat("IJK", "corners")
+    assert BoundingBoxFormat("IJK") != BoundingBoxFormat("RAS")
+    assert BoundingBoxFormat("IJK", Representation.CENTER_SIZE) == BoundingBoxFormat.IJKWHD

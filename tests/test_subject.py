@@ -1,0 +1,106 @@
+import copy
+
+import numpy as np
+import pytest
+
+from torchio_tpu.data import (
+    BoundingBoxes,
+    LabelMap,
+    Points,
+    ScalarImage,
+    Study,
+    Subject,
+)
+
+
+@pytest.fixture
+def subject(rng):
+    return Subject(
+        t1=ScalarImage(rng.normal(size=(1, 8, 8, 8)).astype(np.float32)),
+        t2=ScalarImage(rng.normal(size=(1, 8, 8, 8)).astype(np.float32)),
+        seg=LabelMap(rng.integers(0, 3, size=(1, 8, 8, 8)).astype(np.int32)),
+        landmarks=Points(np.array([[1.0, 2.0, 3.0]])),
+        lesions=BoundingBoxes(np.array([[0, 0, 0, 2, 2, 2]], np.float32)),
+        age=42,
+    )
+
+
+def test_classification(subject):
+    assert set(subject.images) == {"t1", "t2", "seg"}
+    assert set(subject.points) == {"landmarks"}
+    assert set(subject.bounding_boxes) == {"lesions"}
+    assert subject.metadata == {"age": 42}
+
+
+def test_access(subject):
+    assert subject.t1 is subject["t1"]
+    assert subject.age == 42
+    assert subject["age"] == 42
+    assert "t2" in subject
+    assert len(subject) == 6
+    with pytest.raises(KeyError):
+        subject["nope"]
+    with pytest.raises(AttributeError):
+        subject.nope
+
+
+def test_study_alias(subject):
+    assert Study is Subject
+
+
+def test_consistency(subject, rng):
+    assert subject.spatial_shape == (8, 8, 8)
+    subject["bad"] = ScalarImage(rng.normal(size=(1, 4, 4, 4)))
+    with pytest.raises(RuntimeError):
+        _ = subject.spatial_shape
+
+
+def test_spatial_slice(subject):
+    sub = subject[2:6, 1:5, 0:8]
+    assert sub.spatial_shape == (4, 4, 8)
+    np.testing.assert_array_equal(
+        sub.t1.data, subject.t1.data[:, 2:6, 1:5, :]
+    )
+    assert sub.age == 42
+    assert "landmarks" in sub
+
+
+def test_get_images_filtering(subject):
+    intensity = subject.get_images(intensity_only=True)
+    assert len(intensity) == 2
+    all_images = subject.get_images(intensity_only=False)
+    assert len(all_images) == 3
+    only_t1 = subject.get_images_dict(include=["t1"])
+    assert set(only_t1) == {"t1"}
+    no_t1 = subject.get_images_dict(exclude=["t1"])
+    assert set(no_t1) == {"t2"}
+
+
+def test_all_points_merge(subject, rng):
+    subject.t1.points["ac"] = Points(np.array([[0.0, 0.0, 0.0]]))
+    merged = subject.all_points()
+    assert "landmarks" in merged
+    assert ("t1", "ac") in merged
+
+
+def test_deepcopy_independent(subject):
+    sub2 = copy.deepcopy(subject)
+    sub2.t1.data[0, 0, 0, 0] = 123.0
+    assert subject.t1.data[0, 0, 0, 0] != 123.0
+
+
+def test_empty_subject_raises():
+    with pytest.raises(ValueError):
+        Subject()
+
+
+def test_dict_ctor(rng):
+    s = Subject({"t1": ScalarImage(rng.normal(size=(1, 2, 2, 2)))})
+    assert "t1" in s
+
+
+def test_setitem_delitem(subject):
+    subject["note"] = "hello"
+    assert subject.note == "hello"
+    del subject["note"]
+    assert "note" not in subject
