@@ -1,0 +1,178 @@
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+from torchio_tpu.data.batch import ImagesBatch, SubjectsBatch
+
+
+@pytest.fixture
+def subject(rng):
+    return tio.Subject(
+        t1=tio.ScalarImage(rng.normal(size=(1, 6, 6, 6)).astype(np.float32)),
+        seg=tio.LabelMap(rng.integers(0, 2, size=(1, 6, 6, 6)).astype(np.int32)),
+        age=7,
+    )
+
+
+class TestInputPolymorphism:
+    def test_ndarray(self, rng):
+        x = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+        out = tio.Flip(axes=0)(x)
+        assert isinstance(out, np.ndarray)
+        np.testing.assert_array_equal(out, x[:, ::-1])
+
+    def test_3d_ndarray(self, rng):
+        x = rng.normal(size=(4, 4, 4)).astype(np.float32)
+        out = tio.Flip(axes=0)(x)
+        assert out.shape == (1, 4, 4, 4)
+
+    def test_jax_array(self, rng):
+        x = jnp.asarray(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        out = tio.Flip(axes=0)(x)
+        assert isinstance(out, jnp.ndarray)
+
+    def test_torch_tensor(self, rng):
+        torch = pytest.importorskip("torch")
+        x = torch.randn(1, 4, 4, 4)
+        out = tio.Flip(axes=0)(x)
+        assert isinstance(out, torch.Tensor)
+
+    def test_image(self, rng):
+        img = tio.ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        out = tio.Flip(axes=0)(img)
+        assert isinstance(out, tio.ScalarImage)
+        assert len(out.applied_transforms) == 1
+
+    def test_subject(self, subject):
+        out = tio.Flip(axes=0)(subject)
+        assert isinstance(out, tio.Subject)
+        assert out.age == 7
+        assert len(out.applied_transforms) == 1
+
+    def test_dict(self, rng):
+        d = {"img": rng.normal(size=(1, 4, 4, 4)).astype(np.float32)}
+        out = tio.Flip(axes=0)(d)
+        assert isinstance(out, dict)
+        assert out["img"].shape == (1, 4, 4, 4)
+
+    def test_subjects_batch(self, make_batch):
+        batch = make_batch(3)
+        out = tio.Flip(axes=0)(batch)
+        assert isinstance(out, SubjectsBatch)
+        assert out.batch_size == 3
+
+    def test_images_batch(self, make_batch):
+        ib = make_batch(3).images["t1"]
+        out = tio.Flip(axes=0)(ib)
+        assert isinstance(out, ImagesBatch)
+
+    def test_bad_type(self):
+        with pytest.raises(TypeError):
+            tio.Flip(axes=0)("a string")
+
+
+class TestGatingAndHistory:
+    def test_p_zero_noop(self, subject):
+        out = tio.Flip(axes=0, p=0.0)(subject)
+        np.testing.assert_array_equal(out.t1.data, subject.t1.data)
+        assert out.applied_transforms == []
+
+    def test_p_one_applies(self, subject):
+        out = tio.Flip(axes=0, p=1.0)(subject)
+        assert len(out.applied_transforms) == 1
+        assert out.applied_transforms[0].name == "Flip"
+
+    def test_copy_false_applies(self, subject):
+        t = tio.Gamma(log_gamma=0.5, copy=False)
+        before = np.asarray(subject.t1.data).copy()
+        out = t(subject)
+        assert not np.allclose(np.asarray(out.t1.data), before)
+
+    def test_copy_true_preserves_input(self, subject):
+        before = np.asarray(subject.t1.data).copy()
+        tio.Gamma(log_gamma=0.5)(subject)
+        np.testing.assert_array_equal(np.asarray(subject.t1.data), before)
+
+    def test_params_json_serializable(self, subject):
+        import json
+
+        out = tio.Noise(std=0.1)(subject)
+        json.dumps(out.applied_transforms[-1].params)
+
+
+class TestScoping:
+    def test_include(self, subject):
+        out = tio.Gamma(log_gamma=1.0, include=["t1"])(subject)
+        assert len(out.applied_transforms) == 1
+
+    def test_intensity_skips_labels(self, subject):
+        seg_before = np.asarray(subject.seg.data).copy()
+        out = tio.Noise(std=0.5)(subject)
+        np.testing.assert_array_equal(np.asarray(out.seg.data), seg_before)
+
+    def test_exclude(self, subject):
+        t1_before = np.asarray(subject.t1.data).copy()
+        out = tio.Gamma(log_gamma=1.0, exclude=["t1"])(subject)
+        np.testing.assert_array_equal(np.asarray(out.t1.data), t1_before)
+
+
+class TestOperatorsAndConfig:
+    def test_add_composes(self):
+        pipeline = tio.Flip(axes=0) + tio.Gamma(log_gamma=0.1)
+        assert isinstance(pipeline, tio.Compose)
+        assert len(pipeline.transforms) == 2
+
+    def test_or_oneof(self):
+        t = tio.Flip(axes=0) | tio.Gamma(log_gamma=0.1)
+        assert isinstance(t, tio.OneOf)
+
+    def test_to_hydra_non_defaults_only(self):
+        t = tio.Noise(std=0.5)
+        cfg = t.to_hydra()
+        assert cfg["_target_"] == "torchio_tpu.Noise"
+        assert cfg["std"] == 0.5
+        assert "mean" not in cfg
+        assert "p" not in cfg
+
+    def test_to_hydra_compose(self):
+        c = tio.Compose([tio.Flip(axes=1), tio.Gamma(log_gamma=0.3)])
+        cfg = c.to_hydra()
+        assert len(cfg["transforms"]) == 2
+        assert cfg["transforms"][0]["axes"] == 1
+
+    def test_repr_compact(self):
+        assert repr(tio.Noise()) == "Noise()"
+        assert "std=0.5" in repr(tio.Noise(std=0.5))
+
+    def test_invalid_p(self):
+        with pytest.raises(ValueError):
+            tio.Flip(axes=0, p=1.5)
+
+
+class TestUnbatchHistory:
+    def test_per_instance_history_sliced(self, make_batch):
+        batch = make_batch(4)
+        out = tio.Gamma(log_gamma=(-0.5, 0.5))(batch)
+        params = out.applied_transforms[-1].params
+        assert params["_batch_size"] == 4
+        subjects = out.unbatch()
+        for i, sub in enumerate(subjects):
+            trace = sub.applied_transforms[-1]
+            assert trace.params["log_gamma"] == params["log_gamma"][i]
+            assert "_batched_keys" not in trace.params
+
+    def test_gated_out_history_dropped(self, make_batch):
+        tio.seed(7)
+        batch = make_batch(16)
+        out = tio.Gamma(log_gamma=(0.4, 0.5), p=0.5)(batch)
+        params = out.applied_transforms[-1].params
+        keep = params["_keep"]
+        assert any(keep) and not all(keep)
+        for i, sub in enumerate(out.unbatch()):
+            if keep[i]:
+                assert len(sub.applied_transforms) == 1
+            else:
+                assert sub.applied_transforms == []

@@ -1,0 +1,305 @@
+"""Batch containers: 5D stacked image data with per-sample affines.
+
+Parity reference: ``/root/reference/src/torchio/data/batch.py``
+(``ImagesBatch``, ``SubjectsBatch``/``StudiesBatch``, per-element history
+slicing via ``_slice_history``/``_slice_params``).
+
+Data lives as a JAX array (or host numpy pre-device) of shape
+``(B, C, I, J, K)``; affines are host float64 (one per sample). This is
+the structure transforms operate on — the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.affine import AffineMatrix
+from .image import Image, ScalarImage
+from .invertible import Invertible
+
+#: Reserved param keys used for per-instance history bookkeeping.
+_BATCH_META_KEYS = ("_batch_size", "_batched_keys", "_keep")
+
+
+class ImagesBatch(Invertible):
+    """5D array ``(B, C, I, J, K)`` + per-sample affines + image class."""
+
+    def __init__(
+        self,
+        data: Any,
+        affines: list[AffineMatrix],
+        *,
+        image_class: type[Image] = ScalarImage,
+    ) -> None:
+        if data.ndim != 5:
+            raise ValueError(f"Expected 5D (B, C, I, J, K) data, got {data.ndim}D")
+        if len(affines) != data.shape[0]:
+            raise ValueError(f"Expected {data.shape[0]} affines, got {len(affines)}")
+        self._data = data
+        self._affines = affines
+        self._image_class = image_class
+        self.applied_transforms: list[Any] = []
+
+    @classmethod
+    def from_images(cls, images: list[Image]) -> "ImagesBatch":
+        if not images:
+            raise ValueError("Cannot create batch from empty list")
+        arrays = [img.data for img in images]
+        if any(isinstance(a, jax.Array) for a in arrays):
+            stacked: Any = jnp.stack([jnp.asarray(a) for a in arrays])
+        else:
+            stacked = np.stack(arrays)
+        affines = [img.affine.clone() for img in images]
+        return cls(stacked, affines, image_class=type(images[0]))
+
+    @property
+    def data(self) -> Any:
+        return self._data
+
+    @data.setter
+    def data(self, value: Any) -> None:
+        if value.ndim != 5:
+            raise ValueError(f"Expected 5D tensor, got {value.ndim}D")
+        self._data = value
+
+    @property
+    def affines(self) -> list[AffineMatrix]:
+        return self._affines
+
+    @affines.setter
+    def affines(self, value: list[AffineMatrix]) -> None:
+        self._affines = value
+
+    @property
+    def image_class(self) -> type[Image]:
+        return self._image_class
+
+    @property
+    def batch_size(self) -> int:
+        return int(self._data.shape[0])
+
+    @property
+    def device(self):
+        if isinstance(self._data, jax.Array):
+            return next(iter(self._data.devices()))
+        return None
+
+    def affines_array(self, dtype=np.float32) -> np.ndarray:
+        """(B, 4, 4) stacked affines for device-side geometry."""
+        return np.stack([a.data for a in self._affines]).astype(dtype)
+
+    def to(self, device: Any = None, dtype: Any = None) -> "ImagesBatch":
+        data = self._data
+        if dtype is not None:
+            data = data.astype(dtype)
+        if device is not None:
+            if isinstance(device, str) and device in ("cpu", "host"):
+                data = np.asarray(data)
+            else:
+                if isinstance(device, str):
+                    device = jax.devices(device)[0]
+                data = jax.device_put(data, device)
+        self._data = data
+        return self
+
+    def __getitem__(self, index: int) -> Image:
+        data = self._data[index]
+        if isinstance(data, jax.Array):
+            data = np.asarray(data)
+        return self._image_class(data, affine=self._affines[index].clone())
+
+    def __len__(self) -> int:
+        return self.batch_size
+
+    def unbatch(self) -> list[Image]:
+        return [self[i] for i in range(self.batch_size)]
+
+    def __repr__(self) -> str:
+        b, c, i, j, k = self._data.shape
+        return (
+            f"ImagesBatch({self._image_class.__name__}, batch_size={b},"
+            f" shape=({c}, {i}, {j}, {k}))"
+        )
+
+
+class SubjectsBatch(Invertible):
+    """Named image batches + per-sample metadata lists.
+
+    The unit every transform operates on. Supports per-element history
+    slicing on :meth:`unbatch` and per-element branch histories from
+    per-instance OneOf/SomeOf.
+    """
+
+    def __init__(
+        self,
+        images: dict[str, ImagesBatch],
+        *,
+        metadata: dict[str, list[Any]] | None = None,
+    ) -> None:
+        self._images = images
+        self._metadata: dict[str, list[Any]] = metadata or {}
+        self.applied_transforms: list[Any] = []
+        self._per_element_history: list[list[Any]] | None = None
+
+    @classmethod
+    def from_subjects(cls, subjects: list[Any]) -> "SubjectsBatch":
+        if not subjects:
+            raise ValueError("Cannot create batch from empty list")
+        first = subjects[0]
+        images = {
+            name: ImagesBatch.from_images([s.images[name] for s in subjects])
+            for name in first.images
+        }
+        metadata = {
+            key: [s.metadata[key] for s in subjects] for key in first.metadata
+        }
+        return cls(images, metadata=metadata)
+
+    # --- Properties ---
+
+    @property
+    def batch_size(self) -> int:
+        return next(iter(self._images.values())).batch_size
+
+    @property
+    def images(self) -> dict[str, ImagesBatch]:
+        return self._images
+
+    @property
+    def metadata(self) -> dict[str, list[Any]]:
+        return self._metadata
+
+    @property
+    def device(self):
+        return next(iter(self._images.values())).device
+
+    def to(self, device: Any = None, dtype: Any = None) -> "SubjectsBatch":
+        for batch in self._images.values():
+            batch.to(device, dtype)
+        return self
+
+    def __getitem__(self, key: str) -> ImagesBatch:
+        return self._images[key]
+
+    def __getattr__(self, name: str) -> ImagesBatch:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        images = object.__getattribute__(self, "__dict__").get("_images") or {}
+        if name in images:
+            return images[name]
+        raise AttributeError(f"SubjectsBatch has no attribute {name!r}")
+
+    def __len__(self) -> int:
+        return self.batch_size
+
+    # --- Per-element history ---
+
+    def set_per_element_history(self, histories: list[list[Any]]) -> None:
+        """Freeze distinct per-element histories (per-instance OneOf path)."""
+        if len(histories) != self.batch_size:
+            raise ValueError(
+                f"Expected {self.batch_size} per-element histories,"
+                f" got {len(histories)}"
+            )
+        self._per_element_history = [list(h) for h in histories]
+        self.applied_transforms = []
+
+    def adopt_history(self, source: "SubjectsBatch", subjects: list[Any]) -> None:
+        """Carry history over after an unbatch→process→re-stack round trip."""
+        if source._per_element_history is not None:
+            self.set_per_element_history([s.applied_transforms for s in subjects])
+        else:
+            self.applied_transforms = list(source.applied_transforms)
+
+    def clear_history(self) -> None:
+        self.applied_transforms = []
+        self._per_element_history = None
+
+    # --- Unbatch ---
+
+    def unbatch(self) -> list[Any]:
+        """Split into Subjects, slicing per-instance history per element."""
+        from .subject import Subject
+
+        subjects = []
+        for i in range(self.batch_size):
+            kwargs: dict[str, Any] = {
+                name: ib[i] for name, ib in self._images.items()
+            }
+            for key, values in self._metadata.items():
+                kwargs[key] = values[i]
+            sub = Subject(**kwargs)
+            suffix = _slice_history(self.applied_transforms, i)
+            if self._per_element_history is not None:
+                sub.applied_transforms = list(self._per_element_history[i]) + suffix
+            else:
+                sub.applied_transforms = suffix
+            subjects.append(sub)
+        return subjects
+
+    # --- Inversion ---
+
+    def get_inverse_transform(self, **kwargs: Any):
+        if self._per_element_history is not None:
+            raise RuntimeError(
+                "This batch has per-element transform histories; a single"
+                " batch inverse is ambiguous. Use apply_inverse_transform()"
+                " or unbatch() and invert per subject."
+            )
+        return super().get_inverse_transform(**kwargs)
+
+    def apply_inverse_transform(self, **kwargs: Any) -> "SubjectsBatch":
+        if self._per_element_history is not None:
+            inverted = [s.apply_inverse_transform(**kwargs) for s in self.unbatch()]
+            return type(self).from_subjects(inverted)
+        return super().apply_inverse_transform(**kwargs)
+
+    def __repr__(self) -> str:
+        names = ", ".join(self._images)
+        return f"SubjectsBatch(batch_size={self.batch_size}, images=[{names}])"
+
+
+StudiesBatch = SubjectsBatch
+
+
+def _slice_params(
+    params: dict[str, Any], index: int, batched_keys: list[str]
+) -> dict[str, Any]:
+    """Extract one element's values from a per-instance params dict."""
+    out: dict[str, Any] = {}
+    for key, value in params.items():
+        if key in _BATCH_META_KEYS:
+            continue
+        if key in batched_keys and isinstance(value, list):
+            out[key] = value[index]
+        else:
+            out[key] = value
+    return out
+
+
+def _slice_history(history: list[Any], index: int) -> list[Any]:
+    """Per-subject history: copy shared traces, slice batched ones,
+    drop traces gated out for this element."""
+    sliced: list[Any] = []
+    for trace in history:
+        params = getattr(trace, "params", None)
+        if not isinstance(params, dict) or "_batched_keys" not in params:
+            sliced.append(trace)
+            continue
+        expected = params.get("_batch_size")
+        if expected is not None and not 0 <= index < expected:
+            raise IndexError(
+                f"Cannot extract per-instance history for element {index}:"
+                f" transform was recorded for batch size {expected}"
+            )
+        keep = params.get("_keep")
+        if keep is not None and not keep[index]:
+            continue
+        new_params = _slice_params(params, index, params["_batched_keys"])
+        sliced.append(dataclasses.replace(trace, params=new_params))
+    return sliced

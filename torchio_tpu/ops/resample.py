@@ -1,0 +1,196 @@
+"""Core resampling kernels: trilinear/nearest gather-resample on device.
+
+This is the TPU-native replacement for ``F.grid_sample`` (reference hot
+loop: ``/root/reference/src/torchio/transforms/spatial/spatial.py:1695-1731``).
+
+Semantics match ``torch.nn.functional.grid_sample(align_corners=True,
+padding_mode="zeros")`` working directly in **input voxel coordinates**
+(the reference normalizes to [-1, 1] and back; align_corners=True makes
+the two formulations identical):
+
+- trilinear: 8 corner gathers; corners outside the volume contribute 0.
+- nearest: round-half-to-even then a single gather.
+- out-of-bounds fill: the trilinear in-bounds weight sum is the exact
+  analog of grid-sampling a ones-volume; voxels with weight <= 0.5 are
+  replaced by the fill value (scalar or per-channel), mirroring
+  ``spatial.py:1719-1728``.
+
+Design notes for TPU: the volume is flattened and corner reads become
+1D gathers of linear indices — XLA lowers these to efficient dynamic
+gathers on TPU, and the 8 corner terms fuse into one kernel. The fused
+form avoids materializing a normalized grid or a ones-mask volume.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _corner_gather(flat, idx):
+    """Gather (B, C, M) values from (B, C, N) flat data at (B, M) indices."""
+    return jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+
+
+@partial(jax.jit, static_argnames=("mode",))
+def _resample_kernel(data, coords, fill, mode: str):
+    """data (B, C, I, J, K); coords (B, Io, Jo, Ko, 3); fill (C,) or scalar.
+
+    Returns (B, C, Io, Jo, Ko) float32.
+    """
+    b, c, si, sj, sk = data.shape
+    out_spatial = coords.shape[1:4]
+    m = out_spatial[0] * out_spatial[1] * out_spatial[2]
+    flat = data.reshape(b, c, si * sj * sk).astype(jnp.float32)
+    pts = coords.reshape(b, m, 3)
+    ci, cj, ck = pts[..., 0], pts[..., 1], pts[..., 2]
+
+    sizes = jnp.array([si, sj, sk], jnp.float32)
+
+    if mode == "nearest":
+        ri = jnp.round(ci).astype(jnp.int32)
+        rj = jnp.round(cj).astype(jnp.int32)
+        rk = jnp.round(ck).astype(jnp.int32)
+        valid = (
+            (ri >= 0) & (ri < si) & (rj >= 0) & (rj < sj) & (rk >= 0) & (rk < sk)
+        )
+        idx = (
+            jnp.clip(ri, 0, si - 1) * (sj * sk)
+            + jnp.clip(rj, 0, sj - 1) * sk
+            + jnp.clip(rk, 0, sk - 1)
+        )
+        vals = _corner_gather(flat, idx)
+        acc = vals * valid[:, None, :].astype(jnp.float32)
+    else:  # trilinear
+        i0 = jnp.floor(ci).astype(jnp.int32)
+        j0 = jnp.floor(cj).astype(jnp.int32)
+        k0 = jnp.floor(ck).astype(jnp.int32)
+        fi = ci - i0
+        fj = cj - j0
+        fk = ck - k0
+        acc = jnp.zeros((b, c, m), jnp.float32)
+        for di in (0, 1):
+            wi = fi if di else 1.0 - fi
+            ii = i0 + di
+            vi = (ii >= 0) & (ii < si)
+            ii = jnp.clip(ii, 0, si - 1)
+            for dj in (0, 1):
+                wj = fj if dj else 1.0 - fj
+                jj = j0 + dj
+                vj = (jj >= 0) & (jj < sj)
+                jj = jnp.clip(jj, 0, sj - 1)
+                base_ij = ii * (sj * sk) + jj * sk
+                for dk in (0, 1):
+                    wk = fk if dk else 1.0 - fk
+                    kk = k0 + dk
+                    vk = (kk >= 0) & (kk < sk)
+                    kk = jnp.clip(kk, 0, sk - 1)
+                    w = wi * wj * wk * (vi & vj & vk).astype(jnp.float32)
+                    vals = _corner_gather(flat, base_ij + kk)
+                    acc = acc + w[:, None, :] * vals
+
+    # In-bounds weight mask == bilinear grid_sample of a ones-volume
+    # (always bilinear, matching the reference even for nearest mode).
+    i0 = jnp.floor(ci).astype(jnp.int32)
+    j0 = jnp.floor(cj).astype(jnp.int32)
+    k0 = jnp.floor(ck).astype(jnp.int32)
+    fi, fj, fk = ci - i0, cj - j0, ck - k0
+    mask = jnp.zeros((b, m), jnp.float32)
+    for di in (0, 1):
+        wi = fi if di else 1.0 - fi
+        vi = (i0 + di >= 0) & (i0 + di < si)
+        for dj in (0, 1):
+            wj = fj if dj else 1.0 - fj
+            vj = (j0 + dj >= 0) & (j0 + dj < sj)
+            for dk in (0, 1):
+                wk = fk if dk else 1.0 - fk
+                vk = (k0 + dk >= 0) & (k0 + dk < sk)
+                mask = mask + wi * wj * wk * (vi & vj & vk).astype(jnp.float32)
+
+    fill_arr = jnp.asarray(fill, jnp.float32).reshape(1, -1, 1)
+    out = jnp.where(mask[:, None, :] > 0.5, acc, fill_arr)
+    return out.reshape(b, c, *out_spatial)
+
+
+def resample(data, coords, *, mode: str = "linear", fill=0.0):
+    """Resample a (B, C, I, J, K) batch at input-voxel coordinates.
+
+    Args:
+        data: (B, C, I, J, K) array.
+        coords: (Io, Jo, Ko, 3) shared grid or (B, Io, Jo, Ko, 3)
+            per-sample grids, in input voxel coordinates.
+        mode: "linear" or "nearest".
+        fill: scalar or per-channel (C,) fill for out-of-bounds voxels.
+
+    Returns:
+        (B, C, Io, Jo, Ko) float32 array.
+    """
+    data = jnp.asarray(data)
+    coords = jnp.asarray(coords, jnp.float32)
+    if coords.ndim == 4:
+        coords = jnp.broadcast_to(coords[None], (data.shape[0],) + coords.shape)
+    if mode not in ("linear", "nearest"):
+        raise ValueError(f"Unsupported resampling mode: {mode!r}")
+    fill_arr = np.asarray(fill, np.float32).reshape(-1)
+    if fill_arr.shape[0] not in (1, data.shape[1]):
+        raise ValueError(
+            f"fill must be scalar or per-channel ({data.shape[1]},),"
+            f" got shape {fill_arr.shape}"
+        )
+    return _resample_kernel(data, coords, jnp.asarray(fill_arr), mode)
+
+
+@partial(jax.jit, static_argnames=("out_shape",))
+def upsample_field(control_points, out_shape: tuple[int, int, int]):
+    """Trilinearly upsample a coarse (n_i, n_j, n_k, 3) field to
+    ``(*out_shape, 3)`` with align_corners=True semantics
+    (equivalent to ``F.interpolate(mode="trilinear", align_corners=True)``,
+    reference ``spatial.py:2171-2189``)."""
+    cp = jnp.asarray(control_points, jnp.float32)
+    ni, nj, nk = cp.shape[:3]
+
+    def axis_coords(n_in: int, n_out: int):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
+
+    gi = axis_coords(ni, out_shape[0])
+    gj = axis_coords(nj, out_shape[1])
+    gk = axis_coords(nk, out_shape[2])
+
+    def lerp_axis(arr, g, size, axis):
+        i0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, size - 1)
+        i1 = jnp.clip(i0 + 1, 0, size - 1)
+        f = (g - i0).reshape([-1 if a == axis else 1 for a in range(arr.ndim)])
+        a0 = jnp.take(arr, i0, axis=axis)
+        a1 = jnp.take(arr, i1, axis=axis)
+        return a0 * (1.0 - f) + a1 * f
+
+    out = lerp_axis(cp, gi, ni, 0)
+    out = lerp_axis(out, gj, nj, 1)
+    out = lerp_axis(out, gk, nk, 2)
+    return out
+
+
+def build_coords(out_shape: tuple[int, int, int], matrix) -> jax.Array:
+    """(Io, Jo, Ko, 3) input-voxel coordinates of each output voxel.
+
+    ``matrix`` is the 4x4 output-voxel -> input-voxel map (float64 host
+    math, shipped as float32). The affine map is separable, so the grid
+    is built from three broadcast 1D ramps instead of a dense matmul —
+    negligible HBM traffic.
+    """
+    m = jnp.asarray(np.asarray(matrix, np.float64), jnp.float32)
+    io, jo, ko = out_shape
+    ri = jnp.arange(io, dtype=jnp.float32)[:, None, None, None]
+    rj = jnp.arange(jo, dtype=jnp.float32)[None, :, None, None]
+    rk = jnp.arange(ko, dtype=jnp.float32)[None, None, :, None]
+    return (
+        ri * m[:3, 0]
+        + rj * m[:3, 1]
+        + rk * m[:3, 2]
+        + m[:3, 3]
+    )

@@ -1,0 +1,34 @@
+"""Shared helpers for transform implementations (jnp compute path)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def broadcast_param(value: Any, like: Any):
+    """Scalar passthrough, or per-element list -> (B, 1, 1, 1, 1) jnp array."""
+    if isinstance(value, (list, np.ndarray, jax.Array)):
+        arr = jnp.asarray(np.asarray(value, dtype=np.float32))
+        return arr.reshape((-1,) + (1,) * (like.ndim - 1))
+    return value
+
+
+def restore_gated(transformed, original, keep):
+    """Gated-out elements keep their original values (bit-exact)."""
+    if keep is None:
+        return transformed
+    mask = jnp.asarray(np.asarray(keep, dtype=bool)).reshape(
+        (-1,) + (1,) * (transformed.ndim - 1)
+    )
+    return jnp.where(mask, transformed, original)
+
+
+def as_jnp(data) -> jax.Array:
+    """Move batch data to jnp (device) if it isn't already."""
+    if isinstance(data, jax.Array):
+        return data
+    return jnp.asarray(data)

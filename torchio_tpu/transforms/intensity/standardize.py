@@ -1,0 +1,92 @@
+"""Standardize / ZNormalization.
+
+Parity reference:
+``/root/reference/src/torchio/transforms/intensity/standardize.py``
+(per-image mean/std from the first batch element, optional mask via
+LabelMap key or callable, invertible).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...data.batch import SubjectsBatch
+from .._utils import as_jnp
+from ..transform import IntensityTransform
+from .normalize import resolve_mask
+
+
+class Standardize(IntensityTransform):
+    """Z-score normalization: subtract mean, divide by std.
+
+    Statistics are computed from the first batch element (optionally
+    within a mask) and applied batch-wide, matching the reference.
+    """
+
+    def __init__(
+        self,
+        *,
+        masking_method: str | Callable | None = None,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(**kwargs)
+        self.masking_method = masking_method
+
+    def make_params(self, batch: SubjectsBatch) -> dict[str, Any]:
+        stats: dict[str, tuple[float, float]] = {}
+        for name, img_batch in self._get_images(batch).items():
+            mask = resolve_mask(self.masking_method, img_batch, batch)
+            arr = np.asarray(img_batch.data[0], dtype=np.float32)
+            values = arr[np.broadcast_to(mask, arr.shape)] if mask is not None else arr
+            if values.size == 0:
+                raise RuntimeError(
+                    f'Standardization mask for "{name}" is empty.'
+                )
+            mean = float(values.mean())
+            std = float(values.std())
+            if std == 0:
+                raise RuntimeError(
+                    f'Cannot standardize "{name}": standard deviation is zero.'
+                )
+            stats[name] = (mean, std)
+        return {"stats": stats}
+
+    def apply_transform(
+        self, batch: SubjectsBatch, params: dict[str, Any]
+    ) -> SubjectsBatch:
+        for name, img_batch in self._get_images(batch).items():
+            if name not in params["stats"]:
+                continue
+            mean, std = params["stats"][name]
+            data = as_jnp(img_batch.data).astype(jnp.float32)
+            img_batch.data = (data - mean) / std
+        return batch
+
+    @property
+    def invertible(self) -> bool:
+        return True
+
+    def inverse(self, params: dict[str, Any]) -> "_StandardizeInverse":
+        return _StandardizeInverse(stats=params["stats"], copy=False)
+
+
+class _StandardizeInverse(IntensityTransform):
+    def __init__(self, *, stats: dict[str, tuple[float, float]], **kwargs: Any) -> None:
+        super().__init__(**kwargs)
+        self._stats = stats
+
+    def apply_transform(
+        self, batch: SubjectsBatch, params: dict[str, Any]
+    ) -> SubjectsBatch:
+        for name, img_batch in self._get_images(batch).items():
+            if name not in self._stats:
+                continue
+            mean, std = self._stats[name]
+            img_batch.data = as_jnp(img_batch.data) * std + mean
+        return batch
+
+
+ZNormalization = Standardize

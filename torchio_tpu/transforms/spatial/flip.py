@@ -1,0 +1,178 @@
+"""Flip: reverse voxel order along spatial axes.
+
+Parity reference: ``/root/reference/src/torchio/transforms/spatial/flip.py``
+(int or anatomical-label axes resolved via orientation; per-axis
+``flip_probability``; per-element path flips the batch once per axis then
+selects with a mask; self-inverse, ``_FlipInverse`` for per-instance).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ... import random as tio_random
+from ...data.batch import ImagesBatch, SubjectsBatch
+from .._utils import as_jnp
+from ..transform import SpatialTransform
+
+_LABEL_PAIR = {
+    "L": ("L", "R"),
+    "R": ("L", "R"),
+    "A": ("A", "P"),
+    "P": ("A", "P"),
+    "I": ("I", "S"),
+    "S": ("I", "S"),
+}
+
+
+def _resolve_axes(
+    axes: int | str | Sequence[int | str],
+    orientation: tuple[str, str, str] | None = None,
+) -> tuple[int, ...]:
+    """ints and/or anatomical labels -> sorted unique spatial axes."""
+    if isinstance(axes, (int, str)):
+        axes = (axes,)
+    out: list[int] = []
+    for axis in axes:
+        if isinstance(axis, (int, np.integer)):
+            if axis not in (0, 1, 2):
+                raise ValueError(f"Axis must be 0, 1, or 2; got {axis}")
+            out.append(int(axis))
+        elif isinstance(axis, str):
+            letter = axis[0].upper()
+            if letter not in _LABEL_PAIR:
+                raise ValueError(
+                    f"Unknown anatomical label {axis!r}; use L, R, A, P, I, S"
+                    " or full names like 'Left'"
+                )
+            if orientation is None:
+                raise ValueError(
+                    f"Cannot resolve anatomical axis {axis!r} without image orientation"
+                )
+            pair = _LABEL_PAIR[letter]
+            for dim, code in enumerate(orientation):
+                if code in pair:
+                    out.append(dim)
+                    break
+        else:
+            raise TypeError(f"Axis must be int or str, got {type(axis).__name__}")
+    return tuple(sorted(set(out)))
+
+
+def _flip_per_element(data, axes_per_element: list[list[int]]):
+    """Flip each batch element along its own axes.
+
+    Flips along distinct axes commute, so flipping the whole batch once
+    per spatial axis and masking per element is equivalent to flipping
+    each element's axes individually — one fused XLA select per axis.
+    """
+    data = as_jnp(data)
+    b = data.shape[0]
+    result = data
+    for spatial_axis in range(3):
+        flags = np.array([spatial_axis in axes_per_element[i] for i in range(b)])
+        if not flags.any():
+            continue
+        flipped = jnp.flip(result, axis=spatial_axis - 3)
+        mask = jnp.asarray(flags).reshape(-1, 1, 1, 1, 1)
+        result = jnp.where(mask, flipped, result)
+    return result
+
+
+class Flip(SpatialTransform):
+    """Flip along spatial axes (optionally with a per-axis coin flip).
+
+    ``axes`` may be ints in {0, 1, 2} or anatomical labels ('Left',
+    'Posterior', ...) resolved against the image orientation.
+    """
+
+    def __init__(
+        self,
+        *,
+        axes: int | str | Sequence[int | str] = 0,
+        flip_probability: float = 1.0,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(**kwargs)
+        self.axes = axes
+        if not 0 <= flip_probability <= 1:
+            raise ValueError(
+                f"flip_probability must be in [0, 1], got {flip_probability}"
+            )
+        self.flip_probability = flip_probability
+
+    @property
+    def supports_per_instance_params(self) -> bool:
+        return True
+
+    @property
+    def supports_per_instance_p(self) -> bool:
+        return True
+
+    def make_params(self, batch: SubjectsBatch) -> dict[str, Any]:
+        images = self._get_images(batch)
+        if not images:
+            return {"axes": ()}
+        first = next(iter(images.values()))
+        n = self._resolve_n(batch)
+        if n is None:
+            orientation = first.affines[0].orientation if first.batch_size else None
+            resolved = _resolve_axes(self.axes, orientation)
+            mask = tio_random.random(3) < self.flip_probability
+            return {"axes": tuple(a for a in resolved if mask[a])}
+        keep = self._keep_mask(batch, n)
+        axes_list: list[list[int]] = []
+        for i in range(n):
+            if keep is not None and not keep[i]:
+                axes_list.append([])
+                continue
+            resolved = _resolve_axes(self.axes, first.affines[i].orientation)
+            mask = tio_random.random(3) < self.flip_probability
+            axes_list.append([a for a in resolved if mask[a]])
+        params = {"axes": axes_list}
+        self._tag_batched(params, batch, n, keep, ["axes"])
+        return params
+
+    def apply_transform(
+        self, batch: SubjectsBatch, params: dict[str, Any]
+    ) -> SubjectsBatch:
+        axes = params["axes"]
+        if self._is_per_instance_params(params):
+            for _name, img_batch in self._get_images(batch).items():
+                img_batch.data = _flip_per_element(img_batch.data, axes)
+            return batch
+        if not axes:
+            return batch
+        dims = [a - 3 for a in axes]
+        for _name, img_batch in self._get_images(batch).items():
+            img_batch.data = jnp.flip(as_jnp(img_batch.data), dims)
+        return batch
+
+    @property
+    def invertible(self) -> bool:
+        return True
+
+    def inverse(self, params: dict[str, Any]):
+        if self._is_per_instance_params(params):
+            return _FlipInverse(axes_per_element=params["axes"], copy=False)
+        return Flip(axes=tuple(params["axes"]), copy=False)
+
+
+class _FlipInverse(SpatialTransform):
+    """Inverse of a per-instance Flip (flip is self-inverse per element)."""
+
+    def __init__(self, *, axes_per_element: list[list[int]], **kwargs: Any) -> None:
+        super().__init__(**kwargs)
+        self._axes_per_element = axes_per_element
+
+    def apply_transform(
+        self, batch: SubjectsBatch, params: dict[str, Any]
+    ) -> SubjectsBatch:
+        for _name, img_batch in self._get_images(batch).items():
+            img_batch.data = _flip_per_element(
+                img_batch.data, self._axes_per_element
+            )
+        return batch

@@ -1,0 +1,452 @@
+"""Transform engine base class.
+
+Parity reference: ``/root/reference/src/torchio/transforms/transform.py``
+(universal input polymorphism, p-gating, per-instance parameter/probability
+machinery, JSON-serializable params, history recording, registry,
+Hydra export, SpatialTransform/IntensityTransform split).
+
+TPU-native execution contract:
+
+- ``make_params(batch)`` runs on **host** and returns *concrete*,
+  JSON-serializable parameters (numpy/python values). This is the
+  make_params/apply split the reference already enforces — it is exactly
+  the host/traced seam JAX needs.
+- ``apply_transform(batch, params)`` is the device path: implementations
+  use jnp ops (each transform jit-caches its kernels per shape), keeping
+  the whole zoo XLA-compiled.
+"""
+
+from __future__ import annotations
+
+import copy as _copy
+import inspect
+import warnings
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import numpy as np
+
+from .. import random as tio_random
+from ..data.batch import ImagesBatch, SubjectsBatch
+from ..data.image import Image, ScalarImage
+from ..data.subject import Subject
+
+
+@dataclass
+class AppliedTransform:
+    """History record of one transform application (JSON-serializable)."""
+
+    name: str
+    params: dict[str, Any] = field(default_factory=dict)
+    include: list[str] | None = None
+    exclude: list[str] | None = None
+
+
+#: Class-name -> class registry for history replay and inversion.
+_TRANSFORM_REGISTRY: dict[str, type["Transform"]] = {}
+
+
+def get_transform_class(name: str) -> type["Transform"]:
+    return _TRANSFORM_REGISTRY[name]
+
+
+def _all_elements_gated_out(params: dict[str, Any]) -> bool:
+    keep = params.get("_keep")
+    return keep is not None and not any(keep)
+
+
+class Transform:
+    """Abstract base for all transforms.
+
+    Call with a Subject, Image, numpy/JAX array, torch tensor, dict of
+    4D arrays, ImagesBatch, or SubjectsBatch; the output type matches the
+    input type.
+
+    Args:
+        p: application probability. With per-instance gating active, each
+            batch element is gated independently.
+        copy: deep-copy the input before transforming.
+        per_instance: sample independent parameters per batch element
+            (when the transform supports it and batch_size > 1).
+        include: only apply to these image names.
+        exclude: never apply to these image names.
+    """
+
+    def __init__(
+        self,
+        *,
+        p: float = 1.0,
+        copy: bool = True,
+        per_instance: bool = True,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+    ) -> None:
+        if not 0 <= p <= 1:
+            raise ValueError(f"Probability must be in [0, 1], got {p}")
+        self.p = p
+        self.copy = copy
+        self.per_instance = per_instance
+        self.include = list(include) if include is not None else None
+        self.exclude = list(exclude) if exclude is not None else None
+
+    def __init_subclass__(cls, **kwargs: Any) -> None:
+        super().__init_subclass__(**kwargs)
+        _TRANSFORM_REGISTRY[cls.__name__] = cls
+
+    # --- Application ---
+
+    def __call__(self, data: Any) -> Any:
+        return self.forward(data)
+
+    def forward(self, data: Any) -> Any:
+        if self.copy:
+            data = _copy.deepcopy(data)
+        batch, unwrap = self._wrap(data)
+        if (
+            not self._per_instance_p_active(batch)
+            and float(tio_random.random()) >= self.p
+        ):
+            return unwrap(batch)
+        params = self.make_params(batch)
+        batch = self.apply_transform(batch, params)
+        if not _all_elements_gated_out(params):
+            trace = AppliedTransform(
+                name=type(self).__name__,
+                params=params,
+                include=None if self.include is None else list(self.include),
+                exclude=None if self.exclude is None else list(self.exclude),
+            )
+            if not hasattr(batch, "applied_transforms"):
+                batch.applied_transforms = []
+            batch.applied_transforms.append(trace)
+        result = unwrap(batch)
+        if (
+            hasattr(batch, "applied_transforms")
+            and not isinstance(result, (SubjectsBatch, np.ndarray, jax.Array, dict))
+        ):
+            try:
+                result.applied_transforms = list(batch.applied_transforms)
+            except AttributeError:
+                pass
+        return result
+
+    # --- Per-instance machinery ---
+
+    @property
+    def supports_per_instance_params(self) -> bool:
+        """Override to True in transforms that sample per-element params."""
+        return False
+
+    @property
+    def supports_per_instance_p(self) -> bool:
+        """Override to True in shape-preserving transforms that can gate
+        each element independently."""
+        return False
+
+    def _per_instance_active(self, batch: SubjectsBatch) -> bool:
+        return (
+            self.per_instance
+            and self.supports_per_instance_params
+            and batch.batch_size > 1
+        )
+
+    def _per_instance_p_active(self, batch: SubjectsBatch) -> bool:
+        return (
+            self.per_instance
+            and self.supports_per_instance_p
+            and batch.batch_size > 1
+            and 0.0 < self.p < 1.0
+        )
+
+    def _resolve_n(self, batch: SubjectsBatch) -> int | None:
+        """Batch size when per-instance sampling is active, else None."""
+        return batch.batch_size if self._per_instance_active(batch) else None
+
+    def _keep_mask(self, batch: SubjectsBatch, n: int | None) -> np.ndarray | None:
+        """(n,) boolean mask of elements that receive the transform."""
+        if n is None or not self._per_instance_p_active(batch):
+            return None
+        return tio_random.random(n) < self.p
+
+    @staticmethod
+    def _mask_identity(value: Any, keep: np.ndarray | None, *, identity: float):
+        """Gated-out elements get the identity parameter value."""
+        if keep is None or not isinstance(value, np.ndarray):
+            return value
+        return np.where(
+            keep.reshape((-1,) + (1,) * (value.ndim - 1)),
+            value,
+            np.full_like(value, identity),
+        )
+
+    @staticmethod
+    def _serialize_param(value: Any) -> Any:
+        """Convert arrays to JSON-serializable nested lists."""
+        if isinstance(value, (np.ndarray, jax.Array)):
+            return np.asarray(value).tolist()
+        if isinstance(value, (np.floating, np.integer, np.bool_)):
+            return value.item()
+        return value
+
+    @staticmethod
+    def _is_per_instance_params(params: dict[str, Any]) -> bool:
+        return "_batched_keys" in params
+
+    def _tag_batched(
+        self,
+        params: dict[str, Any],
+        batch: SubjectsBatch,
+        n: int | None,
+        keep: np.ndarray | None,
+        batched_keys: list[str],
+    ) -> None:
+        """Annotate per-instance params for history slicing at unbatch."""
+        if n is None:
+            return
+        params["_batch_size"] = batch.batch_size
+        params["_batched_keys"] = list(batched_keys)
+        if keep is not None:
+            params["_keep"] = [bool(k) for k in keep]
+
+    # --- Hooks ---
+
+    def make_params(self, batch: SubjectsBatch) -> dict[str, Any]:
+        """Sample random parameters (host-side, concrete, JSON-able)."""
+        return {}
+
+    def apply_transform(
+        self, batch: SubjectsBatch, params: dict[str, Any]
+    ) -> SubjectsBatch:
+        """Apply with given params. Data is 5D (B, C, I, J, K)."""
+        raise NotImplementedError
+
+    @property
+    def invertible(self) -> bool:
+        return False
+
+    def inverse(self, params: dict[str, Any]) -> "Transform":
+        raise NotImplementedError(f"{type(self).__name__} is not invertible")
+
+    # --- Scoping ---
+
+    def _get_images(self, batch: SubjectsBatch) -> dict[str, ImagesBatch]:
+        images = batch.images
+        if self.include is not None:
+            images = {k: v for k, v in images.items() if k in self.include}
+        if self.exclude is not None:
+            images = {k: v for k, v in images.items() if k not in self.exclude}
+        return images
+
+    # --- UX ---
+
+    def warn_if_noop(self, *, is_noop: bool, hint: str) -> None:
+        """Warn when default arguments make the transform a no-op."""
+        if is_noop:
+            warnings.warn(
+                f"{type(self).__name__} with default arguments is a no-op;"
+                f" consider e.g. {hint}",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
+    def to_hydra(self) -> dict[str, Any]:
+        """Hydra config: ``_target_`` + non-default constructor args."""
+        from .parameter_range import _ParameterRange
+
+        cls = type(self)
+        cfg: dict[str, Any] = {"_target_": f"torchio_tpu.{cls.__qualname__}"}
+        for name, default in _collect_init_params(cls).items():
+            value = getattr(self, name, default)
+            if isinstance(value, _ParameterRange):
+                if value._original == default:
+                    continue
+                value = _hydra_value(value._original)
+            elif _values_equal(value, default):
+                continue
+            else:
+                value = _hydra_value(value)
+            cfg[name] = value
+        return cfg
+
+    def __repr__(self) -> str:
+        cls = type(self)
+        parts = []
+        for name, default in _collect_init_params(cls).items():
+            value = getattr(self, name, default)
+            from .parameter_range import _ParameterRange
+
+            if isinstance(value, _ParameterRange):
+                if value._original == default:
+                    continue
+                parts.append(f"{name}={value!r}")
+            elif not _values_equal(value, default):
+                parts.append(f"{name}={value!r}")
+        return f"{cls.__name__}({', '.join(parts)})"
+
+    # --- Operators ---
+
+    def __add__(self, other: "Transform"):
+        from .compose import Compose
+
+        if not isinstance(other, Transform):
+            return NotImplemented
+        return Compose([self, other])
+
+    def __or__(self, other: "Transform"):
+        from .compose import OneOf
+
+        if not isinstance(other, Transform):
+            return NotImplemented
+        return OneOf([self, other])
+
+    # --- Wrapping ---
+
+    @staticmethod
+    def _wrap(data: Any) -> tuple[SubjectsBatch, Any]:
+        """Convert any accepted input into a SubjectsBatch + unwrap fn."""
+        if isinstance(data, SubjectsBatch):
+            return data, lambda b: b
+        if isinstance(data, ImagesBatch):
+            sb = SubjectsBatch({"tio_default_image": data})
+            return sb, lambda b: b.images["tio_default_image"]
+        if isinstance(data, Subject):
+            sb = SubjectsBatch.from_subjects([data])
+            return sb, _unwrap_subject
+        if isinstance(data, Image):
+            return _wrap_single_image(data, _unwrap_image)
+        if isinstance(data, jax.Array):
+            arr = data if data.ndim == 4 else data[None]
+            if arr.ndim != 4:
+                raise ValueError(f"Array input must be 3D or 4D, got {data.ndim}D")
+            return _wrap_single_image(ScalarImage(np.asarray(arr)), _unwrap_jax)
+        if isinstance(data, np.ndarray):
+            arr = data if data.ndim == 4 else data[None]
+            if arr.ndim != 4:
+                raise ValueError(f"Array input must be 3D or 4D, got {data.ndim}D")
+            return _wrap_single_image(
+                ScalarImage(arr.astype(np.float32, copy=False)), _unwrap_ndarray
+            )
+        if hasattr(data, "detach"):  # torch tensor
+            arr = data.detach().cpu().numpy()
+            if arr.ndim == 3:
+                arr = arr[None]
+            return _wrap_single_image(ScalarImage(arr), _unwrap_torch)
+        if isinstance(data, dict):
+            return _wrap_dict(data)
+        raise TypeError(
+            "Expected Subject, Image, array, dict, ImagesBatch, or"
+            f" SubjectsBatch, got {type(data).__name__}"
+        )
+
+
+def _wrap_single_image(img: Image, unwrap_fn: Any) -> tuple[SubjectsBatch, Any]:
+    sub = Subject(tio_default_image=img)
+    return SubjectsBatch.from_subjects([sub]), unwrap_fn
+
+
+def _unwrap_subject(batch: SubjectsBatch) -> Subject:
+    return batch.unbatch()[0]
+
+
+def _unwrap_image(batch: SubjectsBatch) -> Image:
+    return batch.unbatch()[0].tio_default_image
+
+
+def _unwrap_ndarray(batch: SubjectsBatch) -> np.ndarray:
+    return np.asarray(batch.unbatch()[0].tio_default_image.data)
+
+
+def _unwrap_jax(batch: SubjectsBatch) -> jax.Array:
+    import jax.numpy as jnp
+
+    return jnp.asarray(batch.unbatch()[0].tio_default_image.data)
+
+
+def _unwrap_torch(batch: SubjectsBatch):
+    import torch
+
+    return torch.as_tensor(np.asarray(batch.unbatch()[0].tio_default_image.data))
+
+
+def _wrap_dict(data: dict) -> tuple[SubjectsBatch, Any]:
+    kwargs: dict[str, Any] = {}
+    for k, v in data.items():
+        if isinstance(v, Image):
+            kwargs[k] = v
+        elif isinstance(v, (np.ndarray, jax.Array)) or hasattr(v, "detach"):
+            arr = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            kwargs[k] = ScalarImage(arr)
+        else:
+            kwargs[k] = v
+    sub = Subject(**kwargs)
+    keys = [str(k) for k in data]
+    sb = SubjectsBatch.from_subjects([sub])
+    return sb, lambda b: _unwrap_dict(b, keys)
+
+
+def _unwrap_dict(batch: SubjectsBatch, keys: list[str]) -> dict[str, Any]:
+    sub = batch.unbatch()[0]
+    out: dict[str, Any] = {}
+    for k in keys:
+        entry = sub.get(k)
+        out[k] = entry.data if isinstance(entry, Image) else entry
+    return out
+
+
+def _collect_init_params(cls: type) -> dict[str, Any]:
+    """{name: default} for all __init__ params up the MRO."""
+    params: dict[str, Any] = {}
+    for klass in cls.__mro__:
+        if klass is object:
+            break
+        init = klass.__dict__.get("__init__")
+        if init is None:
+            continue
+        sig = inspect.signature(init)
+        for name, param in sig.parameters.items():
+            if name == "self" or param.kind in (
+                inspect.Parameter.VAR_POSITIONAL,
+                inspect.Parameter.VAR_KEYWORD,
+            ):
+                continue
+            params.setdefault(name, param.default)
+    return params
+
+
+def _values_equal(a: Any, b: Any) -> bool:
+    try:
+        result = a == b
+    except Exception:
+        return False
+    if isinstance(result, (np.ndarray, jax.Array)):
+        return bool(np.all(result))
+    return bool(result)
+
+
+def _hydra_value(value: Any) -> Any:
+    if isinstance(value, tuple):
+        return list(value)
+    if isinstance(value, (np.ndarray, jax.Array)):
+        return np.asarray(value).tolist()
+    return value
+
+
+class SpatialTransform(Transform):
+    """Modifies geometry: applies to all images plus Points/BoundingBoxes."""
+
+
+class IntensityTransform(Transform):
+    """Modifies voxel values: applies to ScalarImage batches only."""
+
+    def _get_images(self, batch: SubjectsBatch) -> dict[str, ImagesBatch]:
+        images = {
+            k: v
+            for k, v in batch.images.items()
+            if issubclass(v.image_class, ScalarImage)
+        }
+        if self.include is not None:
+            images = {k: v for k, v in images.items() if k in self.include}
+        if self.exclude is not None:
+            images = {k: v for k, v in images.items() if k not in self.exclude}
+        return images
