@@ -9,6 +9,11 @@ strategy (``/root/reference/tests/test_queue.py``).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compilation cache: XLA CPU compiles of tiny per-shape programs
+# dominate test runtime; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +21,14 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import copy  # noqa: E402
+
+import jax  # noqa: E402
+
+# The sandbox exports JAX_PLATFORMS=axon (tunneled TPU); the env var is
+# overridden by the plugin, so force CPU through the config API before any
+# backend initializes. Without this every tiny test op round-trips the
+# TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

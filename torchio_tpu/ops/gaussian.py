@@ -1,0 +1,134 @@
+"""Separable 3D Gaussian smoothing via XLA convolutions.
+
+TPU-native replacement for the reference's depthwise ``F.conv3d`` path
+(``/root/reference/src/torchio/transforms/spatial/spatial.py:1980-2031``).
+Three 1D passes through ``lax.conv_general_dilated`` — XLA maps each to
+the MXU/VPU with the elementwise normalization fused.
+
+Two variants:
+- :func:`gaussian_blur`: one sigma triplet for the whole batch (static
+  kernel taps baked at trace time).
+- :func:`gaussian_blur_per_element`: per-element sigma triplets as a
+  traced (B, 3) array; kernels are built on device with a static radius
+  derived from the *maximum* sigma so the jit signature stays static
+  (SURVEY.md §7.3 item 2: resolve dynamic extents at the trace boundary).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _conv_axis_shared(data, kernel_1d, axis: int):
+    """Convolve (B, C, I, J, K) along one spatial axis with a shared kernel."""
+    b, c = data.shape[:2]
+    ksize = kernel_1d.shape[0]
+    radius = (ksize - 1) // 2
+    # replicate-pad along the axis
+    pad = [(0, 0)] * 5
+    pad[2 + axis] = (radius, radius)
+    padded = jnp.pad(data, pad, mode="edge")
+    # merge batch and channel into the feature dim: feature-independent 1D conv
+    x = padded.reshape((b * c, 1) + padded.shape[2:])
+    kshape = [1, 1, 1, 1, 1]
+    kshape[2 + axis] = ksize
+    kernel = kernel_1d.reshape(kshape)
+    out = lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        kernel.astype(jnp.float32),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    return out.reshape((b, c) + out.shape[2:])
+
+
+def gaussian_kernel_1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(2 * radius + 1, dtype=np.float32) - radius
+    k = np.exp(-0.5 * (x / max(sigma, 1e-9)) ** 2)
+    return k / k.sum()
+
+
+def radius_for_sigma(sigma: float, truncate: float = 3.0) -> int:
+    return max(int(np.ceil(truncate * sigma)), 1)
+
+
+def gaussian_blur(data, sigmas, truncate: float = 3.0):
+    """Blur (B, C, I, J, K) or (C, I, J, K) with per-axis voxel sigmas.
+
+    ``sigmas`` is a length-3 host array; axes with sigma <= 0 are skipped.
+    """
+    data = jnp.asarray(data)
+    unbatched = data.ndim == 4
+    if unbatched:
+        data = data[None]
+    out = data.astype(jnp.float32)
+    sig = np.asarray(sigmas, np.float64).reshape(3)
+    for axis in range(3):
+        s = float(sig[axis])
+        if s <= 0:
+            continue
+        kernel = jnp.asarray(gaussian_kernel_1d(s, radius_for_sigma(s, truncate)))
+        out = _conv_axis_shared(out, kernel, axis)
+    out = out.astype(data.dtype)
+    return out[0] if unbatched else out
+
+
+@partial(jax.jit, static_argnames=("radii",))
+def _blur_per_element_kernel(data, sigmas, radii: tuple[int, int, int]):
+    """data (B, C, I, J, K); sigmas (B, 3) traced; radii static per axis."""
+    b, c = data.shape[:2]
+    out = data.astype(jnp.float32)
+    for axis in range(3):
+        radius = radii[axis]
+        if radius == 0:
+            continue
+        ksize = 2 * radius + 1
+        x = jnp.arange(ksize, dtype=jnp.float32) - radius
+        s = jnp.maximum(sigmas[:, axis], 1e-9)[:, None]  # (B, 1)
+        k = jnp.exp(-0.5 * (x[None, :] / s) ** 2)  # (B, ksize)
+        k = k / jnp.sum(k, axis=1, keepdims=True)
+        # sigma == 0 -> identity kernel
+        ident = jnp.zeros(ksize, jnp.float32).at[radius].set(1.0)
+        k = jnp.where((sigmas[:, axis] > 0)[:, None], k, ident[None, :])
+        pad = [(0, 0)] * 5
+        pad[2 + axis] = (radius, radius)
+        padded = jnp.pad(out, pad, mode="edge")
+        # grouped conv: one kernel per batch element, shared across channels.
+        # Layout: batch as channels of a single example.
+        x5 = padded.reshape((1, b * c) + padded.shape[2:])
+        kshape = [1, 1, 1]
+        kshape[axis] = ksize
+        kern = jnp.repeat(k, c, axis=0).reshape((b * c, 1, *kshape))
+        conv = lax.conv_general_dilated(
+            x5,
+            kern,
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            feature_group_count=b * c,
+        )
+        out = conv.reshape((b, c) + conv.shape[2:])
+    return out
+
+
+def gaussian_blur_per_element(data, sigmas, truncate: float = 3.0):
+    """Blur each batch element with its own per-axis sigmas.
+
+    ``sigmas`` is a host (B, 3) array. The kernel radius per axis is
+    static (from the max sigma), so recompiles happen only when the
+    sampled sigma range genuinely grows.
+    """
+    data = jnp.asarray(data)
+    sig = np.asarray(sigmas, np.float64).reshape(data.shape[0], 3)
+    radii = tuple(
+        0 if sig[:, a].max() <= 0 else radius_for_sigma(float(sig[:, a].max()), truncate)
+        for a in range(3)
+    )
+    out = _blur_per_element_kernel(data, jnp.asarray(sig, jnp.float32), radii)
+    return out.astype(data.dtype)

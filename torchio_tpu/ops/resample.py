@@ -35,8 +35,8 @@ def _corner_gather(flat, idx):
     return jnp.take_along_axis(flat, idx[:, None, :], axis=2)
 
 
-@partial(jax.jit, static_argnames=("mode",))
-def _resample_kernel(data, coords, fill, mode: str):
+@partial(jax.jit, static_argnames=("mode", "apply_fill"))
+def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
     """data (B, C, I, J, K); coords (B, Io, Jo, Ko, 3); fill (C,) or scalar.
 
     Returns (B, C, Io, Jo, Ko) float32.
@@ -92,6 +92,12 @@ def _resample_kernel(data, coords, fill, mode: str):
                     vals = _corner_gather(flat, base_ij + kk)
                     acc = acc + w[:, None, :] * vals
 
+    if not apply_fill:
+        # fill == 0: grid_sample's zero padding already produces the
+        # right values (partial sums at the boundary), so skip the mask
+        # (matches reference _prepare_fill_value returning None).
+        return acc.reshape(b, c, *out_spatial)
+
     # In-bounds weight mask == bilinear grid_sample of a ones-volume
     # (always bilinear, matching the reference even for nearest mode).
     i0 = jnp.floor(ci).astype(jnp.int32)
@@ -140,7 +146,8 @@ def resample(data, coords, *, mode: str = "linear", fill=0.0):
             f"fill must be scalar or per-channel ({data.shape[1]},),"
             f" got shape {fill_arr.shape}"
         )
-    return _resample_kernel(data, coords, jnp.asarray(fill_arr), mode)
+    apply_fill = not (fill_arr.shape[0] == 1 and float(fill_arr[0]) == 0.0)
+    return _resample_kernel(data, coords, jnp.asarray(fill_arr), mode, apply_fill)
 
 
 @partial(jax.jit, static_argnames=("out_shape",))
