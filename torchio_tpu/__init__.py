@@ -18,7 +18,11 @@ from .data.points import Points
 from .data.subject import Study, Subject
 from .io import read_header, read_nifti, write_nifti
 from .transforms import (
+    Affine,
     AppliedTransform,
+    ElasticDeformation,
+    Resample,
+    Spatial,
     Choice,
     Clamp,
     Compose,
@@ -45,8 +49,12 @@ from .transforms import (
 seed = random.seed
 
 __all__ = [
+    "Affine",
     "AffineMatrix",
     "AppliedTransform",
+    "ElasticDeformation",
+    "Resample",
+    "Spatial",
     "BoundingBoxFormat",
     "BoundingBoxes",
     "Choice",

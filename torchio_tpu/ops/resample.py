@@ -116,7 +116,11 @@ def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
                 vk = (k0 + dk >= 0) & (k0 + dk < sk)
                 mask = mask + wi * wj * wk * (vi & vj & vk).astype(jnp.float32)
 
-    fill_arr = jnp.asarray(fill, jnp.float32).reshape(1, -1, 1)
+    fill_arr = jnp.asarray(fill, jnp.float32)
+    if fill_arr.ndim == 2:  # (B, C) per-element per-channel
+        fill_arr = fill_arr[:, :, None]
+    else:
+        fill_arr = fill_arr.reshape(1, -1, 1)
     out = jnp.where(mask[:, None, :] > 0.5, acc, fill_arr)
     return out.reshape(b, c, *out_spatial)
 
@@ -129,7 +133,8 @@ def resample(data, coords, *, mode: str = "linear", fill=0.0):
         coords: (Io, Jo, Ko, 3) shared grid or (B, Io, Jo, Ko, 3)
             per-sample grids, in input voxel coordinates.
         mode: "linear" or "nearest".
-        fill: scalar or per-channel (C,) fill for out-of-bounds voxels.
+        fill: scalar, per-channel (C,), or per-element-per-channel (B, C)
+            fill for out-of-bounds voxels.
 
     Returns:
         (B, C, Io, Jo, Ko) float32 array.
@@ -140,13 +145,21 @@ def resample(data, coords, *, mode: str = "linear", fill=0.0):
         coords = jnp.broadcast_to(coords[None], (data.shape[0],) + coords.shape)
     if mode not in ("linear", "nearest"):
         raise ValueError(f"Unsupported resampling mode: {mode!r}")
-    fill_arr = np.asarray(fill, np.float32).reshape(-1)
-    if fill_arr.shape[0] not in (1, data.shape[1]):
-        raise ValueError(
-            f"fill must be scalar or per-channel ({data.shape[1]},),"
-            f" got shape {fill_arr.shape}"
-        )
-    apply_fill = not (fill_arr.shape[0] == 1 and float(fill_arr[0]) == 0.0)
+    fill_arr = np.asarray(fill, np.float32)
+    if fill_arr.ndim == 2:
+        if fill_arr.shape != (data.shape[0], data.shape[1]):
+            raise ValueError(
+                f"2D fill must have shape (B, C) = {data.shape[:2]},"
+                f" got {fill_arr.shape}"
+            )
+    else:
+        fill_arr = fill_arr.reshape(-1)
+        if fill_arr.shape[0] not in (1, data.shape[1]):
+            raise ValueError(
+                f"fill must be scalar, per-channel ({data.shape[1]},), or"
+                f" (B, C); got shape {fill_arr.shape}"
+            )
+    apply_fill = not (fill_arr.size == 1 and float(fill_arr.reshape(-1)[0]) == 0.0)
     return _resample_kernel(data, coords, jnp.asarray(fill_arr), mode, apply_fill)
 
 

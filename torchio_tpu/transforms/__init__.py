@@ -10,6 +10,7 @@ from .parameter_range import Choice, _ParameterRange, to_nonneg_range, to_range
 from .spatial.crop import Crop
 from .spatial.flip import Flip
 from .spatial.pad import Pad
+from .spatial.spatial import Affine, ElasticDeformation, Resample, Spatial
 from .to import To
 from .transform import (
     AppliedTransform,
@@ -19,7 +20,11 @@ from .transform import (
 )
 
 __all__ = [
+    "Affine",
     "AppliedTransform",
+    "ElasticDeformation",
+    "Resample",
+    "Spatial",
     "Choice",
     "Clamp",
     "Compose",
