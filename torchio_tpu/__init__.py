@@ -18,76 +18,112 @@ from .data.points import Points
 from .data.subject import Study, Subject
 from .io import read_header, read_nifti, write_nifti
 from .transforms import (
+    PCA,
     Affine,
+    Anisotropy,
     AppliedTransform,
-    ElasticDeformation,
-    Resample,
-    Spatial,
+    BiasField,
+    Blur,
     Choice,
     Clamp,
     Compose,
+    Contour,
     Crop,
+    ElasticDeformation,
     Flip,
     Gamma,
+    Ghosting,
+    HistogramStandardization,
     IntensityTransform,
+    KeepLargestComponent,
+    LabelsToImage,
     Lambda,
+    Mask,
+    Motion,
     Noise,
     Normalize,
+    OneHot,
     OneOf,
     Pad,
+    RemapLabels,
+    RemoveLabels,
+    Resample,
     RescaleIntensity,
+    SequentialLabels,
     SomeOf,
+    Spatial,
     SpatialTransform,
+    Spike,
     Standardize,
+    Swap,
     To,
     Transform,
     ZNormalization,
     apply_inverse_transform,
+    compute_histogram_landmarks,
     get_inverse_transform,
 )
 
 seed = random.seed
 
 __all__ = [
+    "PCA",
     "Affine",
     "AffineMatrix",
+    "Anisotropy",
     "AppliedTransform",
-    "ElasticDeformation",
-    "Resample",
-    "Spatial",
+    "BiasField",
+    "Blur",
     "BoundingBoxFormat",
     "BoundingBoxes",
     "Choice",
     "Clamp",
     "Compose",
+    "Contour",
     "Crop",
+    "ElasticDeformation",
     "Flip",
     "Gamma",
+    "Ghosting",
+    "HistogramStandardization",
     "Image",
     "ImagesBatch",
     "IntensityTransform",
+    "KeepLargestComponent",
     "LabelMap",
+    "LabelsToImage",
     "Lambda",
+    "Mask",
+    "Motion",
     "Noise",
     "Normalize",
+    "OneHot",
     "OneOf",
     "Pad",
     "PatchLocation",
     "Points",
+    "RemapLabels",
+    "RemoveLabels",
     "Representation",
+    "Resample",
     "RescaleIntensity",
     "ScalarImage",
+    "SequentialLabels",
     "SomeOf",
+    "Spatial",
     "SpatialTransform",
+    "Spike",
     "Standardize",
     "StudiesBatch",
     "Study",
     "Subject",
     "SubjectsBatch",
+    "Swap",
     "To",
     "Transform",
     "ZNormalization",
     "apply_inverse_transform",
+    "compute_histogram_landmarks",
     "get_inverse_transform",
     "random",
     "read_header",

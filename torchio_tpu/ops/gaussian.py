@@ -90,12 +90,18 @@ def _blur_per_element_kernel(data, sigmas, radii: tuple[int, int, int]):
             continue
         ksize = 2 * radius + 1
         x = jnp.arange(ksize, dtype=jnp.float32) - radius
-        s = jnp.maximum(sigmas[:, axis], 1e-9)[:, None]  # (B, 1)
+        sig_col = sigmas[:, axis][:, None]  # (B, 1)
+        s = jnp.maximum(sig_col, 1e-9)
         k = jnp.exp(-0.5 * (x[None, :] / s) ** 2)  # (B, ksize)
-        k = k / jnp.sum(k, axis=1, keepdims=True)
+        # zero taps beyond each element's OWN radius ceil(3*sigma) so the
+        # batched kernel equals the one a single-element call would build
+        # (vectorization-equivalence contract)
+        own_radius = jnp.maximum(jnp.ceil(3.0 * sig_col), 1.0)
+        k = jnp.where(jnp.abs(x)[None, :] <= own_radius, k, 0.0)
         # sigma == 0 -> identity kernel
         ident = jnp.zeros(ksize, jnp.float32).at[radius].set(1.0)
-        k = jnp.where((sigmas[:, axis] > 0)[:, None], k, ident[None, :])
+        k = jnp.where(sig_col > 0, k, ident[None, :])
+        k = k / jnp.sum(k, axis=1, keepdims=True)
         pad = [(0, 0)] * 5
         pad[2 + axis] = (radius, radius)
         padded = jnp.pad(out, pad, mode="edge")

@@ -195,6 +195,37 @@ def upsample_field(control_points, out_shape: tuple[int, int, int]):
     return out
 
 
+@partial(jax.jit, static_argnames=("out_shape",))
+def upsample_volume(x, out_shape: tuple[int, int, int]):
+    """Trilinear align_corners=True upsampling over the LAST 3 axes.
+
+    Equivalent to ``F.interpolate(mode="trilinear", align_corners=True)``
+    for (B, C, I, J, K) inputs.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    nd = x.ndim
+
+    def axis_coords(n_in: int, n_out: int):
+        if n_out == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / max(n_out - 1, 1))
+
+    out = x
+    for rel, n_out in enumerate(out_shape):
+        axis = nd - 3 + rel
+        n_in = out.shape[axis]
+        g = axis_coords(n_in, n_out)
+        i0 = jnp.clip(jnp.floor(g).astype(jnp.int32), 0, n_in - 1)
+        i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+        shape = [1] * out.ndim
+        shape[axis] = -1
+        f = (g - i0).reshape(shape)
+        a0 = jnp.take(out, i0, axis=axis)
+        a1 = jnp.take(out, i1, axis=axis)
+        out = a0 * (1.0 - f) + a1 * f
+    return out
+
+
 def build_coords(out_shape: tuple[int, int, int], matrix) -> jax.Array:
     """(Io, Jo, Ko, 3) input-voxel coordinates of each output voxel.
 

@@ -1,12 +1,31 @@
 from .compose import Compose, OneOf, SomeOf
+from .intensity.bias_field import BiasField
+from .intensity.blur import Blur
 from .intensity.clamp import Clamp
 from .intensity.gamma import Gamma
+from .intensity.ghosting import Ghosting
+from .intensity.histogram_standardization import (
+    HistogramStandardization,
+    compute_histogram_landmarks,
+)
+from .intensity.labels_to_image import LabelsToImage
+from .intensity.mask import Mask
+from .intensity.motion import Motion
 from .intensity.noise import Noise
 from .intensity.normalize import Normalize, RescaleIntensity
+from .intensity.pca import PCA
+from .intensity.spike import Spike
 from .intensity.standardize import Standardize, ZNormalization
+from .intensity.swap import Swap
 from .inverse import apply_inverse_transform, get_inverse_transform
+from .label.contour import Contour
+from .label.keep_largest import KeepLargestComponent
+from .label.one_hot import OneHot
+from .label.remap_labels import RemapLabels, RemoveLabels
+from .label.sequential_labels import SequentialLabels
 from .lambda_transform import Lambda
 from .parameter_range import Choice, _ParameterRange, to_nonneg_range, to_range
+from .spatial.anisotropy import Anisotropy
 from .spatial.crop import Crop
 from .spatial.flip import Flip
 from .spatial.pad import Pad
@@ -20,30 +39,48 @@ from .transform import (
 )
 
 __all__ = [
+    "PCA",
     "Affine",
+    "Anisotropy",
     "AppliedTransform",
-    "ElasticDeformation",
-    "Resample",
-    "Spatial",
+    "BiasField",
+    "Blur",
     "Choice",
     "Clamp",
     "Compose",
+    "Contour",
     "Crop",
+    "ElasticDeformation",
     "Flip",
     "Gamma",
+    "Ghosting",
+    "HistogramStandardization",
     "IntensityTransform",
+    "KeepLargestComponent",
+    "LabelsToImage",
     "Lambda",
+    "Mask",
+    "Motion",
     "Noise",
     "Normalize",
+    "OneHot",
     "OneOf",
     "Pad",
+    "RemapLabels",
+    "RemoveLabels",
+    "Resample",
     "RescaleIntensity",
+    "SequentialLabels",
     "SomeOf",
+    "Spatial",
     "SpatialTransform",
+    "Spike",
     "Standardize",
+    "Swap",
     "To",
     "Transform",
     "ZNormalization",
     "apply_inverse_transform",
+    "compute_histogram_landmarks",
     "get_inverse_transform",
 ]

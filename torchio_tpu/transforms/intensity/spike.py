@@ -1,0 +1,109 @@
+"""Spike (herringbone) artifact: point impulses in k-space.
+
+Parity reference: ``/root/reference/src/torchio/transforms/intensity/spike.py``
+(impulse amplitude relative to the spectrum max, at random normalized
+positions; per-element active masks).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ... import random as tio_random
+from ...data.batch import SubjectsBatch
+from .._utils import as_jnp, restore_gated
+from ..parameter_range import to_nonneg_range, to_range
+from ..transform import IntensityTransform
+
+
+class Spike(IntensityTransform):
+    r"""Add k-space point impulses (stripes in image space)."""
+
+    def __init__(
+        self, *, num_spikes: Any = 1, intensity: Any = 0.0, **kwargs: Any
+    ) -> None:
+        super().__init__(**kwargs)
+        self.num_spikes = to_nonneg_range(num_spikes)
+        self.intensity = to_range(intensity)
+        self.warn_if_noop(
+            is_noop=self.intensity.is_constant(0.0)
+            or self.num_spikes.is_constant(0.0),
+            hint="intensity=(1, 3)",
+        )
+
+    @property
+    def supports_per_instance_params(self) -> bool:
+        return True
+
+    @property
+    def supports_per_instance_p(self) -> bool:
+        return True
+
+    def make_params(self, batch: SubjectsBatch) -> dict[str, Any]:
+        rng = tio_random.get_rng()
+        n = self._resolve_n(batch)
+        if n is None:
+            num = max(1, round(self.num_spikes.sample_1d()))
+            return {
+                "positions": rng.random((num, 3)).tolist(),
+                "intensity": self.intensity.sample_1d(),
+            }
+        keep = self._keep_mask(batch, n)
+        positions, intensities = [], []
+        for i in range(n):
+            if keep is not None and not keep[i]:
+                positions.append([])
+                intensities.append(0.0)
+                continue
+            num = max(1, round(self.num_spikes.sample_1d()))
+            positions.append(rng.random((num, 3)).tolist())
+            intensities.append(float(self.intensity.sample_1d()))
+        params = {"positions": positions, "intensity": intensities}
+        self._tag_batched(params, batch, n, keep, ["positions", "intensity"])
+        return params
+
+    def apply_transform(
+        self, batch: SubjectsBatch, params: dict[str, Any]
+    ) -> SubjectsBatch:
+        per_instance = self._is_per_instance_params(params)
+        for _name, img_batch in self._get_images(batch).items():
+            data = as_jnp(img_batch.data)
+            b = data.shape[0]
+            if per_instance:
+                per_element = list(zip(params["positions"], params["intensity"]))
+            else:
+                per_element = [(params["positions"], params["intensity"])] * b
+            active = [bool(p) and i != 0 for p, i in per_element]
+            if not any(active):
+                continue
+            out = _add_spikes(data, per_element)
+            img_batch.data = restore_gated(
+                out, data, active if per_instance else None
+            )
+        return batch
+
+
+def _add_spikes(data, per_element):
+    result = data.astype(jnp.float32)
+    shape = result.shape[2:]
+    spectrum = jnp.fft.fftshift(
+        jnp.fft.fftn(result, axes=(-3, -2, -1)), axes=(-3, -2, -1)
+    )
+    peak = jnp.max(jnp.abs(spectrum), axis=(-3, -2, -1))  # (B, C)
+    # Build an additive impulse volume per element on host indices, then
+    # scale by each (B, C) peak on device.
+    impulses = np.zeros((len(per_element), 1) + tuple(shape), np.float32)
+    for b, (positions, intensity) in enumerate(per_element):
+        if not positions or intensity == 0:
+            continue
+        for pos in positions:
+            idx = [int(p * s) % s for p, s in zip(pos, shape)]
+            impulses[b, 0, idx[0], idx[1], idx[2]] += intensity
+    spectrum = spectrum + jnp.asarray(impulses) * peak[:, :, None, None, None]
+    out = jnp.fft.ifftn(
+        jnp.fft.ifftshift(spectrum, axes=(-3, -2, -1)), axes=(-3, -2, -1)
+    ).real
+    return out.astype(data.dtype)
