@@ -26,10 +26,15 @@ from .label.sequential_labels import SequentialLabels
 from .lambda_transform import Lambda
 from .parameter_range import Choice, _ParameterRange, to_nonneg_range, to_range
 from .spatial.anisotropy import Anisotropy
+from .spatial.crop_or_pad import CropOrPad, EnsureShapeMultiple
 from .spatial.crop import Crop
 from .spatial.flip import Flip
 from .spatial.pad import Pad
+from .spatial.reorient import Reorient
+from .spatial.resize import Resize
 from .spatial.spatial import Affine, ElasticDeformation, Resample, Spatial
+from .spatial.to_reference_space import ToReferenceSpace
+from .spatial.transpose import CopyAffine, Transpose
 from .to import To
 from .transform import (
     AppliedTransform,
@@ -49,8 +54,11 @@ __all__ = [
     "Clamp",
     "Compose",
     "Contour",
+    "CopyAffine",
     "Crop",
+    "CropOrPad",
     "ElasticDeformation",
+    "EnsureShapeMultiple",
     "Flip",
     "Gamma",
     "Ghosting",
@@ -68,7 +76,9 @@ __all__ = [
     "Pad",
     "RemapLabels",
     "RemoveLabels",
+    "Reorient",
     "Resample",
+    "Resize",
     "RescaleIntensity",
     "SequentialLabels",
     "SomeOf",
@@ -78,6 +88,8 @@ __all__ = [
     "Standardize",
     "Swap",
     "To",
+    "ToReferenceSpace",
+    "Transpose",
     "Transform",
     "ZNormalization",
     "apply_inverse_transform",

@@ -110,7 +110,7 @@ class Transform:
             return unwrap(batch)
         params = self.make_params(batch)
         batch = self.apply_transform(batch, params)
-        if not _all_elements_gated_out(params):
+        if self._records_history and not _all_elements_gated_out(params):
             trace = AppliedTransform(
                 name=type(self).__name__,
                 params=params,
@@ -130,6 +130,10 @@ class Transform:
             except AttributeError:
                 pass
         return result
+
+    #: Set False in transforms that delegate to children which record
+    #: their own (invertible) history entries (e.g. CropOrPad -> Pad+Crop).
+    _records_history = True
 
     # --- Per-instance machinery ---
 
