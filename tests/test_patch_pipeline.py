@@ -1,0 +1,267 @@
+"""Patch pipeline: samplers, queue, aggregator, loaders."""
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+
+
+@pytest.fixture
+def subject(rng):
+    data = rng.normal(size=(1, 16, 18, 20)).astype(np.float32)
+    seg = np.zeros((1, 16, 18, 20), np.int32)
+    seg[0, 6:10, 6:10, 6:10] = 1
+    return tio.Subject(t1=tio.ScalarImage(data), seg=tio.LabelMap(seg))
+
+
+class TestGridSampler:
+    def test_covers_volume(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8, patch_overlap=0)
+        seen = np.zeros(subject.spatial_shape, bool)
+        for patch in sampler:
+            loc = patch.patch_location
+            si, sj, sk = loc.to_slices()
+            seen[si, sj, sk] = True
+        assert seen.all()
+
+    def test_patch_contents(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8)
+        patch = sampler[0]
+        np.testing.assert_array_equal(
+            np.asarray(patch.t1.data),
+            np.asarray(subject.t1.data)[:, :8, :8, :8],
+        )
+        assert patch.t1.shape == (1, 8, 8, 8)
+
+    def test_overlap_steps(self, subject):
+        s0 = tio.GridSampler(subject, patch_size=8, patch_overlap=0)
+        s4 = tio.GridSampler(subject, patch_size=8, patch_overlap=4)
+        assert len(s4) > len(s0)
+
+    def test_padding(self, subject):
+        sampler = tio.GridSampler(
+            subject, patch_size=8, patch_overlap=4, padding_mode="constant"
+        )
+        padded_shape = sampler.subject.spatial_shape
+        assert padded_shape == (20, 22, 24)
+
+
+class TestRandomSamplers:
+    def test_uniform_in_bounds(self, subject):
+        sampler = tio.UniformSampler(subject, patch_size=8, num_patches=10)
+        patches = list(sampler)
+        assert len(patches) == 10
+        for p in patches:
+            assert p.t1.shape == (1, 8, 8, 8)
+            idx = p.patch_location.index
+            for d in range(3):
+                assert 0 <= idx[d] <= subject.spatial_shape[d] - 8
+
+    def test_label_sampler_centers_on_labels(self, subject):
+        sampler = tio.LabelSampler(
+            subject, patch_size=8, label_name="seg", num_patches=20
+        )
+        for p in sampler:
+            # patch must contain labeled voxels (center was on a label)
+            assert np.asarray(p.seg.data).sum() > 0
+
+    def test_weighted_sampler(self, subject, rng):
+        prob = np.zeros((1, 16, 18, 20), np.float32)
+        prob[0, 8, 9, 10] = 1.0
+        subject["prob"] = tio.ScalarImage(prob)
+        sampler = tio.WeightedSampler(
+            subject, patch_size=4, probability_map="prob", num_patches=5
+        )
+        for p in sampler:
+            # the only nonzero-probability center is (8, 9, 10)
+            assert p.patch_location.index == (6, 7, 8)
+
+    def test_weighted_all_zero_raises(self, subject):
+        subject["prob"] = tio.ScalarImage(np.zeros((1, 16, 18, 20), np.float32))
+        sampler = tio.WeightedSampler(
+            subject, patch_size=4, probability_map="prob", num_patches=1
+        )
+        with pytest.raises(RuntimeError):
+            next(iter(sampler))
+
+
+class TestQueue:
+    def _subjects(self, rng, n=4):
+        return [
+            tio.Subject(t1=tio.ScalarImage(rng.normal(size=(1, 12, 12, 12)).astype(np.float32)))
+            for _ in range(n)
+        ]
+
+    def test_sync_counts(self, rng):
+        subjects = self._subjects(rng)
+        queue = tio.Queue(
+            subjects,
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            max_length=16,
+            patches_per_volume=5,
+            num_workers=0,
+        )
+        patches = list(queue)
+        assert len(patches) == 20
+        assert queue.patches_per_epoch == 20
+
+    def test_threaded_counts(self, rng):
+        subjects = self._subjects(rng)
+        queue = tio.Queue(
+            subjects,
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            max_length=8,
+            patches_per_volume=5,
+            num_workers=2,
+        )
+        assert len(list(queue)) == 20
+
+    def test_transform_applied(self, rng):
+        subjects = self._subjects(rng, 2)
+        queue = tio.Queue(
+            subjects,
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            patches_per_volume=2,
+            transform=tio.Lambda(lambda t: t * 0),
+            shuffle_subjects=False,
+        )
+        for patch in queue:
+            assert (np.asarray(patch.t1.data) == 0).all()
+
+    def test_distributed_sharding(self, rng):
+        """Two ranks with disjoint index shards see disjoint subjects
+        (the reference's simulated-distributed strategy)."""
+        subjects = self._subjects(rng, 4)
+        for i, s in enumerate(subjects):
+            s["sid"] = i
+        shard_a, shard_b = [0, 1], [2, 3]
+        seen = []
+        for shard in (shard_a, shard_b):
+            queue = tio.Queue(
+                subjects,
+                patch_sampler=tio.UniformSampler(patch_size=4),
+                patches_per_volume=1,
+                shuffle_subjects=False,
+                subject_sampler=shard,
+            )
+            seen.append({p.sid for p in queue})
+        assert seen[0] == {0, 1}
+        assert seen[1] == {2, 3}
+
+    def test_sampler_and_shuffle_conflict(self, rng):
+        with pytest.raises(ValueError):
+            tio.Queue(
+                self._subjects(rng, 2),
+                patch_sampler=tio.UniformSampler(patch_size=4),
+                subject_sampler=[0],
+                shuffle_subjects=True,
+            )
+
+    def test_memory_estimate(self, rng):
+        queue = tio.Queue(
+            self._subjects(rng, 2),
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            max_length=10,
+        )
+        assert queue.max_memory == 4 * 1 * 64 * 10
+        assert "KiB" in queue.max_memory_pretty
+
+
+class TestAggregator:
+    def test_average_roundtrip(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8, patch_overlap=4)
+        loader = tio.SubjectsLoader(sampler, batch_size=3)
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="average")
+        for batch in loader:
+            locations = batch.metadata["patch_location"]
+            agg.add_batch(batch.images["t1"].data, locations)
+        out = agg.get_output()
+        np.testing.assert_allclose(out, np.asarray(subject.t1.data), rtol=1e-4, atol=1e-5)
+
+    def test_hann_roundtrip(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8, patch_overlap=4)
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="hann")
+        for patch in sampler:
+            agg.add_batch(
+                np.asarray(patch.t1.data)[None], [patch.patch_location]
+            )
+        out = agg.get_output()
+        np.testing.assert_allclose(out, np.asarray(subject.t1.data), rtol=1e-3, atol=1e-4)
+
+    def test_crop_roundtrip(self, subject):
+        overlap = 4
+        sampler = tio.GridSampler(subject, patch_size=8, patch_overlap=overlap)
+        agg = tio.PatchAggregator(
+            subject.spatial_shape, overlap_mode="crop", patch_overlap=overlap
+        )
+        for patch in sampler:
+            agg.add_batch(np.asarray(patch.t1.data)[None], [patch.patch_location])
+        out = agg.get_output()
+        np.testing.assert_allclose(out, np.asarray(subject.t1.data), rtol=1e-5)
+
+    def test_multi_output_dict(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8)
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="average")
+        for patch in sampler:
+            data = np.asarray(patch.t1.data)[None]
+            agg.add_batch({"pred": data, "aux": data * 2}, [patch.patch_location])
+        np.testing.assert_allclose(
+            agg.get_output("aux"), 2 * agg.get_output("pred"), rtol=1e-5
+        )
+
+    def test_output_shape_scaling(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8)
+        half_shape = tuple(s // 2 for s in subject.spatial_shape)
+        agg = tio.PatchAggregator(
+            subject.spatial_shape, overlap_mode="average", output_shape=half_shape
+        )
+        for patch in sampler:
+            downsampled = np.asarray(patch.t1.data)[:, ::2, ::2, ::2][None]
+            agg.add_batch(downsampled, [patch.patch_location])
+        out = agg.get_output()
+        assert out.shape == (1, *half_shape)
+
+    def test_missing_key(self, subject):
+        agg = tio.PatchAggregator(subject.spatial_shape)
+        with pytest.raises(KeyError):
+            agg.get_output()
+
+
+class TestLoader:
+    def test_subjects_loader_batches(self, rng):
+        subjects = [
+            tio.Subject(t1=tio.ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32)))
+            for _ in range(5)
+        ]
+        loader = tio.SubjectsLoader(subjects, batch_size=2)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[0].batch_size == 2
+        assert batches[-1].batch_size == 1
+        assert len(loader) == 3
+
+    def test_drop_last(self, rng):
+        subjects = [
+            tio.Subject(t1=tio.ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32)))
+            for _ in range(5)
+        ]
+        loader = tio.SubjectsLoader(subjects, batch_size=2, drop_last=True)
+        assert len(list(loader)) == 2
+
+    def test_queue_to_loader_end_to_end(self, rng):
+        subjects = [
+            tio.Subject(t1=tio.ScalarImage(rng.normal(size=(1, 12, 12, 12)).astype(np.float32)))
+            for _ in range(3)
+        ]
+        queue = tio.Queue(
+            subjects,
+            patch_sampler=tio.UniformSampler(patch_size=6),
+            patches_per_volume=4,
+            transform=tio.Noise(std=0.1),
+        )
+        loader = tio.SubjectsLoader(queue, batch_size=4)
+        total = 0
+        for batch in loader:
+            assert batch.images["t1"].data.shape[1:] == (1, 6, 6, 6)
+            total += batch.batch_size
+        assert total == 12

@@ -22,6 +22,16 @@ class PatchLocation:
     size: tuple[int, int, int]
     subject_index: int | None = None
 
+    @property
+    def index_ini(self) -> tuple[int, int, int]:
+        """Alias for the corner index."""
+        return self.index
+
+    @property
+    def index_fin(self) -> tuple[int, int, int]:
+        """Exclusive end index per axis."""
+        return tuple(i + s for i, s in zip(self.index, self.size))  # type: ignore[return-value]
+
     def to_slices(self) -> tuple[slice, slice, slice]:
         """Spatial slices selecting the patch."""
         return tuple(  # type: ignore[return-value]

@@ -1,0 +1,143 @@
+"""Queue: background-loaded patch buffer for stochastic patch training.
+
+Parity reference: ``/root/reference/src/torchio/data/queue.py``
+(per-epoch subject iterator with optional injected ``subject_sampler``
+for distributed sharding; ThreadPoolExecutor load+transform overlap;
+buffer flush-and-shuffle at ``max_length``; ``patches_per_volume`` cap;
+memory estimator).
+"""
+
+from __future__ import annotations
+
+import random as _pyrandom
+from collections import deque
+from concurrent.futures import Future, ThreadPoolExecutor
+from itertools import islice
+from typing import Any, Iterator, Sequence
+
+from .sampler import PatchSampler
+from .subject import Subject
+
+
+class Queue:
+    """Iterable buffer of patches drawn from a rotating set of subjects.
+
+    Args:
+        subjects: subjects to sample patches from.
+        patch_sampler: e.g. :class:`UniformSampler` / :class:`LabelSampler`.
+        max_length: max patches held in the buffer (diversity vs RAM).
+        patches_per_volume: patches extracted per subject per epoch.
+        num_workers: background loading threads (0 = synchronous).
+        shuffle_subjects / shuffle_patches: epoch-level shuffling.
+        transform: applied to each subject after load, before sampling.
+        subject_sampler: iterable of subject indices (e.g. a
+            per-process shard for data-parallel training). Requires
+            ``shuffle_subjects=False``.
+    """
+
+    def __init__(
+        self,
+        subjects: Sequence[Subject],
+        patch_sampler: PatchSampler,
+        max_length: int = 300,
+        patches_per_volume: int = 10,
+        num_workers: int = 0,
+        shuffle_subjects: bool = True,
+        shuffle_patches: bool = True,
+        transform: Any | None = None,
+        subject_sampler: Any | None = None,
+    ) -> None:
+        if subject_sampler is not None and shuffle_subjects:
+            raise ValueError(
+                "shuffle_subjects must be False when subject_sampler is"
+                " provided (the sampler controls the order)"
+            )
+        self.subjects = subjects
+        self.patch_sampler = patch_sampler
+        self.max_length = max_length
+        self.patches_per_volume = patches_per_volume
+        self.num_workers = num_workers
+        self.shuffle_subjects = shuffle_subjects
+        self.shuffle_patches = shuffle_patches
+        self.transform = transform
+        self.subject_sampler = subject_sampler
+
+    def __iter__(self) -> Iterator[Subject]:
+        buffer: list[Subject] = []
+        subject_iter = self._make_subject_iter()
+        if self.num_workers > 0:
+            yield from self._iter_threaded(subject_iter, buffer)
+        else:
+            yield from self._iter_sync(subject_iter, buffer)
+
+    def _iter_sync(self, subject_iter, buffer) -> Iterator[Subject]:
+        for raw in subject_iter:
+            buffer.extend(self._sample_patches(self._prepare(raw)))
+            if len(buffer) >= self.max_length:
+                yield from self._flush(buffer)
+        yield from self._flush(buffer)
+
+    def _iter_threaded(self, subject_iter, buffer) -> Iterator[Subject]:
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures: deque[Future] = deque()
+            for raw in subject_iter:
+                futures.append(pool.submit(self._prepare, raw))
+                while futures and futures[0].done():
+                    buffer.extend(self._sample_patches(futures.popleft().result()))
+                if len(buffer) >= self.max_length:
+                    yield from self._flush(buffer)
+            for future in futures:
+                buffer.extend(self._sample_patches(future.result()))
+        yield from self._flush(buffer)
+
+    def _flush(self, buffer: list[Subject]) -> Iterator[Subject]:
+        if self.shuffle_patches:
+            _pyrandom.shuffle(buffer)
+        while buffer:
+            yield buffer.pop()
+
+    def _prepare(self, subject: Subject) -> Subject:
+        subject.load()
+        if self.transform is not None:
+            subject = self.transform(subject)
+        return subject
+
+    def _sample_patches(self, subject: Subject) -> list[Subject]:
+        return list(islice(iter(self.patch_sampler(subject)), self.patches_per_volume))
+
+    def _make_subject_iter(self) -> Iterator[Subject]:
+        if self.subject_sampler is not None:
+            return (self.subjects[i] for i in self.subject_sampler)
+        subjects = list(self.subjects)
+        if self.shuffle_subjects:
+            _pyrandom.shuffle(subjects)
+        return iter(subjects)
+
+    @property
+    def num_subjects(self) -> int:
+        if self.subject_sampler is not None:
+            return len(self.subject_sampler)  # type: ignore[arg-type]
+        return len(self.subjects)
+
+    @property
+    def patches_per_epoch(self) -> int:
+        return self.num_subjects * self.patches_per_volume
+
+    @property
+    def max_memory(self) -> int:
+        """Estimated peak buffer RAM in bytes (float32 voxels)."""
+        sample = self.subjects[0]
+        channels = sum(img.num_channels for img in sample.images.values())
+        voxels = 1
+        for s in self.patch_sampler.patch_size:
+            voxels *= s
+        return 4 * channels * voxels * self.max_length
+
+    @property
+    def max_memory_pretty(self) -> str:
+        size = float(self.max_memory)
+        for unit in ("B", "KiB", "MiB", "GiB", "TiB"):
+            if size < 1024 or unit == "TiB":
+                return f"{size:.1f} {unit}"
+            size /= 1024
+        return f"{size:.1f} TiB"
