@@ -1,0 +1,82 @@
+"""Headline benchmark: Compose(Affine + Elastic + BiasField + Noise) on 256^3.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); the baseline is the
+measured torch-CPU proxy of its hot path (``benchmarks/baseline_cpu.py``)
+on this machine: 0.086 volumes/sec (single 256^3 volume per call).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+#: Measured by benchmarks/baseline_cpu.py on the driver host (1 CPU core).
+CPU_BASELINE_VOLUMES_PER_SEC = 0.086
+
+S = 256
+B = 4
+WARMUP = 2
+ITERS = 5
+
+
+def make_batch() -> SubjectsBatch:
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    subjects = [
+        tio.Subject(t1=tio.ScalarImage(rng.random((1, S, S, S), np.float32)))
+        for _ in range(B)
+    ]
+    batch = SubjectsBatch.from_subjects(subjects)
+    # place on device up front (the loader normally does this)
+    for ib in batch.images.values():
+        ib.data = jnp.asarray(ib.data)
+    return batch
+
+
+def main() -> None:
+    tio.seed(0)
+    pipeline = tio.Compose(
+        [
+            tio.Affine(scales=(0.9, 1.1), degrees=(-10.0, 10.0), translation=(-5.0, 5.0)),
+            tio.ElasticDeformation(max_displacement=7.5),
+            tio.BiasField(std=0.5),
+            tio.Noise(std=0.1),
+        ],
+        copy=False,
+    )
+    batch = make_batch()
+
+    import jax
+
+    def run_once():
+        out = pipeline(batch)
+        jax.block_until_ready(out.images["t1"].data)
+        return out
+
+    for _ in range(WARMUP):
+        run_once()
+    t0 = time.time()
+    for _ in range(ITERS):
+        run_once()
+    elapsed = (time.time() - t0) / ITERS
+    vps = B / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "256^3 MRI volumes/sec/chip (Affine+Elastic+BiasField+Noise Compose)",
+                "value": round(vps, 2),
+                "unit": "volumes/sec",
+                "vs_baseline": round(vps / CPU_BASELINE_VOLUMES_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,6 +8,23 @@ pure jnp functions jit-fused per Compose pipeline.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# XLA compiles of 256^3-scale kernels take minutes on slow hosts; the
+# persistent compilation cache amortizes them across processes.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/torchio_tpu_jax"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from . import random  # noqa: A004  (module named like stdlib on purpose, like torch)
 from .core.affine import AffineMatrix
 from .data.aggregator import PatchAggregator

@@ -30,25 +30,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _corner_gather(flat, idx):
-    """Gather (B, C, M) values from (B, C, N) flat data at (B, M) indices."""
-    return jnp.take_along_axis(flat, idx[:, None, :], axis=2)
+def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
+    """Resample ONE batch element.
 
-
-@partial(jax.jit, static_argnames=("mode", "apply_fill"))
-def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
-    """data (B, C, I, J, K); coords (B, Io, Jo, Ko, 3); fill (C,) or scalar.
-
-    Returns (B, C, Io, Jo, Ko) float32.
+    flat (C, N) flattened volume; pts (M, 3) coords; fill_row (C,) or
+    scalar. Per-element 1D ``jnp.take`` gathers are used deliberately:
+    XLA lowers batched (B > 1) gathers on TPU to a scalar loop that is
+    ~10^4x slower for non-trivial index patterns, while the single-batch
+    form vectorizes (measured on v5e: 9.3 s vs ~1 ms for a 4x256^3
+    rotated resample).
     """
-    b, c, si, sj, sk = data.shape
-    out_spatial = coords.shape[1:4]
-    m = out_spatial[0] * out_spatial[1] * out_spatial[2]
-    flat = data.reshape(b, c, si * sj * sk).astype(jnp.float32)
-    pts = coords.reshape(b, m, 3)
-    ci, cj, ck = pts[..., 0], pts[..., 1], pts[..., 2]
-
-    sizes = jnp.array([si, sj, sk], jnp.float32)
+    si, sj, sk = spatial
+    c = flat.shape[0]
+    m = pts.shape[0]
+    ci, cj, ck = pts[:, 0], pts[:, 1], pts[:, 2]
 
     if mode == "nearest":
         ri = jnp.round(ci).astype(jnp.int32)
@@ -62,16 +57,13 @@ def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
             + jnp.clip(rj, 0, sj - 1) * sk
             + jnp.clip(rk, 0, sk - 1)
         )
-        vals = _corner_gather(flat, idx)
-        acc = vals * valid[:, None, :].astype(jnp.float32)
+        acc = jnp.take(flat, idx, axis=1) * valid[None, :].astype(jnp.float32)
     else:  # trilinear
         i0 = jnp.floor(ci).astype(jnp.int32)
         j0 = jnp.floor(cj).astype(jnp.int32)
         k0 = jnp.floor(ck).astype(jnp.int32)
-        fi = ci - i0
-        fj = cj - j0
-        fk = ck - k0
-        acc = jnp.zeros((b, c, m), jnp.float32)
+        fi, fj, fk = ci - i0, cj - j0, ck - k0
+        acc = jnp.zeros((c, m), jnp.float32)
         for di in (0, 1):
             wi = fi if di else 1.0 - fi
             ii = i0 + di
@@ -89,14 +81,13 @@ def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
                     vk = (kk >= 0) & (kk < sk)
                     kk = jnp.clip(kk, 0, sk - 1)
                     w = wi * wj * wk * (vi & vj & vk).astype(jnp.float32)
-                    vals = _corner_gather(flat, base_ij + kk)
-                    acc = acc + w[:, None, :] * vals
+                    acc = acc + w[None, :] * jnp.take(flat, base_ij + kk, axis=1)
 
     if not apply_fill:
         # fill == 0: grid_sample's zero padding already produces the
         # right values (partial sums at the boundary), so skip the mask
         # (matches reference _prepare_fill_value returning None).
-        return acc.reshape(b, c, *out_spatial)
+        return acc
 
     # In-bounds weight mask == bilinear grid_sample of a ones-volume
     # (always bilinear, matching the reference even for nearest mode).
@@ -104,7 +95,7 @@ def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
     j0 = jnp.floor(cj).astype(jnp.int32)
     k0 = jnp.floor(ck).astype(jnp.int32)
     fi, fj, fk = ci - i0, cj - j0, ck - k0
-    mask = jnp.zeros((b, m), jnp.float32)
+    mask = jnp.zeros((m,), jnp.float32)
     for di in (0, 1):
         wi = fi if di else 1.0 - fi
         vi = (i0 + di >= 0) & (i0 + di < si)
@@ -115,14 +106,46 @@ def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
                 wk = fk if dk else 1.0 - fk
                 vk = (k0 + dk >= 0) & (k0 + dk < sk)
                 mask = mask + wi * wj * wk * (vi & vj & vk).astype(jnp.float32)
+    fill_col = jnp.asarray(fill_row, jnp.float32).reshape(-1, 1)
+    return jnp.where(mask[None, :] > 0.5, acc, fill_col)
 
+
+@partial(jax.jit, static_argnames=("out_spatial", "mode", "apply_fill"))
+def _resample_element(
+    data, coords, fill_row, out_spatial: tuple[int, int, int],
+    mode: str, apply_fill: bool,
+):
+    """One batch element: data (C, I, J, K), coords (Io, Jo, Ko, 3)."""
+    c, si, sj, sk = data.shape
+    flat = data.reshape(c, -1).astype(jnp.float32)
+    pts = coords.reshape(-1, 3)
+    out = _resample_one(flat, pts, fill_row, (si, sj, sk), mode, apply_fill)
+    return out.reshape(c, *out_spatial)
+
+
+def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
+    """data (B, C, I, J, K); coords (B, Io, Jo, Ko, 3); fill scalar /
+    (C,) / (B, C). Returns (B, C, Io, Jo, Ko) float32.
+
+    The batch loop runs on host calling ONE jit-compiled single-element
+    kernel: calls dispatch asynchronously and pipeline on device, and
+    the executable is compiled once per shape signature regardless of
+    batch size (compiling a B-unrolled or batched-gather variant costs
+    minutes of XLA time on TPU and the batched gather lowers to a
+    pathologically slow scalar loop — see ``_resample_one``).
+    """
+    b = data.shape[0]
+    out_spatial = tuple(int(s) for s in coords.shape[1:4])
     fill_arr = jnp.asarray(fill, jnp.float32)
-    if fill_arr.ndim == 2:  # (B, C) per-element per-channel
-        fill_arr = fill_arr[:, :, None]
-    else:
-        fill_arr = fill_arr.reshape(1, -1, 1)
-    out = jnp.where(mask[:, None, :] > 0.5, acc, fill_arr)
-    return out.reshape(b, c, *out_spatial)
+    outs = []
+    for bi in range(b):
+        fill_row = fill_arr[bi] if fill_arr.ndim == 2 else fill_arr
+        outs.append(
+            _resample_element(
+                data[bi], coords[bi], fill_row, out_spatial, mode, apply_fill
+            )
+        )
+    return jnp.stack(outs)
 
 
 def resample(data, coords, *, mode: str = "linear", fill=0.0):
@@ -235,6 +258,11 @@ def build_coords(out_shape: tuple[int, int, int], matrix) -> jax.Array:
     negligible HBM traffic.
     """
     m = jnp.asarray(np.asarray(matrix, np.float64), jnp.float32)
+    return _build_coords_kernel(m, tuple(out_shape))
+
+
+@partial(jax.jit, static_argnames=("out_shape",))
+def _build_coords_kernel(m, out_shape: tuple[int, int, int]) -> jax.Array:
     io, jo, ko = out_shape
     ri = jnp.arange(io, dtype=jnp.float32)[:, None, None, None]
     rj = jnp.arange(jo, dtype=jnp.float32)[None, :, None, None]

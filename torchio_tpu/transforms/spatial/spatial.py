@@ -329,18 +329,31 @@ def _batch_fill_value(img_batch: ImagesBatch, *, default_pad_value, default_pad_
         raise TypeError(
             f"default_pad_value must be a string or number, got {type(default_pad_value)}"
         )
-    arr = np.asarray(img_batch.data)
-    values = np.zeros(arr.shape[:2], np.float32)
-    for b in range(arr.shape[0]):
-        for c, channel in enumerate(arr[b]):
-            if default_pad_value == "minimum":
-                values[b, c] = channel.min()
-            elif default_pad_value == "mean":
-                values[b, c] = _border_mean(channel, filter_otsu=False)
-            elif default_pad_value == "otsu":
-                values[b, c] = _border_mean(channel, filter_otsu=True)
+    if default_pad_value == "minimum":
+        # stays on device: a (B, C) reduction, no host transfer
+        return jnp.min(as_jnp(img_batch.data), axis=(-3, -2, -1))
+    if default_pad_value not in ("mean", "otsu"):
+        raise ValueError(f'Unknown default_pad_value "{default_pad_value}"')
+    # border statistics: pull only the six faces to host (tiny vs volume)
+    data = as_jnp(img_batch.data)
+    faces = [
+        data[:, :, 0, :, :], data[:, :, -1, :, :],
+        data[:, :, :, 0, :], data[:, :, :, -1, :],
+        data[:, :, :, :, 0], data[:, :, :, :, -1],
+    ]
+    borders = np.concatenate(
+        [np.asarray(f).reshape(f.shape[0], f.shape[1], -1) for f in faces], axis=2
+    )
+    values = np.zeros(borders.shape[:2], np.float32)
+    for b in range(borders.shape[0]):
+        for c in range(borders.shape[1]):
+            flat = borders[b, c].astype(np.float64)
+            if default_pad_value == "mean":
+                values[b, c] = flat.mean()
             else:
-                raise ValueError(f'Unknown default_pad_value "{default_pad_value}"')
+                threshold = _otsu_threshold(flat)
+                vals = flat[flat < threshold]
+                values[b, c] = vals.mean() if vals.size else flat.mean()
     return values
 
 
