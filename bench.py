@@ -20,8 +20,8 @@ CPU_BASELINE_VOLUMES_PER_SEC = 0.086
 
 S = 256
 B = 4
-WARMUP = 2
-ITERS = 5
+WARMUP = 1
+ITERS = 3
 
 
 def make_batch() -> SubjectsBatch:
@@ -52,12 +52,13 @@ def main() -> None:
     )
     batch = make_batch()
 
-    import jax
+    import jax.numpy as jnp
 
-    def run_once():
+    def run_once() -> float:
         out = pipeline(batch)
-        jax.block_until_ready(out.images["t1"].data)
-        return out
+        # float(sum) forces real completion: on the tunneled "axon"
+        # backend, block_until_ready can return before execution ends.
+        return float(jnp.sum(out.images["t1"].data))
 
     for _ in range(WARMUP):
         run_once()

@@ -1,0 +1,13 @@
+from .halo import halo_blur
+from .mesh import batch_sharding, make_mesh, replicated_sharding, shard_batch
+from .step import make_augment_step, sample_step_params
+
+__all__ = [
+    "batch_sharding",
+    "halo_blur",
+    "make_augment_step",
+    "make_mesh",
+    "replicated_sharding",
+    "sample_step_params",
+    "shard_batch",
+]
