@@ -1,0 +1,60 @@
+"""End-to-end Spatial through the Pallas dispatch path (interpreted)."""
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+from torchio_tpu import config
+
+
+@pytest.fixture
+def force_pallas():
+    old = config.use_pallas_resample
+    config.use_pallas_resample = True
+    yield
+    config.use_pallas_resample = old
+
+
+def test_affine_matches_xla_path(rng, force_pallas):
+    data = rng.normal(size=(1, 16, 16, 16)).astype(np.float32)
+    sub = tio.Subject(t1=tio.ScalarImage(data))
+    tio.seed(5)
+    out_pallas = tio.Affine(degrees=(0.0, 0.0, 10.0), translation=(2.0, 0.0, 0.0))(sub)
+    config.use_pallas_resample = False
+    tio.seed(5)
+    out_xla = tio.Affine(degrees=(0.0, 0.0, 10.0), translation=(2.0, 0.0, 0.0))(sub)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.t1.data),
+        np.asarray(out_xla.t1.data),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_elastic_matches_xla_path(rng, force_pallas):
+    data = rng.normal(size=(1, 16, 16, 16)).astype(np.float32)
+    sub = tio.Subject(t1=tio.ScalarImage(data))
+    cp = np.zeros((5, 5, 5, 3), np.float32)
+    cp[2, 2, 2] = (2.0, -1.0, 1.0)
+    out_pallas = tio.Spatial(control_points=cp)(sub)
+    config.use_pallas_resample = False
+    out_xla = tio.Spatial(control_points=cp)(sub)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.t1.data),
+        np.asarray(out_xla.t1.data),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_label_nearest_matches(rng, force_pallas):
+    seg = rng.integers(0, 3, size=(1, 16, 16, 16)).astype(np.int32)
+    sub = tio.Subject(seg=tio.LabelMap(seg))
+    tio.seed(9)
+    out_pallas = tio.Affine(degrees=(0.0, 0.0, 20.0))(sub)
+    config.use_pallas_resample = False
+    tio.seed(9)
+    out_xla = tio.Affine(degrees=(0.0, 0.0, 20.0))(sub)
+    np.testing.assert_array_equal(
+        np.asarray(out_pallas.seg.data), np.asarray(out_xla.seg.data)
+    )

@@ -1,0 +1,289 @@
+"""Pallas TPU kernel for trilinear/nearest resampling (gather-free).
+
+Why: XLA lowers the 8-corner gather of a 256^3 resample to a scalar
+gather loop on TPU (~1.2 s/volume measured on v5e — 1000x below HBM
+bandwidth). This kernel removes gathers entirely:
+
+1. The output volume is processed in (TI, TJ, TK) tiles. For each tile
+   the HOST plans a static-size input box (LI, LJ, LK) guaranteed to
+   contain every in-bounds source coordinate of the tile (affine bbox of
+   the tile corners + elastic displacement bound, SURVEY.md §7.3).
+2. Each kernel instance DMAs its box HBM -> VMEM at a dynamic offset
+   (scalar-prefetched per-tile bases).
+3. Interpolation is computed as dense arithmetic — no dynamic indexing:
+   triangle weights ``tri(x) = max(0, 1 - |x|)`` reproduce trilinear
+   interpolation exactly, factorized per axis:
+   - k axis: an MXU matmul ``box2 (C*LI*LJ, LK) @ Wk^T (LK, Q)``;
+   - j and i axes: VPU masked reductions.
+   Out-of-box coordinates get zero weight, which matches the zero
+   padding of ``grid_sample``; OOB fill is applied by the caller from
+   the coordinates alone.
+
+The kernel runs in interpret mode on CPU for testing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = (8, 8, 128)
+
+
+def _roundup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def plan_tiles(
+    matrix: np.ndarray,
+    out_shape: tuple[int, int, int],
+    in_shape: tuple[int, int, int],
+    extra_out: np.ndarray | None = None,
+    extra_in: np.ndarray | None = None,
+    tile: tuple[int, int, int] = DEFAULT_TILE,
+):
+    """Host-side tile plan.
+
+    Args:
+        matrix: 4x4 output-voxel -> input-voxel map (float64).
+        out_shape / in_shape: spatial shapes.
+        extra_out: (3,) bound on additive displacement in OUTPUT voxel
+            space applied before the matrix (affine_first=False elastic).
+        extra_in: (3,) bound on additive displacement in INPUT voxel
+            space applied after the matrix (affine_first=True elastic).
+        tile: output tile shape (TI, TJ, TK).
+
+    Returns:
+        (bases, box_shape, grid): per-tile int32 (T, 3) input-box corner
+        offsets, the static box shape, and the tile grid dims.
+    """
+    m = np.asarray(matrix, np.float64)
+    eo = np.zeros(3) if extra_out is None else np.asarray(extra_out, np.float64)
+    ei = np.zeros(3) if extra_in is None else np.asarray(extra_in, np.float64)
+    ti, tj, tk = tile
+    grid = tuple(-(-o // t) for o, t in zip(out_shape, tile))
+
+    # Box extent: |M[:, d]| column magnitudes give the spread of each
+    # output-axis tile extent (+ pre-matrix displacement) in input voxels.
+    spans_out = np.array([ti - 1 + 2 * eo[0], tj - 1 + 2 * eo[1], tk - 1 + 2 * eo[2]])
+    extent = np.abs(m[:3, :3]) @ spans_out + 2 * ei + 2 + 1
+    box = (
+        min(_roundup(int(np.ceil(extent[0])), 8), _roundup(in_shape[0], 8)),
+        min(_roundup(int(np.ceil(extent[1])), 8), _roundup(in_shape[1], 8)),
+        min(_roundup(int(np.ceil(extent[2])), 128), _roundup(in_shape[2], 128)),
+    )
+
+    # Per-tile base: map the 8 tile corners (+-displacement bounds).
+    gi = np.arange(grid[0]) * ti
+    gj = np.arange(grid[1]) * tj
+    gk = np.arange(grid[2]) * tk
+    corners = []
+    for di in (0.0, ti - 1.0):
+        for dj in (0.0, tj - 1.0):
+            for dk in (0.0, tk - 1.0):
+                ci = gi[:, None, None] + di
+                cj = gj[None, :, None] + dj
+                ck = gk[None, None, :] + dk
+                corners.append(np.stack(np.broadcast_arrays(ci, cj, ck), -1))
+    pts = np.stack(corners)  # (8, gi, gj, gk, 3)
+    lo = pts - eo
+    hi = pts + eo
+    mapped = []
+    for p in (lo, hi):
+        mapped.append(p @ m[:3, :3].T + m[:3, 3])
+    allpts = np.concatenate([np.stack(mapped)], axis=0).reshape(2, 8, *grid, 3)
+    cmin = allpts.min(axis=(0, 1)) - ei - 1
+    bases = np.floor(cmin).astype(np.int64)
+    for d in range(3):
+        bases[..., d] = np.clip(bases[..., d], 0, max(in_shape[d] - box[d], 0))
+    return bases.reshape(-1, 3).astype(np.int32), box, grid
+
+
+def _kernel_body(
+    bases_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref, box_ref, sem,
+    *, tile, box, grid, mode: str,
+):
+    ti, tj, tk = tile
+    li, lj, lk = box
+    c = out_ref.shape[0]
+    t = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
+    bi = bases_ref[t, 0]
+    bj = bases_ref[t, 1]
+    bk = bases_ref[t, 2]
+
+    dma = pltpu.make_async_copy(
+        vol_ref.at[:, pl.ds(bi, li), pl.ds(bj, lj), pl.ds(bk, lk)],
+        box_ref,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    q = tj * tk
+    iota_k = jax.lax.broadcasted_iota(jnp.float32, (q, lk), 1)
+    iota_j = jax.lax.broadcasted_iota(jnp.float32, (lj, q), 0)
+    iota_i = jax.lax.broadcasted_iota(jnp.float32, (li, q), 0)
+    box2 = box_ref[:].reshape(c * li * lj, lk)
+
+    bi_f = bi.astype(jnp.float32)
+    bj_f = bj.astype(jnp.float32)
+    bk_f = bk.astype(jnp.float32)
+
+    def weights(delta):
+        if mode == "nearest":
+            return (jnp.abs(delta) <= 0.5).astype(jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
+
+    for row in range(ti):
+        lci = (ci_ref[row] - bi_f).reshape(q)
+        lcj = (cj_ref[row] - bj_f).reshape(q)
+        lck = (ck_ref[row] - bk_f).reshape(q)
+        if mode == "nearest":
+            # round-half-to-even like torch grid_sample nearest
+            lci = jnp.round(lci)
+            lcj = jnp.round(lcj)
+            lck = jnp.round(lck)
+        wk = weights(lck[:, None] - iota_k)  # (Q, LK)
+        t1 = jax.lax.dot_general(
+            box2, wk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(c, li, lj, q)
+        wj = weights(lcj[None, :] - iota_j)  # (LJ, Q)
+        t2 = jnp.sum(t1 * wj[None, None, :, :], axis=2)  # (C, LI, Q)
+        wi = weights(lci[None, :] - iota_i)  # (LI, Q)
+        out_ref[:, row] = jnp.sum(t2 * wi[None, :, :], axis=1).reshape(c, tj, tk)
+
+
+def resample_tiles(
+    volume,
+    coords,
+    bases: np.ndarray,
+    box: tuple[int, int, int],
+    grid: tuple[int, int, int],
+    *,
+    tile: tuple[int, int, int] = DEFAULT_TILE,
+    mode: str = "linear",
+    interpret: bool = False,
+):
+    """Run the tiled Pallas resample.
+
+    Args:
+        volume: (C, I, J, K) float32.
+        coords: (Io, Jo, Ko, 3) input-voxel coordinates; Io/Jo/Ko must be
+            multiples of the tile shape (callers pad).
+        bases / box / grid: host plan from :func:`plan_tiles`.
+        mode: "linear" or "nearest".
+        interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns:
+        (C, Io, Jo, Ko) float32 with zero-padding OOB semantics.
+    """
+    c = volume.shape[0]
+    io, jo, ko = coords.shape[:3]
+    ti, tj, tk = tile
+    assert io % ti == 0 and jo % tj == 0 and ko % tk == 0
+    ci = jnp.asarray(coords[..., 0])
+    cj = jnp.asarray(coords[..., 1])
+    ck = jnp.asarray(coords[..., 2])
+
+    coord_spec = pl.BlockSpec(
+        (ti, tj, tk), lambda gi, gj, gk, bases: (gi, gj, gk)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            coord_spec,
+            coord_spec,
+            coord_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (c, ti, tj, tk), lambda gi, gj, gk, bases: (0, gi, gj, gk)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, *box), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = partial(_kernel_body, tile=tile, box=box, grid=grid, mode=mode)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((c, io, jo, ko), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(bases), ci, cj, ck, volume.astype(jnp.float32))
+
+
+def pallas_resample(
+    volume,
+    coords,
+    matrix: np.ndarray,
+    *,
+    extra_out=None,
+    extra_in=None,
+    mode: str = "linear",
+    fill=0.0,
+    tile: tuple[int, int, int] = DEFAULT_TILE,
+    interpret: bool | None = None,
+):
+    """Resample (C, I, J, K) at ``coords`` with a host tile plan.
+
+    ``matrix`` (+ displacement bounds) is only used for PLANNING the
+    per-tile input boxes; the actual sampling positions are ``coords``
+    (so elastic fields are honored exactly). Output padding/masking
+    matches :func:`torchio_tpu.ops.resample.resample`.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    c = volume.shape[0]
+    in_shape = tuple(volume.shape[1:])
+    out_shape = tuple(coords.shape[:3])
+    pad = [(-s) % t for s, t in zip(out_shape, tile)]
+    padded_shape = tuple(s + p for s, p in zip(out_shape, pad))
+    # Zero-pad the volume to DMA-friendly extents: reading the zero pad
+    # reproduces grid_sample's zero-padding semantics exactly.
+    vol_pad = [
+        _roundup(in_shape[0], 8) - in_shape[0],
+        _roundup(in_shape[1], 8) - in_shape[1],
+        _roundup(in_shape[2], 128) - in_shape[2],
+    ]
+    if any(vol_pad):
+        volume = jnp.pad(
+            volume, [(0, 0), (0, vol_pad[0]), (0, vol_pad[1]), (0, vol_pad[2])]
+        )
+    padded_in = tuple(volume.shape[1:])
+    bases, box, grid = plan_tiles(
+        matrix, padded_shape, padded_in, extra_out=extra_out, extra_in=extra_in,
+        tile=tile,
+    )
+    coords_p = jnp.pad(coords, [(0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)])
+    out = resample_tiles(
+        volume, coords_p, bases, box, grid, tile=tile, mode=mode,
+        interpret=interpret,
+    )
+    out = out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
+
+    fill_arr = np.asarray(fill, np.float32).reshape(-1)
+    if fill_arr.size == 1 and float(fill_arr[0]) == 0.0:
+        return out
+    # OOB fill from the trilinear in-bounds weight of the coordinates
+    # (pure elementwise arithmetic — no gathers).
+    sizes = jnp.asarray(in_shape, jnp.float32)
+    mask = jnp.ones(out_shape, jnp.float32)
+    for a in range(3):
+        ca = coords[..., a]
+        f0 = jnp.floor(ca)
+        frac = ca - f0
+        w0 = jnp.where((f0 >= 0) & (f0 < sizes[a]), 1.0 - frac, 0.0)
+        w1 = jnp.where((f0 + 1 >= 0) & (f0 + 1 < sizes[a]), frac, 0.0)
+        mask = mask * (w0 + w1)
+    return jnp.where(
+        mask[None] > 0.5, out, jnp.asarray(fill_arr, jnp.float32).reshape(-1, 1, 1, 1)
+    )

@@ -41,12 +41,18 @@ def _rigid_voxel_matrix(degrees, translation, shape) -> np.ndarray:
 
 def _move_batch(data, degrees_list, translation_list):
     """Apply per-element rigid moves: resample at inv(T) coordinates."""
+    from ..spatial.spatial import _dispatch_resample, _GridPlan
+
     shape = data.shape[2:]
-    grids = []
+    grids, plans = [], []
     for degrees, translation in zip(degrees_list, translation_list):
         t = _rigid_voxel_matrix(degrees, translation, shape)
-        grids.append(build_coords(tuple(shape), np.linalg.inv(t)))
-    return resample(data, jnp.stack(grids), mode="linear", fill=0.0)
+        inv = np.linalg.inv(t)
+        grids.append(build_coords(tuple(shape), inv))
+        plans.append(_GridPlan(inv))
+    return _dispatch_resample(
+        data, jnp.stack(grids), plans, mode="linear", fill=0.0
+    )
 
 
 _IDENTITY = {"degrees": (0.0, 0.0, 0.0), "translation": (0.0, 0.0, 0.0)}

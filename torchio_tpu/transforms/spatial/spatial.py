@@ -377,6 +377,17 @@ def _apply_mapping_jnp(coords, matrix):
     return coords @ m[:3, :3].T + m[:3, 3]
 
 
+class _GridPlan:
+    """Host-side metadata the Pallas tile planner needs for one grid."""
+
+    __slots__ = ("matrix", "extra_out", "extra_in")
+
+    def __init__(self, matrix, extra_out=None, extra_in=None):
+        self.matrix = np.asarray(matrix, np.float64)
+        self.extra_out = extra_out
+        self.extra_in = extra_in
+
+
 def _build_grid(
     *,
     input_shape,
@@ -388,10 +399,10 @@ def _build_grid(
     max_displacement,
     affine_first: bool,
 ):
-    """(Io, Jo, Ko, 3) input-voxel sampling coordinates."""
+    """((Io, Jo, Ko, 3) sampling coordinates, host tile plan)."""
     mapping = _mapping_matrix(input_affine, output_affine, affine_matrix)
     if control_points is None:
-        return build_coords(tuple(output_shape), mapping)
+        return build_coords(tuple(output_shape), mapping), _GridPlan(mapping)
     if max_displacement is None:
         max_displacement = _max_abs_displacement(control_points)
     _check_folding(
@@ -403,12 +414,56 @@ def _build_grid(
     displacement = upsample_field(np.asarray(control_points, np.float32), tuple(output_shape))
     in_spacing = jnp.asarray(np.asarray(input_affine.spacing), jnp.float32)
     out_spacing = jnp.asarray(np.asarray(output_affine.spacing), jnp.float32)
+    disp_bound = np.asarray(max_displacement, np.float64)
     if affine_first:
         coords = build_coords(tuple(output_shape), mapping)
-        return coords + displacement / in_spacing
+        extra_in = disp_bound / np.asarray(input_affine.spacing, np.float64)
+        return coords + displacement / in_spacing, _GridPlan(mapping, extra_in=extra_in)
     out_coords = build_coords(tuple(output_shape), np.eye(4))
     deformed = out_coords + displacement / out_spacing
-    return _apply_mapping_jnp(deformed, mapping)
+    extra_out = disp_bound / np.asarray(output_affine.spacing, np.float64)
+    return _apply_mapping_jnp(deformed, mapping), _GridPlan(mapping, extra_out=extra_out)
+
+
+def _dispatch_resample(data, grid, plans, *, mode: str, fill):
+    """Route to the Pallas tiled kernel on TPU backends, else XLA gather.
+
+    ``plans`` is one :class:`_GridPlan` (shared grid) or a list of them
+    (per-sample grids, aligned with the batch).
+    """
+    from ...config import pallas_resample_enabled
+
+    if (
+        plans is not None
+        and mode in ("linear", "nearest")
+        and pallas_resample_enabled()
+    ):
+        from ...ops.pallas_resample import pallas_resample
+
+        b = data.shape[0]
+        fill_arr = np.asarray(fill, np.float32)
+        per_sample_grid = grid.ndim == 5
+        outs = []
+        for bi in range(b):
+            plan = plans[bi] if isinstance(plans, list) else plans
+            grid_b = grid[bi] if per_sample_grid else grid
+            if fill_arr.ndim == 2:
+                fill_row = fill_arr[bi]
+            else:
+                fill_row = fill_arr
+            outs.append(
+                pallas_resample(
+                    as_jnp(data[bi]),
+                    grid_b,
+                    plan.matrix,
+                    extra_out=plan.extra_out,
+                    extra_in=plan.extra_in,
+                    mode=mode,
+                    fill=fill_row,
+                )
+            )
+        return jnp.stack(outs)
+    return resample(data, grid, mode=mode, fill=fill)
 
 
 # --------------------------------------------------------------------------
@@ -831,7 +886,7 @@ def _apply_spatial_to_batch(
     output_affine = target_space[1] if target_space is not None else input_affine
 
     if per_sample is None:
-        grid = _build_grid(
+        grid, plans = _build_grid(
             input_shape=input_shape,
             input_affine=input_affine,
             output_shape=output_shape,
@@ -843,21 +898,22 @@ def _apply_spatial_to_batch(
         )
     else:
         grids = []
+        plans = []
         for i in range(len(per_sample)):
-            grids.append(
-                _build_grid(
-                    input_shape=input_shape,
-                    input_affine=first.affines[i],
-                    output_shape=output_shape,
-                    output_affine=(
-                        output_affine if target_space is not None else first.affines[i]
-                    ),
-                    affine_matrix=per_sample.affines[i],
-                    control_points=per_sample.control_points[i],
-                    max_displacement=per_sample.max_displacements[i],
-                    affine_first=affine_first,
-                )
+            g, p = _build_grid(
+                input_shape=input_shape,
+                input_affine=first.affines[i],
+                output_shape=output_shape,
+                output_affine=(
+                    output_affine if target_space is not None else first.affines[i]
+                ),
+                affine_matrix=per_sample.affines[i],
+                control_points=per_sample.control_points[i],
+                max_displacement=per_sample.max_displacements[i],
+                affine_first=affine_first,
             )
+            grids.append(g)
+            plans.append(p)
         grid = jnp.stack(grids)
 
     passthrough = (
@@ -876,6 +932,7 @@ def _apply_spatial_to_batch(
             img_batch.data = _resample_label_partial_volume(
                 img_batch.data,
                 grid,
+                plans=plans,
                 input_affine=input_affine,
                 output_affine=output_affine,
                 antialias=antialias,
@@ -894,7 +951,9 @@ def _apply_spatial_to_batch(
             data = as_jnp(img_batch.data)
             if antialias and not is_label:
                 data = _antialias(data, input_affine, output_affine)
-            img_batch.data = resample(data, grid, mode=interpolation, fill=fill)
+            img_batch.data = _dispatch_resample(
+                data, grid, plans, mode=interpolation, fill=fill
+            )
         # Output affines: per-sample affines collapse to the shared output
         # space; passthrough rows are restored bit-exactly.
         new_affines = [AffineMatrix(output_affine) for _ in img_batch.affines]
@@ -924,6 +983,7 @@ def _resample_label_partial_volume(
     data,
     grid,
     *,
+    plans=None,
     input_affine: AffineMatrix,
     output_affine: AffineMatrix,
     antialias: bool,
@@ -937,7 +997,9 @@ def _resample_label_partial_volume(
         smoothed = data_j.astype(jnp.float32)
         if antialias:
             smoothed = _antialias(smoothed, input_affine, output_affine)
-        sampled = resample(smoothed, grid, mode=one_hot_label_interpolation, fill=0.0)
+        sampled = _dispatch_resample(
+            smoothed, grid, plans, mode=one_hot_label_interpolation, fill=0.0
+        )
         if jnp.issubdtype(data_j.dtype, jnp.floating):
             return sampled.astype(data_j.dtype)
         return sampled
@@ -947,7 +1009,9 @@ def _resample_label_partial_volume(
     ).astype(jnp.float32)
     if antialias:
         one_hot = _antialias(one_hot, input_affine, output_affine)
-    sampled = resample(one_hot, grid, mode=one_hot_label_interpolation, fill=0.0)
+    sampled = _dispatch_resample(
+        one_hot, grid, plans, mode=one_hot_label_interpolation, fill=0.0
+    )
     winners = jnp.argmax(sampled, axis=1)
     resampled = jnp.asarray(labels)[winners]
     in_bounds = jnp.sum(sampled, axis=1) > 0.5
