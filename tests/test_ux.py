@@ -1,0 +1,142 @@
+"""CLI, visualization, matrix I/O, offline datasets, logging, repr."""
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+from torchio_tpu.cli import main as cli_main
+from torchio_tpu.io.matrix import read_matrix, write_matrix
+
+
+@pytest.fixture
+def nii(tmp_path, rng):
+    data = rng.normal(size=(1, 12, 14, 16)).astype(np.float32)
+    path = tmp_path / "img.nii.gz"
+    tio.write_nifti(path, data, np.diag([2.0, 2.0, 2.0, 1.0]))
+    return path, data
+
+
+class TestMatrixIO:
+    def test_tfm_roundtrip(self, tmp_path):
+        m = np.eye(4)
+        m[:3, :3] = tio.AffineMatrix.from_spacing(1.0).data[:3, :3]
+        m[0, 3] = 5.0
+        m[1, 2] = 0.25
+        path = tmp_path / "t.tfm"
+        write_matrix(m, path)
+        back = read_matrix(path)
+        np.testing.assert_allclose(back, m, atol=1e-9)
+
+    def test_txt_roundtrip(self, tmp_path):
+        m = np.diag([1.0, 2.0, 3.0, 1.0])
+        m[:3, 3] = [4, 5, 6]
+        path = tmp_path / "t.txt"
+        write_matrix(m, path)
+        np.testing.assert_allclose(read_matrix(path), m, atol=1e-6)
+
+    def test_h5_roundtrip(self, tmp_path):
+        m = np.eye(4)
+        m[:3, 3] = [1.0, -2.0, 3.0]
+        path = tmp_path / "t.h5"
+        write_matrix(m, path)
+        np.testing.assert_allclose(read_matrix(path), m, atol=1e-9)
+
+    def test_unknown_suffix(self, tmp_path):
+        with pytest.raises(ValueError):
+            read_matrix(tmp_path / "x.mat")
+
+
+class TestCLI:
+    def test_info(self, nii, capsys):
+        path, _ = nii
+        assert cli_main(["info", str(path), "--load"]) == 0
+        out = capsys.readouterr().out
+        assert "(1, 12, 14, 16)" in out
+        assert "orientation: RAS+" in out
+
+    def test_convert(self, nii, tmp_path):
+        path, data = nii
+        out = tmp_path / "out.nii"
+        assert cli_main(["convert", str(path), str(out)]) == 0
+        converted, _ = tio.read_nifti(out)
+        np.testing.assert_allclose(converted, data, rtol=1e-6)
+
+    def test_transform(self, nii, tmp_path):
+        path, data = nii
+        out = tmp_path / "flipped.nii.gz"
+        assert cli_main(["transform", "Flip", str(path), str(out), "axes=0"]) == 0
+        result, _ = tio.read_nifti(out)
+        np.testing.assert_allclose(result, data[:, ::-1], rtol=1e-5)
+
+    def test_transform_unknown(self, nii, tmp_path):
+        path, _ = nii
+        assert cli_main(["transform", "Nope", str(path), "x.nii"]) == 2
+
+    def test_plot(self, nii, tmp_path):
+        path, _ = nii
+        out = tmp_path / "plot.png"
+        assert cli_main(["plot", str(path), "-o", str(out)]) == 0
+        assert out.stat().st_size > 0
+
+    def test_cache_dir(self, capsys):
+        assert cli_main(["cache", "dir"]) == 0
+        assert capsys.readouterr().out.strip()
+
+
+class TestVisualization:
+    def test_plot_image(self, rng, tmp_path):
+        img = tio.ScalarImage(rng.normal(size=(1, 10, 12, 14)).astype(np.float32))
+        fig = img.plot(output_path=tmp_path / "x.png", show=False)
+        assert (tmp_path / "x.png").exists()
+
+    def test_plot_label(self, rng, tmp_path):
+        seg = tio.LabelMap(rng.integers(0, 3, size=(1, 8, 8, 8)).astype(np.int32))
+        seg.plot(output_path=tmp_path / "seg.png", show=False)
+        assert (tmp_path / "seg.png").exists()
+
+    def test_plot_subject(self, rng, tmp_path):
+        sub = tio.Subject(
+            t1=tio.ScalarImage(rng.normal(size=(1, 8, 8, 8)).astype(np.float32)),
+            seg=tio.LabelMap(rng.integers(0, 2, size=(1, 8, 8, 8)).astype(np.int32)),
+        )
+        sub.plot(output_path=tmp_path / "sub.png", show=False)
+        assert (tmp_path / "sub.png").exists()
+
+    def test_gif(self, rng, tmp_path):
+        img = tio.ScalarImage(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+        out = img.to_gif(tmp_path / "x.gif")
+        assert out.stat().st_size > 0
+
+    def test_repr_html(self, rng):
+        img = tio.ScalarImage(rng.normal(size=(1, 6, 6, 6)).astype(np.float32))
+        html = img._repr_html_()
+        assert "ScalarImage" in html
+        sub = tio.Subject(t1=img, age=3)
+        assert "Subject" in sub._repr_html_()
+
+
+class TestDatasetsOffline:
+    def test_zone_plate(self):
+        z = tio.datasets.ZonePlate(size=21)
+        assert z.image.shape == (1, 21, 21, 21)
+        data = np.asarray(z.image.data)
+        assert np.isfinite(data).all()
+        # rings: signal has structure
+        assert data.std() > 0.1
+
+    def test_zone_plate_too_small(self):
+        with pytest.raises(ValueError):
+            tio.datasets.ZonePlate(size=2)
+
+    def test_ixi_missing_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            tio.datasets.ixi(root=tmp_path / "nope", download=False)
+
+
+class TestLogging:
+    def test_enable_disable(self):
+        tio.enable_logging("DEBUG", rich=False)
+        from torchio_tpu.logging import logger
+
+        assert logger.level <= 10
+        tio.disable_logging()

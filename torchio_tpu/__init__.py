@@ -25,7 +25,7 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
-from . import random  # noqa: A004  (module named like stdlib on purpose, like torch)
+from . import datasets, random  # noqa: A004  (random named like stdlib on purpose, like torch)
 from .core.affine import AffineMatrix
 from .data.aggregator import PatchAggregator
 from .data.batch import ImagesBatch, StudiesBatch, SubjectsBatch
@@ -51,6 +51,8 @@ from .data.sampler import (
 )
 from .data.subject import Study, Subject
 from .io import read_header, read_nifti, write_nifti
+from .io.matrix import read_matrix, write_matrix
+from .logging import disable_logging, enable_logging
 from .transforms import (
     PCA,
     Affine,
@@ -62,6 +64,7 @@ from .transforms import (
     Clamp,
     Compose,
     Contour,
+    CornucopiaAdapter,
     CopyAffine,
     Crop,
     CropOrPad,
@@ -76,6 +79,7 @@ from .transforms import (
     LabelsToImage,
     Lambda,
     Mask,
+    MonaiAdapter,
     Motion,
     Noise,
     Normalize,
@@ -121,6 +125,7 @@ __all__ = [
     "Clamp",
     "Compose",
     "Contour",
+    "CornucopiaAdapter",
     "CopyAffine",
     "Crop",
     "CropOrPad",
@@ -141,6 +146,7 @@ __all__ = [
     "LabelsToImage",
     "Lambda",
     "Mask",
+    "MonaiAdapter",
     "Motion",
     "Noise",
     "Normalize",
@@ -184,11 +190,16 @@ __all__ = [
     "collate_images",
     "collate_studies",
     "collate_subjects",
+    "datasets",
+    "disable_logging",
+    "enable_logging",
     "compute_histogram_landmarks",
     "get_inverse_transform",
     "random",
     "read_header",
+    "read_matrix",
     "read_nifti",
     "seed",
+    "write_matrix",
     "write_nifti",
 ]

@@ -338,6 +338,31 @@ class Image(Invertible):
         """Write to ``.nii`` / ``.nii.gz``."""
         write_nifti(path, self.numpy(), self.affine.data)
 
+    # --- Visualization hooks ---
+
+    def plot(self, **kwargs: Any) -> Any:
+        """Three-plane slice plot (see torchio_tpu.visualization)."""
+        from ..visualization import plot_image
+
+        return plot_image(self, **kwargs)
+
+    def to_gif(self, output_path: str | Path, **kwargs: Any) -> Path:
+        """Save a slice-sweep animated GIF."""
+        from ..visualization import make_gif
+
+        return make_gif(self, output_path, **kwargs)
+
+    def to_video(self, output_path: str | Path, **kwargs: Any) -> Path:
+        """Save a slice-sweep MP4 (needs the ffmpeg binary)."""
+        from ..visualization import make_video
+
+        return make_video(self, output_path, **kwargs)
+
+    def _repr_html_(self) -> str:
+        from ..repr_html import image_repr_html
+
+        return image_repr_html(self)
+
     # --- Indexing ---
 
     def __getitem__(self, index: Any) -> "Image":

@@ -310,6 +310,17 @@ class Subject(Invertible):
         new.applied_transforms = list(self.applied_transforms)
         return new
 
+    def plot(self, **kwargs: Any) -> Any:
+        """Plot all images, one row of three planes each."""
+        from ..visualization import plot_subject
+
+        return plot_subject(self, **kwargs)
+
+    def _repr_html_(self) -> str:
+        from ..repr_html import subject_repr_html
+
+        return subject_repr_html(self)
+
     def __repr__(self) -> str:
         parts = []
         if self._images:

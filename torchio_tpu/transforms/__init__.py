@@ -24,6 +24,7 @@ from .label.one_hot import OneHot
 from .label.remap_labels import RemapLabels, RemoveLabels
 from .label.sequential_labels import SequentialLabels
 from .lambda_transform import Lambda
+from .monai_adapter import CornucopiaAdapter, MonaiAdapter
 from .parameter_range import Choice, _ParameterRange, to_nonneg_range, to_range
 from .spatial.anisotropy import Anisotropy
 from .spatial.crop_or_pad import CropOrPad, EnsureShapeMultiple
@@ -54,6 +55,7 @@ __all__ = [
     "Clamp",
     "Compose",
     "Contour",
+    "CornucopiaAdapter",
     "CopyAffine",
     "Crop",
     "CropOrPad",
@@ -68,6 +70,7 @@ __all__ = [
     "LabelsToImage",
     "Lambda",
     "Mask",
+    "MonaiAdapter",
     "Motion",
     "Noise",
     "Normalize",

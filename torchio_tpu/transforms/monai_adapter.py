@@ -1,0 +1,128 @@
+"""MONAI transform adapter (optional dependency).
+
+Parity reference: ``/root/reference/src/torchio/transforms/monai_adapter.py``
+(wraps MONAI dict-style ``MapTransform`` or array transforms; converts
+Image <-> ``monai.data.MetaTensor`` with affine round-trip; skips history
+because the wrapped transform is opaque).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from ..data.batch import SubjectsBatch
+from .transform import Transform
+
+
+def _require_monai():
+    try:
+        import monai  # noqa: F401
+
+        return monai
+    except ImportError as e:  # pragma: no cover - optional dep
+        raise ImportError(
+            "MonaiAdapter requires MONAI: pip install monai"
+        ) from e
+
+
+class MonaiAdapter(Transform):
+    """Run a MONAI transform inside a torchio_tpu pipeline.
+
+    Dict-style (``MapTransform``) instances receive ``{name: MetaTensor}``;
+    array transforms receive each image tensor individually. The wrapped
+    transform is opaque, so no history entry is recorded.
+    """
+
+    _records_history = False
+
+    def __init__(self, transform: Any, **kwargs: Any) -> None:
+        super().__init__(**kwargs)
+        self.transform = transform
+
+    def apply_transform(
+        self, batch: SubjectsBatch, params: dict[str, Any]
+    ) -> SubjectsBatch:
+        monai = _require_monai()
+        import torch
+
+        from monai.data import MetaTensor
+        from monai.transforms import MapTransform
+
+        is_dict_style = isinstance(self.transform, MapTransform)
+        subjects = batch.unbatch()
+        for subject in subjects:
+            if is_dict_style:
+                data = {}
+                for name, image in subject.images.items():
+                    tensor = torch.as_tensor(np.asarray(image.data))
+                    data[name] = MetaTensor(
+                        tensor, affine=torch.as_tensor(image.affine.data)
+                    )
+                result = self.transform(data)
+                for name, value in result.items():
+                    if name not in subject.images:
+                        continue
+                    image = subject.images[name]
+                    image.set_data(np.asarray(value))
+                    if isinstance(value, MetaTensor) and value.affine is not None:
+                        image.affine = np.asarray(value.affine)
+            else:
+                for image in subject.images.values():
+                    tensor = torch.as_tensor(np.asarray(image.data))
+                    image.set_data(np.asarray(self.transform(tensor)))
+        rebuilt = SubjectsBatch.from_subjects(subjects)
+        batch._images = rebuilt._images
+        batch._metadata = rebuilt._metadata
+        return batch
+
+
+class CornucopiaAdapter(Transform):
+    """Run a Cornucopia transform on all image tensors positionally.
+
+    Parity reference:
+    ``/root/reference/src/torchio/transforms/cornucopia_adapter.py``
+    (scalar images first, then labels, so Cornucopia shares spatial
+    parameters across them; not invertible).
+    """
+
+    _records_history = False
+
+    def __init__(self, transform: Any, **kwargs: Any) -> None:
+        super().__init__(**kwargs)
+        self.transform = transform
+
+    def apply_transform(
+        self, batch: SubjectsBatch, params: dict[str, Any]
+    ) -> SubjectsBatch:
+        try:
+            import torch
+        except ImportError as e:  # pragma: no cover
+            raise ImportError("CornucopiaAdapter requires torch") from e
+
+        from ..data.image import ScalarImage
+
+        subjects = batch.unbatch()
+        for subject in subjects:
+            scalars = [
+                (n, img)
+                for n, img in subject.images.items()
+                if isinstance(img, ScalarImage)
+            ]
+            labels = [
+                (n, img)
+                for n, img in subject.images.items()
+                if not isinstance(img, ScalarImage)
+            ]
+            ordered = scalars + labels
+            tensors = [torch.as_tensor(np.asarray(img.data)) for _, img in ordered]
+            results = self.transform(*tensors)
+            if not isinstance(results, (tuple, list)):
+                results = (results,)
+            for (name, img), result in zip(ordered, results):
+                img.set_data(np.asarray(result.detach()))
+        rebuilt = SubjectsBatch.from_subjects(subjects)
+        batch._images = rebuilt._images
+        batch._metadata = rebuilt._metadata
+        return batch
