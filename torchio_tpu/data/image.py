@@ -87,6 +87,7 @@ class Image(Invertible):
         self._data: np.ndarray | jax.Array | None = None
         self._backend: ImageDataBackend | None = None
         self._path: Path | None = None
+        self._uri: str | None = None
         self._affine: AffineMatrix | None = None
         if affine is not None:
             self._affine = (
@@ -120,7 +121,11 @@ class Image(Invertible):
                 BackendRequest(source=raw, reader=reader, suffix=suffix)
             )
         elif isinstance(source, (str, Path)) or hasattr(source, "read"):
-            if isinstance(source, (str, Path)):
+            if isinstance(source, str) and "://" in source and not source.startswith(
+                "file://"
+            ):
+                self._uri = source  # remote URI: resolved lazily by the registry
+            elif isinstance(source, (str, Path)):
                 self._path = Path(source)
             else:
                 # file-like: slurp bytes
@@ -137,13 +142,14 @@ class Image(Invertible):
 
     def _ensure_backend(self) -> None:
         if self._backend is None:
-            if self._path is None:
+            source = self._uri if self._uri is not None else self._path
+            if source is None:
                 raise RuntimeError(
                     "Image has no data: construct with a source or call set_data()"
                 )
             self._backend = resolve_backend(
                 BackendRequest(
-                    source=self._path,
+                    source=source,
                     reader=self._reader,
                     suffix=self._suffix,
                     kwargs=self._reader_kwargs,
@@ -418,6 +424,7 @@ class Image(Invertible):
         new._suffix = self._suffix
         new._metadata = _copy.deepcopy(self._metadata, memo)
         new._path = self._path
+        new._uri = self._uri
         new._affine = self._affine.clone() if self._affine is not None else None
         new._points = {k: _copy.deepcopy(v, memo) for k, v in self._points.items()}
         new._bounding_boxes = {

@@ -379,6 +379,32 @@ def _match_nifti_sniff(request: BackendRequest) -> ImageDataBackend | None:
         return None
 
 
+def _match_zarr(request: BackendRequest) -> ImageDataBackend | None:
+    from .remote import ZarrBackend, is_nifti_zarr, is_remote_nifti_zarr
+
+    source = request.source
+    if isinstance(source, (str, Path)) and (
+        is_nifti_zarr(source) or is_remote_nifti_zarr(source)
+    ):
+        return ZarrBackend(str(source))
+    # duck-typed zarr store objects
+    if type(source).__module__.startswith("zarr"):
+        return ZarrBackend(source)
+    return None
+
+
+def _match_remote(request: BackendRequest) -> ImageDataBackend | None:
+    from .remote import is_nifti_zarr, is_remote, resolve_source
+
+    source = request.source
+    if not (isinstance(source, str) and is_remote(source)) or is_nifti_zarr(source):
+        return None
+    local = resolve_source(source, suffix=request.suffix)
+    return NiftiBackend(local)
+
+
 register_backend("nifti-sniff", _match_nifti_sniff)
 register_backend("nifti", _match_nifti)
+register_backend("remote", _match_remote)
+register_backend("zarr", _match_zarr)
 register_backend("custom-reader", _match_custom_reader)
