@@ -324,8 +324,12 @@ class NiftiFile:
     def __wrap_bytes(self, data: bytes) -> np.ndarray:
         h = self.header
         if data[:2] == b"\x1f\x8b":
-            with gzip.GzipFile(fileobj=_stdio.BytesIO(data)) as g:
-                data = g.read()
+            # native zlib inflate (ctypes libfastnifti) into a buffer of
+            # the exact size known from the header; falls back to gzip
+            from .. import native
+
+            expected = h.vox_offset + int(np.prod(h.shape)) * h.dtype.itemsize
+            data = native.gunzip(data, expected)
         arr = np.frombuffer(
             data, dtype=h.dtype, count=int(np.prod(h.shape)),
             offset=h.vox_offset,
@@ -352,8 +356,13 @@ class NiftiFile:
 
     def read(self) -> np.ndarray:
         """Read the full volume as canonical (C, I, J, K)."""
-        arr = np.asarray(self._disk_array())
-        return self._postprocess(_disk_to_cijk(arr, self.header))
+        disk = self._disk_array()
+        if disk.ndim == 3 and disk.dtype.byteorder in ("=", "|", "<"):
+            # hot path: native cache-blocked F->C layout transform
+            from .. import native
+
+            return self._postprocess(native.f2c_transpose(disk)[None])
+        return self._postprocess(_disk_to_cijk(np.asarray(disk), self.header))
 
     def _postprocess(self, arr: np.ndarray) -> np.ndarray:
         h = self.header

@@ -1,0 +1,117 @@
+"""ctypes bindings for the native decode engine (libfastnifti).
+
+Auto-builds with g++ on first import when the shared library is missing
+(source in ``native/fastnifti.cpp``); every entry point has a pure-numpy
+fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_LIB_PATH = Path(__file__).parent / "libfastnifti.so"
+_SRC_DIR = Path(__file__).parent.parent.parent / "native"
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    if not (_SRC_DIR / "fastnifti.cpp").is_file():
+        return False
+    try:
+        subprocess.run(  # noqa: S603
+            ["make", "-C", str(_SRC_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.is_file()
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.is_file() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.fn_gunzip.restype = ctypes.c_longlong
+        lib.fn_gunzip.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+        ]
+        lib.fn_f2c_transpose.restype = ctypes.c_int
+        lib.fn_f2c_transpose.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_int,
+        ]
+        lib.fn_byteswap.restype = ctypes.c_int
+        lib.fn_byteswap.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_longlong,
+            ctypes.c_int,
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def gunzip(data: bytes, expected_size: int) -> bytes:
+    """Inflate a gzip stream into a preallocated buffer (native or zlib)."""
+    lib = get_lib()
+    if lib is None:
+        import gzip as _gzip
+        import io as _io
+
+        with _gzip.GzipFile(fileobj=_io.BytesIO(data)) as g:
+            return g.read()
+    out = ctypes.create_string_buffer(expected_size)
+    written = lib.fn_gunzip(data, len(data), out, expected_size)
+    if written < 0:
+        raise ValueError(f"native gunzip failed with code {written}")
+    return out.raw[:written]
+
+
+def f2c_transpose(arr_f: np.ndarray) -> np.ndarray:
+    """(I, J, K) Fortran-order array -> contiguous C-order array."""
+    lib = get_lib()
+    if arr_f.ndim != 3 or lib is None or arr_f.itemsize not in (1, 2, 4, 8):
+        return np.ascontiguousarray(arr_f)
+    src = np.asfortranarray(arr_f)
+    dst = np.empty(arr_f.shape, dtype=arr_f.dtype, order="C")
+    ni, nj, nk = arr_f.shape
+    rc = lib.fn_f2c_transpose(
+        src.ctypes.data, dst.ctypes.data, ni, nj, nk, arr_f.itemsize
+    )
+    if rc != 0:
+        return np.ascontiguousarray(arr_f)
+    return dst
+
+
+def byteswap_inplace(arr: np.ndarray) -> np.ndarray:
+    """Endianness swap (native when possible)."""
+    lib = get_lib()
+    if lib is None or arr.itemsize not in (2, 4, 8) or not arr.flags["C_CONTIGUOUS"]:
+        return arr.byteswap()
+    lib.fn_byteswap(arr.ctypes.data, arr.size, arr.itemsize)
+    return arr
