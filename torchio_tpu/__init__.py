@@ -25,7 +25,7 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
-from . import datasets, random  # noqa: A004  (random named like stdlib on purpose, like torch)
+from . import datasets, profiling, random  # noqa: A004  (random named like stdlib on purpose, like torch)
 from .core.affine import AffineMatrix
 from .data.aggregator import PatchAggregator
 from .data.batch import ImagesBatch, StudiesBatch, SubjectsBatch
@@ -191,6 +191,7 @@ __all__ = [
     "collate_studies",
     "collate_subjects",
     "datasets",
+    "profiling",
     "disable_logging",
     "enable_logging",
     "compute_histogram_landmarks",
