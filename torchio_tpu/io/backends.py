@@ -403,7 +403,25 @@ def _match_remote(request: BackendRequest) -> ImageDataBackend | None:
     return NiftiBackend(local)
 
 
+def _match_dicom(request: BackendRequest) -> ImageDataBackend | None:
+    from .dicom import DicomBackend, is_dicom
+
+    path = request.path
+    if path is None:
+        return None
+    if path.is_dir():
+        if any(is_dicom(p) for p in list(path.iterdir())[:5] if p.is_file()):
+            return DicomBackend(path)
+        return None
+    if path.suffix.lower() in (".dcm", ".ima") or (
+        path.is_file() and is_dicom(path)
+    ):
+        return DicomBackend(path)
+    return None
+
+
 register_backend("nifti-sniff", _match_nifti_sniff)
+register_backend("dicom", _match_dicom)
 register_backend("nifti", _match_nifti)
 register_backend("remote", _match_remote)
 register_backend("zarr", _match_zarr)
