@@ -364,6 +364,20 @@ class Image(Invertible):
 
         return make_video(self, output_path, **kwargs)
 
+    def plot_interactive(self, *, height: int = 300) -> Any:
+        """Interactive NiiVue viewer in Jupyter (requires ipyniivue)."""
+        from ..external.imports import get_ipyniivue
+
+        ipyniivue = get_ipyniivue()
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".nii.gz", delete=False)  # noqa: SIM115
+        tmp.close()
+        self.save(tmp.name)
+        viewer = ipyniivue.NiiVue(height=height)
+        viewer.load_volumes([{"path": tmp.name}])
+        return viewer
+
     def _repr_html_(self) -> str:
         from ..repr_html import image_repr_html
 

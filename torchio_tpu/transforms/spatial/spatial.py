@@ -446,26 +446,34 @@ def _dispatch_resample(data, grid, plans, *, mode: str, fill):
         b = data.shape[0]
         fill_arr = np.asarray(fill, np.float32)
         per_sample_grid = grid.ndim == 5
-        outs = []
-        for bi in range(b):
-            plan = plans[bi] if isinstance(plans, list) else plans
-            grid_b = grid[bi] if per_sample_grid else grid
-            if fill_arr.ndim == 2:
-                fill_row = fill_arr[bi]
-            else:
-                fill_row = fill_arr
-            outs.append(
-                pallas_resample(
-                    as_jnp(data[bi]),
-                    grid_b,
-                    plan.matrix,
-                    extra_out=plan.extra_out,
-                    extra_in=plan.extra_in,
-                    mode=mode,
-                    fill=fill_row,
+        try:
+            outs = []
+            for bi in range(b):
+                plan = plans[bi] if isinstance(plans, list) else plans
+                grid_b = grid[bi] if per_sample_grid else grid
+                if fill_arr.ndim == 2:
+                    fill_row = fill_arr[bi]
+                else:
+                    fill_row = fill_arr
+                outs.append(
+                    pallas_resample(
+                        as_jnp(data[bi]),
+                        grid_b,
+                        plan.matrix,
+                        extra_out=plan.extra_out,
+                        extra_in=plan.extra_in,
+                        mode=mode,
+                        fill=fill_row,
+                    )
                 )
+            return jnp.stack(outs)
+        except Exception as error:  # pragma: no cover - backend-specific
+            warnings.warn(
+                f"Pallas resample failed ({type(error).__name__}: {error});"
+                " falling back to the XLA gather kernel",
+                RuntimeWarning,
+                stacklevel=2,
             )
-        return jnp.stack(outs)
     return resample(data, grid, mode=mode, fill=fill)
 
 
