@@ -125,9 +125,10 @@ def _kernel_body(
     dma.wait()
 
     q = tj * tk
-    iota_k = jax.lax.broadcasted_iota(jnp.float32, (q, lk), 1)
-    iota_j = jax.lax.broadcasted_iota(jnp.float32, (lj, q), 0)
-    iota_i = jax.lax.broadcasted_iota(jnp.float32, (li, q), 0)
+    # Mosaic's tpu.iota only produces integers; cast to f32 afterwards
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (q, lk), 1).astype(jnp.float32)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (lj, q), 0).astype(jnp.float32)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (li, q), 0).astype(jnp.float32)
     box2 = box_ref[:].reshape(c * li * lj, lk)
 
     bi_f = bi.astype(jnp.float32)
