@@ -1,0 +1,83 @@
+"""BASELINE config 5: Queue + LabelSampler 64^3 patches + Motion/Ghosting,
+plus GridSampler -> PatchAggregator reassembly. Prints patches/sec.
+
+Run: python benchmarks/patches_bench.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+import torchio_tpu as tio
+
+
+def make_subjects(n: int, size: int = 128):
+    rng = np.random.default_rng(0)
+    subjects = []
+    for _ in range(n):
+        seg = np.zeros((1, size, size, size), np.int32)
+        seg[0, size // 4 : -size // 4, size // 4 : -size // 4, size // 4 : -size // 4] = 1
+        subjects.append(
+            tio.Subject(
+                t1=tio.ScalarImage(rng.random((1, size, size, size), np.float32)),
+                seg=tio.LabelMap(seg),
+            )
+        )
+    return subjects
+
+
+def bench_queue() -> float:
+    tio.seed(0)
+    subjects = make_subjects(4)
+    augment = tio.Compose(
+        [
+            tio.Motion(degrees=5, translation=3, num_transforms=1, p=0.5),
+            tio.Ghosting(intensity=(0.3, 0.7), p=0.5),
+        ]
+    )
+    queue = tio.Queue(
+        subjects,
+        patch_sampler=tio.LabelSampler(patch_size=64, label_name="seg"),
+        max_length=64,
+        patches_per_volume=8,
+        num_workers=2,
+        transform=augment,
+    )
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    count = 0
+    for batch in tio.SubjectsLoader(queue, batch_size=8):
+        float(jnp.sum(jnp.asarray(np.asarray(batch.images["t1"].data))))
+        count += batch.batch_size
+    return count / (time.time() - t0)
+
+
+def bench_aggregator() -> float:
+    subject = make_subjects(1)[0]
+    sampler = tio.GridSampler(subject, patch_size=64, patch_overlap=16)
+    agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="hann")
+    loader = tio.SubjectsLoader(sampler, batch_size=4)
+    t0 = time.time()
+    n = 0
+    for batch in loader:
+        agg.add_batch(
+            np.asarray(batch.images["t1"].data), batch.metadata["patch_location"]
+        )
+        n += batch.batch_size
+    agg.get_output()
+    return n / (time.time() - t0)
+
+
+if __name__ == "__main__":
+    queue_pps = bench_queue()
+    agg_pps = bench_aggregator()
+    print(
+        json.dumps(
+            {
+                "queue_patches_per_sec": round(queue_pps, 2),
+                "aggregator_patches_per_sec": round(agg_pps, 2),
+            }
+        )
+    )

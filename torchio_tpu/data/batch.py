@@ -108,10 +108,10 @@ class ImagesBatch(Invertible):
         return self
 
     def __getitem__(self, index: int) -> Image:
-        data = self._data[index]
-        if isinstance(data, jax.Array):
-            data = np.asarray(data)
-        return self._image_class(data, affine=self._affines[index].clone())
+        # keep device arrays on device; host numpy stays host
+        return self._image_class(
+            self._data[index], affine=self._affines[index].clone()
+        )
 
     def __len__(self) -> int:
         return self.batch_size

@@ -102,11 +102,21 @@ class Image(Invertible):
         elif isinstance(source, (np.ndarray, jax.Array, list, tuple)) or hasattr(
             source, "detach"
         ):
-            arr = _to_host(source)
-            if arr.ndim == 3:
-                arr = arr[None]
-            if channels_last:
-                arr = np.moveaxis(arr, -1, 0)
+            if isinstance(source, jax.Array):
+                # keep device arrays on device; backend views are lazy
+                arr: Any = source
+                if arr.ndim == 3:
+                    arr = arr[None]
+                if channels_last:
+                    import jax.numpy as _jnp
+
+                    arr = _jnp.moveaxis(arr, -1, 0)
+            else:
+                arr = _to_host(source)
+                if arr.ndim == 3:
+                    arr = arr[None]
+                if channels_last:
+                    arr = np.moveaxis(arr, -1, 0)
             if arr.ndim != 4:
                 raise ValueError(
                     f"Image data must be 3D or 4D (C, I, J, K), got {arr.shape}"
@@ -114,7 +124,8 @@ class Image(Invertible):
             self._data = arr
             aff = self._affine or AffineMatrix()
             self._affine = aff
-            self._backend = ArrayBackend(arr, aff.data)
+            if isinstance(arr, np.ndarray):
+                self._backend = ArrayBackend(arr, aff.data)
         elif isinstance(source, (bytes, bytearray, _stdio.BytesIO)):
             raw = source.getvalue() if isinstance(source, _stdio.BytesIO) else bytes(source)
             self._backend = resolve_backend(
@@ -142,6 +153,10 @@ class Image(Invertible):
 
     def _ensure_backend(self) -> None:
         if self._backend is None:
+            if self._data is not None:
+                # device-array image: materialize a host view on demand
+                self._backend = ArrayBackend(_to_host(self._data), self.affine.data)
+                return
             source = self._uri if self._uri is not None else self._path
             if source is None:
                 raise RuntimeError(
@@ -447,10 +462,11 @@ class Image(Invertible):
         new.applied_transforms = list(self.applied_transforms)
         if self._data is not None:
             if isinstance(self._data, jax.Array):
-                new._data = self._data  # immutable: safe to share
+                new._data = self._data  # immutable: safe to share, stays on device
+                new._backend = None
             else:
                 new._data = self._data.copy()
-            new._backend = ArrayBackend(_to_host(new._data), new.affine.data)
+                new._backend = ArrayBackend(new._data, new.affine.data)
         else:
             new._data = None
             new._backend = self._backend  # backends are read-only views
