@@ -106,12 +106,18 @@ def plan_tiles(
 
 def _kernel_body(
     bases_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref, box_ref, sem,
-    *, tile, box, grid, mode: str,
+    *, tile, box, mode: str,
 ):
+    """One output tile. Mosaic-legal ops only: 2D iotas/transposes, a 2D
+    MXU matmul, leading-dim-only reshapes (the lane dim is always Q or LK).
+
+    Coord refs are tile-major (1, TI, Q); out_ref is (1, C, TI, Q).
+    """
     ti, tj, tk = tile
     li, lj, lk = box
-    c = out_ref.shape[0]
-    t = (pl.program_id(0) * grid[1] + pl.program_id(1)) * grid[2] + pl.program_id(2)
+    c = out_ref.shape[1]
+    q = tj * tk
+    t = pl.program_id(0)
     bi = bases_ref[t, 0]
     bj = bases_ref[t, 1]
     bk = bases_ref[t, 2]
@@ -124,7 +130,6 @@ def _kernel_body(
     dma.start()
     dma.wait()
 
-    q = tj * tk
     # Mosaic's tpu.iota only produces integers; cast to f32 afterwards
     iota_k = jax.lax.broadcasted_iota(jnp.int32, (q, lk), 1).astype(jnp.float32)
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (lj, q), 0).astype(jnp.float32)
@@ -141,24 +146,25 @@ def _kernel_body(
         return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
 
     for row in range(ti):
-        lci = (ci_ref[row] - bi_f).reshape(q)
-        lcj = (cj_ref[row] - bj_f).reshape(q)
-        lck = (ck_ref[row] - bk_f).reshape(q)
+        lci = ci_ref[0, row : row + 1, :] - bi_f  # (1, Q)
+        lcj = cj_ref[0, row : row + 1, :] - bj_f
+        lck = ck_ref[0, row : row + 1, :] - bk_f
         if mode == "nearest":
             # round-half-to-even like torch grid_sample nearest
             lci = jnp.round(lci)
             lcj = jnp.round(lcj)
             lck = jnp.round(lck)
-        wk = weights(lck[:, None] - iota_k)  # (Q, LK)
+        lck_col = jnp.transpose(lck, (1, 0))  # (Q, 1)
+        wk = weights(lck_col - iota_k)  # (Q, LK)
         t1 = jax.lax.dot_general(
             box2, wk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(c, li, lj, q)
-        wj = weights(lcj[None, :] - iota_j)  # (LJ, Q)
+        wj = weights(lcj - iota_j)  # (LJ, Q) via (1, Q) broadcast
         t2 = jnp.sum(t1 * wj[None, None, :, :], axis=2)  # (C, LI, Q)
-        wi = weights(lci[None, :] - iota_i)  # (LI, Q)
-        out_ref[:, row] = jnp.sum(t2 * wi[None, :, :], axis=1).reshape(c, tj, tk)
+        wi = weights(lci - iota_i)  # (LI, Q)
+        out_ref[0, :, row, :] = jnp.sum(t2 * wi[None, :, :], axis=1)  # (C, Q)
 
 
 def resample_tiles(
@@ -189,37 +195,47 @@ def resample_tiles(
     io, jo, ko = coords.shape[:3]
     ti, tj, tk = tile
     assert io % ti == 0 and jo % tj == 0 and ko % tk == 0
-    ci = jnp.asarray(coords[..., 0])
-    cj = jnp.asarray(coords[..., 1])
-    ck = jnp.asarray(coords[..., 2])
+    nti, ntj, ntk = grid
+    nt = nti * ntj * ntk
+    q = tj * tk
 
-    coord_spec = pl.BlockSpec(
-        (ti, tj, tk), lambda gi, gj, gk, bases: (gi, gj, gk)
-    )
+    def tile_major(x):
+        # (Io, Jo, Ko) -> (NT, TI, Q): done in XLA where relayouts are free
+        x = x.reshape(nti, ti, ntj, tj, ntk, tk)
+        x = jnp.transpose(x, (0, 2, 4, 1, 3, 5))
+        return x.reshape(nt, ti, q)
+
+    ci = tile_major(jnp.asarray(coords[..., 0]))
+    cj = tile_major(jnp.asarray(coords[..., 1]))
+    ck = tile_major(jnp.asarray(coords[..., 2]))
+
+    coord_spec = pl.BlockSpec((1, ti, q), lambda t, bases: (t, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
+        grid=(nt,),
         in_specs=[
             coord_spec,
             coord_spec,
             coord_spec,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (c, ti, tj, tk), lambda gi, gj, gk, bases: (0, gi, gj, gk)
-        ),
+        out_specs=pl.BlockSpec((1, c, ti, q), lambda t, bases: (t, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((c, *box), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kernel = partial(_kernel_body, tile=tile, box=box, grid=grid, mode=mode)
-    return pl.pallas_call(
+    kernel = partial(_kernel_body, tile=tile, box=box, mode=mode)
+    out_tiled = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((c, io, jo, ko), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nt, c, ti, q), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(jnp.asarray(bases), ci, cj, ck, volume.astype(jnp.float32))
+    # (NT, C, TI, Q) -> (C, Io, Jo, Ko)
+    out = out_tiled.reshape(nti, ntj, ntk, c, ti, tj, tk)
+    out = jnp.transpose(out, (3, 0, 4, 1, 5, 2, 6))
+    return out.reshape(c, io, jo, ko)
 
 
 def pallas_resample(
