@@ -420,7 +420,26 @@ def _match_dicom(request: BackendRequest) -> ImageDataBackend | None:
     return None
 
 
+def _match_other_formats(request: BackendRequest) -> ImageDataBackend | None:
+    path = request.path
+    if path is None:
+        return None
+    suffix = path.suffix.lower()
+    if suffix in (".nrrd", ".nhdr"):
+        from .other_formats import read_nrrd
+
+        data, affine = read_nrrd(path)
+        return ArrayBackend(data, affine)
+    if suffix in (".mha", ".mhd"):
+        from .other_formats import read_meta_image
+
+        data, affine = read_meta_image(path)
+        return ArrayBackend(data, affine)
+    return None
+
+
 register_backend("nifti-sniff", _match_nifti_sniff)
+register_backend("other-formats", _match_other_formats)
 register_backend("dicom", _match_dicom)
 register_backend("nifti", _match_nifti)
 register_backend("remote", _match_remote)
