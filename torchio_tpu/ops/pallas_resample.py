@@ -70,12 +70,16 @@ def plan_tiles(
 
     # Box extent: |M[:, d]| column magnitudes give the spread of each
     # output-axis tile extent (+ pre-matrix displacement) in input voxels.
+    # Mosaic only supports TILE-ALIGNED dynamic HBM slices: bases are
+    # rounded DOWN to (8, 8, 128) multiples, so the box grows by one
+    # alignment unit to keep covering the coords.
+    aligns = (8, 8, 128)
     spans_out = np.array([ti - 1 + 2 * eo[0], tj - 1 + 2 * eo[1], tk - 1 + 2 * eo[2]])
     extent = np.abs(m[:3, :3]) @ spans_out + 2 * ei + 2 + 1
-    box = (
-        min(_roundup(int(np.ceil(extent[0])), 8), _roundup(in_shape[0], 8)),
-        min(_roundup(int(np.ceil(extent[1])), 8), _roundup(in_shape[1], 8)),
-        min(_roundup(int(np.ceil(extent[2])), 128), _roundup(in_shape[2], 128)),
+    box = tuple(
+        min(_roundup(int(np.ceil(extent[d])) + aligns[d], aligns[d]),
+            _roundup(in_shape[d], aligns[d]))
+        for d in range(3)
     )
 
     # Per-tile base: map the 8 tile corners (+-displacement bounds).
@@ -100,6 +104,7 @@ def plan_tiles(
     cmin = allpts.min(axis=(0, 1)) - ei - 1
     bases = np.floor(cmin).astype(np.int64)
     for d in range(3):
+        bases[..., d] = (bases[..., d] // aligns[d]) * aligns[d]  # align down
         bases[..., d] = np.clip(bases[..., d], 0, max(in_shape[d] - box[d], 0))
     return bases.reshape(-1, 3).astype(np.int32), box, grid
 
