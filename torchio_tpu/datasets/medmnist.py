@@ -12,56 +12,51 @@ from ..data.subject import Subject
 from ..utils.download import download_url, get_cache_dir
 
 
-def _load_medmnist(class_name: str, split: str) -> list[Subject]:
-    valid = ("train", "training", "val", "validation", "test", "testing")
-    if split not in valid:
-        raise ValueError(f"Split must be one of {valid}, got {split!r}")
-    split = {"training": "train", "validation": "val", "testing": "test"}.get(
-        split, split
-    )
-    filename = f"{class_name}.npz"
-    url = f"https://zenodo.org/record/5208230/files/{filename}?download=1"
-    root = get_cache_dir() / "MedMNIST"
-    download_url(url, root, filename=filename)
-    npz = np.load(root / filename)
-    images = npz[f"{split}_images"]
-    labels = npz[f"{split}_labels"]
-    subjects = []
-    for image, label in zip(images, labels):
-        subjects.append(
-            Subject(
-                image=ScalarImage(image[np.newaxis].astype(np.float32)),
-                labels=np.asarray(label).copy(),
-            )
+_SPLIT_ALIASES = {"training": "train", "validation": "val", "testing": "test"}
+_ZENODO = "https://zenodo.org/record/5208230/files/{name}.npz?download=1"
+
+#: dataset key -> short description (all are 28^3 volumes)
+DATASETS = {
+    "organmnist3d": "3D organ classification volumes",
+    "nodulemnist3d": "lung nodule volumes",
+    "adrenalmnist3d": "adrenal gland shape volumes",
+    "fracturemnist3d": "rib fracture volumes",
+    "vesselmnist3d": "brain vessel shape volumes",
+    "synapsemnist3d": "electron-microscopy synapse volumes",
+}
+
+
+def _load_medmnist(name: str, split: str) -> list[Subject]:
+    split = _SPLIT_ALIASES.get(split, split)
+    if split not in ("train", "val", "test"):
+        raise ValueError(
+            f"Split must be train/val/test (or their long forms), got {split!r}"
         )
-    return subjects
+    root = get_cache_dir() / "MedMNIST"
+    download_url(_ZENODO.format(name=name), root, filename=f"{name}.npz")
+    archive = np.load(root / f"{name}.npz")
+    pairs = zip(archive[f"{split}_images"], archive[f"{split}_labels"])
+    return [
+        Subject(
+            image=ScalarImage(volume[np.newaxis].astype(np.float32)),
+            labels=np.array(label),
+        )
+        for volume, label in pairs
+    ]
 
 
-def organ_mnist_3d(split: str = "train") -> list[Subject]:
-    """3D organ classification volumes."""
-    return _load_medmnist("organmnist3d", split)
+def _make_loader(name: str):
+    def loader(split: str = "train") -> list[Subject]:
+        return _load_medmnist(name, split)
+
+    loader.__name__ = name.replace("mnist3d", "_mnist_3d")
+    loader.__doc__ = f"MedMNIST v2: {DATASETS[name]}."
+    return loader
 
 
-def nodule_mnist_3d(split: str = "train") -> list[Subject]:
-    """Lung nodule volumes."""
-    return _load_medmnist("nodulemnist3d", split)
-
-
-def adrenal_mnist_3d(split: str = "train") -> list[Subject]:
-    """Adrenal gland shape volumes."""
-    return _load_medmnist("adrenalmnist3d", split)
-
-
-def fracture_mnist_3d(split: str = "train") -> list[Subject]:
-    """Rib fracture volumes."""
-    return _load_medmnist("fracturemnist3d", split)
-
-
-def vessel_mnist_3d(split: str = "train") -> list[Subject]:
-    """Brain vessel shape volumes."""
-    return _load_medmnist("vesselmnist3d", split)
-
-
-def synapse_mnist_3d(split: str = "train") -> list[Subject]:
-    """Electron-microscopy synapse volumes."""
-    return _load_medmnist("synapsemnist3d", split)
+organ_mnist_3d = _make_loader("organmnist3d")
+nodule_mnist_3d = _make_loader("nodulemnist3d")
+adrenal_mnist_3d = _make_loader("adrenalmnist3d")
+fracture_mnist_3d = _make_loader("fracturemnist3d")
+vessel_mnist_3d = _make_loader("vesselmnist3d")
+synapse_mnist_3d = _make_loader("synapsemnist3d")
