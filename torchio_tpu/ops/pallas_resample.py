@@ -123,9 +123,11 @@ def _kernel_body(
     c = out_ref.shape[1]
     q = tj * tk
     t = pl.program_id(0)
-    bi = bases_ref[t, 0]
-    bj = bases_ref[t, 1]
-    bk = bases_ref[t, 2]
+    # the host plan aligns bases to the (8, 8, 128) memory tiling;
+    # pl.multiple_of lets Mosaic prove the dynamic slice is legal
+    bi = pl.multiple_of(bases_ref[t, 0], 8)
+    bj = pl.multiple_of(bases_ref[t, 1], 8)
+    bk = pl.multiple_of(bases_ref[t, 2], 128)
 
     dma = pltpu.make_async_copy(
         vol_ref.at[:, pl.ds(bi, li), pl.ds(bj, lj), pl.ds(bk, lk)],
