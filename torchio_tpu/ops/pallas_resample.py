@@ -152,26 +152,32 @@ def _kernel_body(
             return (jnp.abs(delta) <= 0.5).astype(jnp.float32)
         return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
 
-    for row in range(ti):
-        lci = ci_ref[0, row : row + 1, :] - bi_f  # (1, Q)
-        lcj = cj_ref[0, row : row + 1, :] - bj_f
-        lck = ck_ref[0, row : row + 1, :] - bk_f
+    def body(row, carry):
+        lci = ci_ref[0, pl.ds(row, 1), :] - bi_f  # (1, Q)
+        lcj = cj_ref[0, pl.ds(row, 1), :] - bj_f
+        lck = ck_ref[0, pl.ds(row, 1), :] - bk_f
         if mode == "nearest":
             # round-half-to-even like torch grid_sample nearest
-            lci = jnp.round(lci)
-            lcj = jnp.round(lcj)
-            lck = jnp.round(lck)
-        lck_col = jnp.transpose(lck, (1, 0))  # (Q, 1)
+            lci_r = jnp.round(lci)
+            lcj_r = jnp.round(lcj)
+            lck_r = jnp.round(lck)
+        else:
+            lci_r, lcj_r, lck_r = lci, lcj, lck
+        lck_col = jnp.transpose(lck_r, (1, 0))  # (Q, 1)
         wk = weights(lck_col - iota_k)  # (Q, LK)
         t1 = jax.lax.dot_general(
             box2, wk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(c, li, lj, q)
-        wj = weights(lcj - iota_j)  # (LJ, Q) via (1, Q) broadcast
+        wj = weights(lcj_r - iota_j)  # (LJ, Q) via (1, Q) broadcast
         t2 = jnp.sum(t1 * wj[None, None, :, :], axis=2)  # (C, LI, Q)
-        wi = weights(lci - iota_i)  # (LI, Q)
-        out_ref[0, :, row, :] = jnp.sum(t2 * wi[None, :, :], axis=1)  # (C, Q)
+        wi = weights(lci_r - iota_i)  # (LI, Q)
+        t3 = jnp.sum(t2 * wi[None, :, :], axis=1)  # (C, Q)
+        out_ref[0, :, pl.ds(row, 1), :] = t3.reshape(c, 1, q)
+        return carry
+
+    jax.lax.fori_loop(0, ti, body, 0)
 
 
 def resample_tiles(
