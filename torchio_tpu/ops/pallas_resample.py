@@ -222,29 +222,61 @@ def resample_tiles(
     cj = tile_major(jnp.asarray(coords[..., 1]))
     ck = tile_major(jnp.asarray(coords[..., 2]))
 
-    coord_spec = pl.BlockSpec((1, ti, q), lambda t, bases: (t, 0, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nt,),
-        in_specs=[
-            coord_spec,
-            coord_spec,
-            coord_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, c, ti, q), lambda t, bases: (t, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((c, *box), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
     kernel = partial(_kernel_body, tile=tile, box=box, mode=mode)
-    out_tiled = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, c, ti, q), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(jnp.asarray(bases), ci, cj, ck, volume.astype(jnp.float32))
+    vol_f32 = volume.astype(jnp.float32)
+    bases = np.asarray(bases)
+
+    def launch(ci_c, cj_c, ck_c, bases_c, n_tiles: int):
+        coord_spec = pl.BlockSpec((1, ti, q), lambda t, bases: (t, 0, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[
+                coord_spec,
+                coord_spec,
+                coord_spec,
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, c, ti, q), lambda t, bases: (t, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((c, *box), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, c, ti, q), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(jnp.asarray(bases_c), ci_c, cj_c, ck_c, vol_f32)
+
+    # Mosaic's SMEM footprint grows with the grid extent; cap tiles per
+    # launch (chunks pipeline back-to-back, compile caches per size).
+    max_tiles = 512
+    if nt <= max_tiles:
+        out_tiled = launch(ci, cj, ck, bases, nt)
+    else:
+        chunks = []
+        start = 0
+        while start < nt:
+            stop = min(start + max_tiles, nt)
+            # pad the tail chunk to the bucket size to avoid a recompile
+            size = stop - start
+            if size < max_tiles:
+                pad_n = max_tiles - size
+                sl = slice(start, stop)
+                ci_c = jnp.concatenate([ci[sl], ci[stop - 1 :].repeat(pad_n, 0)[:pad_n]])
+                cj_c = jnp.concatenate([cj[sl], cj[stop - 1 :].repeat(pad_n, 0)[:pad_n]])
+                ck_c = jnp.concatenate([ck[sl], ck[stop - 1 :].repeat(pad_n, 0)[:pad_n]])
+                bases_c = np.concatenate(
+                    [bases[sl], np.repeat(bases[stop - 1 :stop], pad_n, 0)]
+                )
+                chunks.append(launch(ci_c, cj_c, ck_c, bases_c, max_tiles)[:size])
+            else:
+                sl = slice(start, stop)
+                chunks.append(launch(ci[sl], cj[sl], ck[sl], bases[sl], max_tiles))
+            start = stop
+        out_tiled = jnp.concatenate(chunks, axis=0)
     # (NT, C, TI, Q) -> (C, Io, Jo, Ko)
     out = out_tiled.reshape(nti, ntj, ntk, c, ti, tj, tk)
     out = jnp.transpose(out, (3, 0, 4, 1, 5, 2, 6))
