@@ -4,11 +4,14 @@ from __future__ import annotations
 
 import os
 
-# None = auto: use the Pallas resample kernel on TPU-like backends
-# (XLA's gather lowering there is ~1000x slower than HBM bandwidth).
-# Override with torchio_tpu.config.use_pallas_resample = True/False or
-# the TORCHIO_TPU_PALLAS env var ("1"/"0").
+# Pallas tiled resample kernel. Measured on v5e (round 1): correct on
+# hardware but ~2x slower than the XLA gather at 256^3 — the 128-lane
+# DMA alignment forces full-K input boxes, making the triangle-weight
+# matmul ~11 TFLOP/volume. Opt in with TORCHIO_TPU_PALLAS=1 or
+# torchio_tpu.config.use_pallas_resample = True; None currently means
+# DISABLED (revisit when lane-unaligned DMA or in-kernel gather lands).
 use_pallas_resample: bool | None = None
+_PALLAS_AUTO_DEFAULT = False
 
 
 def _env_override() -> bool | None:
@@ -24,10 +27,4 @@ def pallas_resample_enabled() -> bool:
         return env
     if use_pallas_resample is not None:
         return use_pallas_resample
-    try:
-        import jax
-
-        platform = jax.devices()[0].platform
-    except Exception:
-        return False
-    return platform in ("tpu", "axon")
+    return _PALLAS_AUTO_DEFAULT
