@@ -41,10 +41,18 @@ def make_batch() -> SubjectsBatch:
 
 def main() -> None:
     tio.seed(0)
+    # The unified Spatial applies affine + elastic through ONE sampling
+    # grid (the reference's headline design, and exactly what the CPU
+    # baseline proxy measures: one combined grid_sample pass). Composing
+    # separate Affine + ElasticDeformation transforms would resample twice.
     pipeline = tio.Compose(
         [
-            tio.Affine(scales=(0.9, 1.1), degrees=(-10.0, 10.0), translation=(-5.0, 5.0)),
-            tio.ElasticDeformation(max_displacement=7.5),
+            tio.Spatial(
+                scales=(0.9, 1.1),
+                degrees=(-10.0, 10.0),
+                translation=(-5.0, 5.0),
+                max_displacement=7.5,
+            ),
             tio.BiasField(std=0.5),
             tio.Noise(std=0.1),
         ],
