@@ -5,7 +5,11 @@ Run: python benchmarks/patches_bench.py
 """
 
 import json
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

@@ -108,3 +108,71 @@ def test_per_element_batch_inverse(make_batch):
         np.asarray(orig.images["t1"].data),
         rtol=1e-5,
     )
+
+
+# --- behavior parity with reference test_one_of.py / test_some_of.py -------
+
+
+def test_oneof_per_instance_false_is_batch_wide(make_batch):
+    tio.seed(3)
+    batch = make_batch(4)
+    t = tio.OneOf([tio.Flip(axes=(0,)), tio.Gamma(log_gamma=(0.5, 0.5))],
+                  per_instance=False)
+    out = t(batch)
+    # one shared choice: either every element flipped or every element gamma'd
+    assert out._per_element_history is None
+    assert len(out.applied_transforms) == 1
+
+
+def test_oneof_single_subject_runs_whole(subject):
+    tio.seed(0)
+    out = tio.OneOf([tio.Flip(axes=(0,)), tio.Noise(std=0.5)])(subject)
+    assert len(out.applied_transforms) == 1
+
+
+def test_get_inverse_transform_ignores_intensity(subject):
+    tio.seed(0)
+    out = tio.Compose([tio.Flip(axes=(0,)), tio.Noise(std=0.5)])(subject)
+    inv = tio.get_inverse_transform(out.applied_transforms, ignore_intensity=True)
+    assert len(inv) == 1  # only the Flip remains
+
+
+def test_clear_history(make_batch):
+    tio.seed(1)
+    batch = make_batch(3)
+    out = tio.OneOf([tio.Flip(axes=(0,)), tio.Gamma(log_gamma=(0.3, 0.6))])(batch)
+    assert out._per_element_history is not None or out.applied_transforms
+    out.clear_history()
+    assert out.applied_transforms == []
+    assert out._per_element_history is None
+
+
+def test_compose_does_not_mutate_input(subject):
+    before = np.asarray(subject.images["t1"].data).copy()
+    tio.Compose([tio.Noise(std=1.0)])(subject)  # copy=True default
+    np.testing.assert_array_equal(np.asarray(subject.images["t1"].data), before)
+
+
+def test_compose_restores_child_copy_flag(subject):
+    noise = tio.Noise(std=0.5)
+    assert noise.copy is True
+    tio.Compose([noise])(subject)
+    assert noise.copy is True  # restored after the single top-level copy
+
+
+def test_oneof_p_zero_is_noop(subject):
+    before = np.asarray(subject.images["t1"].data).copy()
+    out = tio.OneOf([tio.Noise(std=5.0)], p=0.0)(subject)
+    np.testing.assert_array_equal(np.asarray(out.images["t1"].data), before)
+    assert out.applied_transforms == []
+
+
+def test_someof_without_replacement_unique(subject):
+    tio.seed(0)
+    t = tio.SomeOf(
+        [tio.Flip(axes=(0,)), tio.Noise(std=0.1), tio.Gamma(log_gamma=(0.1, 0.2))],
+        num_transforms=3,
+    )
+    out = t(subject)
+    names = [tr.name for tr in out.applied_transforms]
+    assert len(names) == len(set(names)) == 3

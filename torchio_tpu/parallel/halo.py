@@ -9,12 +9,10 @@ full volume (SURVEY.md §5.7's TPU recipe).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec
+from jax.sharding import Mesh, PartitionSpec
 from jax.experimental.shard_map import shard_map
 
 from ..ops.gaussian import gaussian_kernel_1d, radius_for_sigma
