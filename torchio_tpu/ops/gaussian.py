@@ -58,10 +58,15 @@ def radius_for_sigma(sigma: float, truncate: float = 3.0) -> int:
     return max(int(np.ceil(truncate * sigma)), 1)
 
 
-def gaussian_blur(data, sigmas, truncate: float = 3.0):
+def gaussian_blur(data, sigmas, truncate: float = 3.0, radii=None):
     """Blur (B, C, I, J, K) or (C, I, J, K) with per-axis voxel sigmas.
 
     ``sigmas`` is a length-3 host array; axes with sigma <= 0 are skipped.
+    ``radii`` optionally fixes the per-axis kernel radius (e.g. from a
+    parameter-range UPPER bound) so randomly drawn sigmas reuse one
+    compiled executable instead of recompiling per kernel length; taps
+    beyond each sigma's own ceil(truncate*sigma) radius are zeroed, so
+    results are identical to the tight-kernel build.
     """
     data = jnp.asarray(data)
     unbatched = data.ndim == 4
@@ -73,8 +78,14 @@ def gaussian_blur(data, sigmas, truncate: float = 3.0):
         s = float(sig[axis])
         if s <= 0:
             continue
-        kernel = jnp.asarray(gaussian_kernel_1d(s, radius_for_sigma(s, truncate)))
-        out = _conv_axis_shared(out, kernel, axis)
+        own = radius_for_sigma(s, truncate)
+        radius = own if radii is None else max(int(radii[axis]), own)
+        kernel = gaussian_kernel_1d(s, radius)
+        if radius > own:  # zero padded taps; renormalize
+            x = np.abs(np.arange(2 * radius + 1) - radius)
+            kernel = np.where(x <= own, kernel, 0.0)
+            kernel = kernel / kernel.sum()
+        out = _conv_axis_shared(out, jnp.asarray(kernel, jnp.float32), axis)
     out = out.astype(data.dtype)
     return out[0] if unbatched else out
 
@@ -123,18 +134,22 @@ def _blur_per_element_kernel(data, sigmas, radii: tuple[int, int, int]):
     return out
 
 
-def gaussian_blur_per_element(data, sigmas, truncate: float = 3.0):
+def gaussian_blur_per_element(data, sigmas, truncate: float = 3.0, radii=None):
     """Blur each batch element with its own per-axis sigmas.
 
     ``sigmas`` is a host (B, 3) array. The kernel radius per axis is
-    static (from the max sigma), so recompiles happen only when the
-    sampled sigma range genuinely grows.
+    static; pass ``radii`` (e.g. from a parameter-range UPPER bound) to
+    pin it so fresh random draws never change the jit signature —
+    otherwise it derives from the max sampled sigma. Taps beyond each
+    element's own ceil(truncate*sigma) are zeroed in-kernel either way.
     """
     data = jnp.asarray(data)
     sig = np.asarray(sigmas, np.float64).reshape(data.shape[0], 3)
-    radii = tuple(
+    drawn = tuple(
         0 if sig[:, a].max() <= 0 else radius_for_sigma(float(sig[:, a].max()), truncate)
         for a in range(3)
     )
-    out = _blur_per_element_kernel(data, jnp.asarray(sig, jnp.float32), radii)
+    if radii is not None:
+        drawn = tuple(max(int(radii[a]), drawn[a]) for a in range(3))
+    out = _blur_per_element_kernel(data, jnp.asarray(sig, jnp.float32), drawn)
     return out.astype(data.dtype)

@@ -32,3 +32,22 @@ def as_jnp(data) -> jax.Array:
     if isinstance(data, jax.Array):
         return data
     return jnp.asarray(data)
+
+
+def unique_labels(data) -> list[int]:
+    """Sorted unique integer labels, computed WITHOUT pulling the volume.
+
+    For device-resident integer label maps a ``bincount`` histogram runs
+    on device and only the (small) histogram crosses to host; host arrays
+    and exotic ranges fall back to ``np.unique``.
+    """
+    if isinstance(data, jax.Array) and jnp.issubdtype(data.dtype, jnp.integer):
+        lo = int(jnp.min(data))
+        hi = int(jnp.max(data))
+        if 0 <= lo and hi <= 65535:
+            hist = jnp.bincount(
+                data.reshape(-1).astype(jnp.int32), length=hi + 1
+            )
+            counts = np.asarray(hist)
+            return [int(i) for i in np.nonzero(counts)[0]]
+    return sorted(int(v) for v in np.unique(np.asarray(data)))

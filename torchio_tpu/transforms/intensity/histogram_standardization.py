@@ -125,7 +125,11 @@ def _standardize(tensor, landmarks: np.ndarray, cutoff) -> Any:
         )
     data = jnp.asarray(tensor, jnp.float32)
     flat = data.reshape(-1)
-    input_landmarks = np.percentile(np.asarray(flat), percentiles).astype(np.float32)
+    # device-side percentile sweep: only the 13 landmark scalars leave the
+    # device (a host np.percentile would round-trip the whole volume)
+    input_landmarks = np.asarray(
+        jnp.quantile(flat, jnp.asarray(quantiles, jnp.float32)), np.float32
+    )
     lm = landmarks.astype(np.float32)
     diff_lm = np.diff(lm)
     diff_in = np.diff(input_landmarks)

@@ -17,7 +17,7 @@ import numpy as np
 from ... import random as tio_random
 from ...data.batch import ImagesBatch, SubjectsBatch
 from ...data.image import LabelMap, ScalarImage
-from .._utils import as_jnp
+from .._utils import as_jnp, unique_labels
 from ..parameter_range import to_range
 from ..transform import Transform
 
@@ -92,7 +92,7 @@ class LabelsToImage(Transform):
 
     def make_params(self, batch: SubjectsBatch) -> dict[str, Any]:
         label_batch = self._find_label_batch(batch)
-        unique = sorted(int(v) for v in np.unique(np.asarray(label_batch.data)))
+        unique = unique_labels(as_jnp(label_batch.data))
         seed = tio_random.draw_seed()
         n = self._resolve_n(batch)
         if n is None:

@@ -151,29 +151,46 @@ def resolve_mask(masking_method, img_batch: ImagesBatch, batch: SubjectsBatch):
             raise TypeError(
                 f'Masking method "{masking_method}" must refer to a LabelMap.'
             )
-        return np.asarray(mask_batch.data[0]).astype(bool)
+        # stay on device: pulling a 256^3 mask to host costs seconds
+        # through a slow host<->device link; only scalars ever come back
+        return as_jnp(mask_batch.data[0]) != 0
     raise TypeError(
         f"masking_method must be None, str, or callable, got {type(masking_method)}"
     )
 
 
 def _percentile_range(tensor, mask, pct_low, pct_high, name) -> tuple[float, float]:
-    arr = np.asarray(tensor)
+    """(low, high) intensity percentiles, computed ON DEVICE.
+
+    The naive route (``np.asarray`` then numpy percentile) round-trips
+    the whole volume through the host; here only two scalars leave the
+    device. pct (0, 100) short-circuits to min/max (no sort).
+    """
+    data = as_jnp(tensor).astype(jnp.float32).reshape(-1)
     if mask is not None:
-        m = np.broadcast_to(mask, arr.shape)
-        values = arr[m]
-        if values.size == 0:
+        m = jnp.broadcast_to(as_jnp(mask).reshape(np.shape(mask)), np.shape(tensor))
+        m = m.reshape(-1)
+        if not bool(jnp.any(m)):
             warnings.warn(
                 f'Cannot compute percentiles for "{name}": mask is empty.'
                 " Using full range.",
                 RuntimeWarning,
                 stacklevel=3,
             )
-            values = arr.reshape(-1)
-    else:
-        values = arr.reshape(-1)
-    low = compute_quantile(values, pct_low / 100.0)
-    high = compute_quantile(values, pct_high / 100.0)
+        else:
+            if pct_low == 0.0 and pct_high == 100.0:
+                big = jnp.float32(jnp.inf)
+                low = float(jnp.min(jnp.where(m, data, big)))
+                high = float(jnp.max(jnp.where(m, data, -big)))
+                return low, high
+            masked = jnp.where(m, data, jnp.nan)
+            low = float(jnp.nanquantile(masked, pct_low / 100.0))
+            high = float(jnp.nanquantile(masked, pct_high / 100.0))
+            return low, high
+    if pct_low == 0.0 and pct_high == 100.0:
+        return float(jnp.min(data)), float(jnp.max(data))
+    low = compute_quantile(data, pct_low / 100.0)
+    high = compute_quantile(data, pct_high / 100.0)
     return low, high
 
 

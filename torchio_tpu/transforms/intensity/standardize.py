@@ -39,14 +39,21 @@ class Standardize(IntensityTransform):
         stats: dict[str, tuple[float, float]] = {}
         for name, img_batch in self._get_images(batch).items():
             mask = resolve_mask(self.masking_method, img_batch, batch)
-            arr = np.asarray(img_batch.data[0], dtype=np.float32)
-            values = arr[np.broadcast_to(mask, arr.shape)] if mask is not None else arr
-            if values.size == 0:
-                raise RuntimeError(
-                    f'Standardization mask for "{name}" is empty.'
-                )
-            mean = float(values.mean())
-            std = float(values.std())
+            # device-side reductions: only the two scalars cross to host
+            data = as_jnp(img_batch.data[0]).astype(jnp.float32)
+            if mask is not None:
+                m = jnp.broadcast_to(as_jnp(mask), data.shape)
+                count = float(jnp.sum(m))
+                if count == 0:
+                    raise RuntimeError(
+                        f'Standardization mask for "{name}" is empty.'
+                    )
+                mean = float(jnp.sum(jnp.where(m, data, 0.0)) / count)
+                var = float(jnp.sum(jnp.where(m, (data - mean) ** 2, 0.0)) / count)
+                std = var**0.5
+            else:
+                mean = float(jnp.mean(data))
+                std = float(jnp.std(data))
             if std == 0:
                 raise RuntimeError(
                     f'Cannot standardize "{name}": standard deviation is zero.'

@@ -37,7 +37,7 @@ class OneHot(Transform):
             data = as_jnp(img_batch.data).astype(jnp.int32)
             n = num_classes
             if n == -1:
-                n = int(np.asarray(data).max()) + 1
+                n = int(jnp.max(data)) + 1  # scalar pull only
             encoded = jax.nn.one_hot(data[:, 0], n, axis=1, dtype=jnp.float32)
             img_batch.data = encoded
         return batch

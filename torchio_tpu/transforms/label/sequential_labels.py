@@ -12,7 +12,7 @@ import numpy as np
 
 from ...data.batch import SubjectsBatch
 from ...data.image import LabelMap
-from .._utils import as_jnp
+from .._utils import as_jnp, unique_labels
 from ..transform import Transform
 from .remap_labels import _remap
 
@@ -25,7 +25,7 @@ class SequentialLabels(Transform):
         for name, img_batch in batch.images.items():
             if not issubclass(img_batch.image_class, LabelMap):
                 continue
-            unique = sorted(int(v) for v in np.unique(np.asarray(img_batch.data[0])))
+            unique = unique_labels(as_jnp(img_batch.data[0]))
             remappings[name] = {old: new for new, old in enumerate(unique)}
         return {"remappings": remappings}
 

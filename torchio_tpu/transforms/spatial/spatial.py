@@ -44,7 +44,7 @@ from ...data.batch import ImagesBatch, SubjectsBatch
 from ...data.image import Image, LabelMap, ScalarImage
 from ...ops.gaussian import gaussian_blur
 from ...ops.resample import build_coords, resample, upsample_field
-from .._utils import as_jnp
+from .._utils import as_jnp, unique_labels
 from ..parameter_range import Choice, _ParameterRange, _is_distribution
 from ..transform import SpatialTransform
 
@@ -1014,7 +1014,7 @@ def _resample_label_partial_volume(
         if jnp.issubdtype(data_j.dtype, jnp.floating):
             return sampled.astype(data_j.dtype)
         return sampled
-    labels = np.unique(np.asarray(data))
+    labels = np.asarray(unique_labels(data_j))
     one_hot = (
         data_j[:, 0:1] == jnp.asarray(labels, data_j.dtype).reshape(1, -1, 1, 1, 1)
     ).astype(jnp.float32)
