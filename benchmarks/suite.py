@@ -42,7 +42,12 @@ def _device_batch(shapes: dict[str, tuple], spacing=(1.0, 1.0, 1.0)) -> Subjects
         images = {}
         for name, shape in shapes.items():
             if name.startswith("seg"):
-                data = rng.integers(0, 4, shape).astype(np.int32)
+                # block-structured labels (anatomy-like regions): uniform
+                # random labels put a boundary at every voxel, which makes
+                # any sub-voxel round-trip error flip the NN label and
+                # reads as false inconsistency
+                idx = np.indices(shape[1:])
+                data = ((idx // 24).sum(axis=0) % 4).astype(np.int32)[None]
                 images[name] = tio.LabelMap(data, affine=affine)
             else:
                 images[name] = tio.ScalarImage(

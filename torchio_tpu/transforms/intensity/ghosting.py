@@ -100,9 +100,14 @@ class Ghosting(IntensityTransform):
         restore = params["restore"]
         for _name, img_batch in self._get_images(batch).items():
             data = as_jnp(img_batch.data)
+            spatial = data.shape[2:]
             if per_instance:
                 b = data.shape[0]
-                mask = np.ones((b, 1) + data.shape[2:], np.float32)
+                # per-axis 1D lines (B, size): only B*(I+J+K) floats cross
+                # to device; the dense (B, I, J, K) mask materializes there
+                # as an outer product. Lines are host-ifftshifted so the
+                # spectrum is masked UNSHIFTED (no device rolls at all).
+                lines = [np.ones((b, s), np.float32) for s in spatial]
                 active = []
                 for i in range(b):
                     ghosts = params["num_ghosts"][i]
@@ -112,12 +117,16 @@ class Ghosting(IntensityTransform):
                         continue
                     active.append(True)
                     axis = params["axis"][i]
-                    size = data.shape[axis + 2]
-                    line = _line_mask(size, ghosts, strength, restore)
-                    shape = [1, 1, 1]
-                    shape[axis] = size
-                    mask[i] = mask[i] * line.reshape(1, *shape)
-                out = _apply_mask(data, jnp.asarray(mask))
+                    size = spatial[axis]
+                    lines[axis][i] = np.fft.ifftshift(
+                        _line_mask(size, ghosts, strength, restore)
+                    )
+                mask = (
+                    jnp.asarray(lines[0])[:, None, :, None, None]
+                    * jnp.asarray(lines[1])[:, None, None, :, None]
+                    * jnp.asarray(lines[2])[:, None, None, None, :]
+                )
+                out = _apply_mask(data, mask)
                 img_batch.data = restore_gated(out, data, active)
             else:
                 ghosts = params["num_ghosts"]
@@ -125,8 +134,8 @@ class Ghosting(IntensityTransform):
                 if not ghosts or strength == 0:
                     continue
                 axis = params["axis"]
-                size = data.shape[axis + 2]
-                line = _line_mask(size, ghosts, strength, restore)
+                size = spatial[axis]
+                line = np.fft.ifftshift(_line_mask(size, ghosts, strength, restore))
                 shape = [1, 1, 1, 1, 1]
                 shape[axis + 2] = size
                 img_batch.data = _apply_mask(
@@ -136,12 +145,12 @@ class Ghosting(IntensityTransform):
 
 
 def _apply_mask(data, mask):
+    """Multiply the UNSHIFTED spectrum by a host-pre-ifftshifted mask.
+
+    Equivalent to fftshift -> mask(shifted coords) -> ifftshift, without
+    the four device-side roll passes.
+    """
     result = data.astype(jnp.float32)
-    spectrum = jnp.fft.fftshift(
-        jnp.fft.fftn(result, axes=(-3, -2, -1)), axes=(-3, -2, -1)
-    )
-    corrupted = spectrum * mask
-    out = jnp.fft.ifftn(
-        jnp.fft.ifftshift(corrupted, axes=(-3, -2, -1)), axes=(-3, -2, -1)
-    ).real
+    spectrum = jnp.fft.fftn(result, axes=(-3, -2, -1))
+    out = jnp.fft.ifftn(spectrum * mask, axes=(-3, -2, -1)).real
     return out.astype(data.dtype)

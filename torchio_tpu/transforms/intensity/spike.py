@@ -89,21 +89,18 @@ class Spike(IntensityTransform):
 def _add_spikes(data, per_element):
     result = data.astype(jnp.float32)
     shape = result.shape[2:]
-    spectrum = jnp.fft.fftshift(
-        jnp.fft.fftn(result, axes=(-3, -2, -1)), axes=(-3, -2, -1)
-    )
+    # Impulses are sparse: scatter them into the UNSHIFTED spectrum at
+    # host-ifftshifted indices instead of shipping a dense (B, I, J, K)
+    # impulse volume through the host link and rolling on device.
+    spectrum = jnp.fft.fftn(result, axes=(-3, -2, -1))
     peak = jnp.max(jnp.abs(spectrum), axis=(-3, -2, -1))  # (B, C)
-    # Build an additive impulse volume per element on host indices, then
-    # scale by each (B, C) peak on device.
-    impulses = np.zeros((len(per_element), 1) + tuple(shape), np.float32)
     for b, (positions, intensity) in enumerate(per_element):
         if not positions or intensity == 0:
             continue
         for pos in positions:
             idx = [int(p * s) % s for p, s in zip(pos, shape)]
-            impulses[b, 0, idx[0], idx[1], idx[2]] += intensity
-    spectrum = spectrum + jnp.asarray(impulses) * peak[:, :, None, None, None]
-    out = jnp.fft.ifftn(
-        jnp.fft.ifftshift(spectrum, axes=(-3, -2, -1)), axes=(-3, -2, -1)
-    ).real
+            # index in shifted coords -> unshifted: ifftshift mapping
+            ui, uj, uk = ((i + (s - s // 2)) % s for i, s in zip(idx, shape))
+            spectrum = spectrum.at[b, :, ui, uj, uk].add(intensity * peak[b])
+    out = jnp.fft.ifftn(spectrum, axes=(-3, -2, -1)).real
     return out.astype(data.dtype)
