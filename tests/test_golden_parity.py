@@ -1,0 +1,294 @@
+"""Golden parity: run the REFERENCE TorchIO on in-memory tensors and
+compare against torchio_tpu with identical (degenerate-range) params.
+
+The reference's transform math is pure torch, so with its I/O wheel deps
+stubbed (tests/_reference_loader.py) every tensor-level transform runs
+here. Degenerate ranges like ``(c, c)`` make both libraries sample the
+same constants, turning each comparison into a true golden test
+(SURVEY.md section 7.4's golden-output corpus, generated live).
+
+Accuracy gate: BASELINE.json demands <= 1e-3 intensity error for the
+resampling transforms; elementwise transforms are held to 1e-5.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _reference_loader import load_reference  # noqa: E402
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(
+    ref is None, reason="reference TorchIO source not available"
+)
+
+SHAPE = (1, 12, 14, 16)  # non-cubic to catch axis mix-ups
+
+
+@pytest.fixture(scope="module")
+def volume():
+    return np.random.default_rng(7).random(SHAPE, np.float32)
+
+
+@pytest.fixture(scope="module")
+def labels():
+    return np.random.default_rng(8).integers(0, 5, SHAPE).astype(np.int32)
+
+
+def _run_pair(make, data, atol):
+    import torch
+
+    t_ref = make(ref)
+    t_mine = make(tio)
+    out_ref = t_ref(torch.as_tensor(data.copy())).numpy()
+    out_mine = np.asarray(t_mine(data.copy()))
+    np.testing.assert_allclose(out_mine, out_ref, atol=atol, rtol=0)
+
+
+ELEMENTWISE = [
+    ("gamma", lambda m: m.Gamma(log_gamma=(0.3, 0.3)), 1e-5),
+    ("clamp", lambda m: m.Clamp(out_min=0.2, out_max=0.8), 1e-6),
+    ("rescale", lambda m: m.RescaleIntensity(out_min=-1.0, out_max=2.0), 1e-5),
+    ("znorm", lambda m: m.ZNormalization(), 1e-3),
+    ("flip", lambda m: m.Flip(axes=(0, 2), flip_probability=1.0), 0),
+    ("pad-constant", lambda m: m.Pad(padding=(1, 2, 3, 4, 5, 6), fill=0.5), 0),
+    ("pad-reflect", lambda m: m.Pad(padding=2, padding_mode="reflect"), 0),
+    ("pad-replicate", lambda m: m.Pad(padding=3, padding_mode="replicate"), 0),
+    ("pad-mean", lambda m: m.Pad(padding=1, padding_mode="mean"), 1e-5),
+    ("pad-minimum", lambda m: m.Pad(padding=1, padding_mode="minimum"), 1e-6),
+    ("crop", lambda m: m.Crop(cropping=(1, 2, 3, 4, 5, 6)), 0),
+    ("crop-or-pad", lambda m: m.CropOrPad((10, 18, 16)), 0),
+    (
+        "ghosting",
+        lambda m: m.Ghosting(
+            num_ghosts=(4, 4), axes=(1,), intensity=(0.55, 0.55)
+        ),
+        1e-4,
+    ),
+    (
+        "ghosting-restore",
+        lambda m: m.Ghosting(
+            num_ghosts=(3, 3), axes=(2,), intensity=(0.8, 0.8), restore=0.1
+        ),
+        1e-4,
+    ),
+    (
+        "spike-deterministic",
+        lambda m: m.Spike(num_spikes=0, intensity=(0.0, 0.0), p=1.0),
+        1e-6,
+    ),
+    ("blur", lambda m: m.Blur(std=(1.2, 1.2)), 1e-3),
+    (
+        "motion",
+        lambda m: m.Motion(
+            degrees=(5.0, 5.0), translation=(3.0, 3.0), num_transforms=2
+        ),
+        1e-3,
+    ),
+    (
+        "anisotropy",
+        lambda m: m.Anisotropy(axes=(1,), downsampling=(2.0, 2.0)),
+        1e-3,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "make,atol", [p[1:] for p in ELEMENTWISE], ids=[p[0] for p in ELEMENTWISE]
+)
+def test_intensity_golden(make, atol, volume):
+    _run_pair(make, volume, atol)
+
+
+SPATIAL = [
+    (
+        "affine",
+        lambda m: m.Affine(
+            scales=(1.1, 1.1),
+            degrees=(8.0, 8.0),
+            translation=(2.0, 2.0),
+            center="image",
+        ),
+        1e-3,
+    ),
+    (
+        "affine-origin",
+        lambda m: m.Affine(degrees=(-7.0, -7.0), center="origin"),
+        1e-3,
+    ),
+    ("resample-2mm", lambda m: m.Resample(target=2.0), 1e-3),
+    (
+        "elastic",
+        lambda m: m.Spatial(
+            control_points=_CONTROL_POINTS, max_displacement=(2.0, 2.0)
+        ),
+        1e-3,
+    ),
+    (
+        "spatial-fused",
+        lambda m: m.Spatial(
+            scales=(0.95, 0.95),
+            degrees=(5.0, 5.0),
+            control_points=_CONTROL_POINTS,
+            max_displacement=(2.0, 2.0),
+        ),
+        1e-3,
+    ),
+]
+
+_CONTROL_POINTS = (
+    np.random.default_rng(9).uniform(-2.0, 2.0, (5, 5, 5, 3)).astype(np.float32)
+)
+
+
+@pytest.mark.parametrize(
+    "make,atol", [p[1:] for p in SPATIAL], ids=[p[0] for p in SPATIAL]
+)
+def test_spatial_golden(make, atol, volume):
+    _run_pair(make, volume, atol)
+
+
+LABEL = [
+    ("one-hot", lambda m: m.OneHot(num_classes=5), 0),
+    ("remap", lambda m: m.RemapLabels({1: 3, 2: 1, 3: 2}), 0),
+    ("remove", lambda m: m.RemoveLabels([2, 4]), 0),
+    ("sequential", lambda m: m.SequentialLabels(), 0),
+]
+
+
+@pytest.mark.parametrize(
+    "make,atol", [p[1:] for p in LABEL], ids=[p[0] for p in LABEL]
+)
+def test_label_golden(make, atol, labels):
+    import torch
+
+    t_ref = make(ref)
+    t_mine = make(tio)
+    img_ref = ref.LabelMap(torch.as_tensor(labels.copy()))
+    img_mine = tio.LabelMap(labels.copy())
+    out_ref = t_ref(img_ref).data.numpy()
+    out_mine = np.asarray(t_mine(img_mine).data)
+    np.testing.assert_allclose(
+        out_mine.astype(np.float64), out_ref.astype(np.float64), atol=atol, rtol=0
+    )
+
+
+# --- deeper golden coverage -------------------------------------------------
+
+
+def test_masked_percentile_rescale_golden(volume, labels):
+    """Percentile stats within a LabelMap mask (device nanquantile path)."""
+    import torch
+
+    def subj(m, to_torch):
+        conv = (lambda a: torch.as_tensor(a.copy())) if to_torch else (
+            lambda a: a.copy()
+        )
+        return m.Subject(
+            t1=m.ScalarImage(conv(volume)),
+            seg=m.LabelMap(conv((labels > 2).astype(np.int32))),
+        )
+
+    make = lambda m: m.RescaleIntensity(  # noqa: E731
+        out_min=0.0,
+        out_max=1.0,
+        percentile_low=(5.0, 5.0),
+        percentile_high=(95.0, 95.0),
+        masking_method="seg",
+    )
+    out_ref = make(ref)(subj(ref, True)).t1.data.numpy()
+    out_mine = np.asarray(make(tio)(subj(tio, False)).images["t1"].data)
+    np.testing.assert_allclose(out_mine, out_ref, atol=2e-3, rtol=0)
+
+
+def test_histogram_standardization_golden(volume):
+    import torch
+
+    landmarks = np.linspace(0.0, 100.0, 13).astype(np.float64)
+    landmarks[1:-1] += np.random.default_rng(3).uniform(-2, 2, 11)
+    out_ref = (
+        ref.HistogramStandardization(torch.as_tensor(landmarks))(
+            torch.as_tensor(volume.copy())
+        ).numpy()
+    )
+    out_mine = np.asarray(
+        tio.HistogramStandardization(landmarks)(volume.copy())
+    )
+    np.testing.assert_allclose(out_mine, out_ref, atol=1e-2, rtol=0)
+
+
+def test_resize_golden(volume):
+    _run_pair(lambda m: m.Resize(target_shape=(8, 10, 12)), volume, 1e-4)
+
+
+def test_transpose_golden(volume):
+    _run_pair(lambda m: m.Transpose(), volume, 0)
+
+
+def test_ensure_shape_multiple_golden(volume):
+    _run_pair(lambda m: m.EnsureShapeMultiple(8), volume, 0)
+
+
+def test_contour_golden(labels):
+    import torch
+
+    out_ref = ref.Contour()(ref.LabelMap(torch.as_tensor(labels.copy()))).data
+    out_mine = tio.Contour()(tio.LabelMap(labels.copy())).data
+    np.testing.assert_array_equal(
+        np.asarray(out_mine, np.float64), out_ref.numpy().astype(np.float64)
+    )
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda m: m.Affine(degrees=(9.0, 9.0), translation=(1.5, 1.5)),
+        lambda m: m.RescaleIntensity(out_min=0.0, out_max=1.0),
+        lambda m: m.Gamma(log_gamma=(0.4, 0.4)),
+        lambda m: m.Flip(axes=(1,), flip_probability=1.0),
+    ],
+    ids=["affine", "rescale", "gamma", "flip"],
+)
+def test_inverse_golden(make, volume):
+    """Forward + history inverse agree between the libraries."""
+    import torch
+
+    s_ref = ref.Subject(t1=ref.ScalarImage(torch.as_tensor(volume.copy())))
+    s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy()))
+    fwd_ref = make(ref)(s_ref)
+    fwd_mine = make(tio)(s_mine)
+    inv_ref = fwd_ref.apply_inverse_transform()
+    inv_mine = fwd_mine.apply_inverse_transform()
+    np.testing.assert_allclose(
+        np.asarray(inv_mine.images["t1"].data),
+        inv_ref.t1.data.numpy(),
+        atol=2e-3,
+        rtol=0,
+    )
+
+
+def test_per_element_batch_golden(volume):
+    """Batched apply with degenerate ranges: every element matches ref."""
+    import torch
+
+    b = 3
+    stack = np.stack([volume] * b)
+    batch_ref = ref.SubjectsBatch.from_subjects(
+        [ref.Subject(t1=ref.ScalarImage(torch.as_tensor(volume.copy())))] * b
+    )
+    batch_mine = tio.SubjectsBatch.from_subjects(
+        [tio.Subject(t1=tio.ScalarImage(volume.copy()))] * b
+    )
+    t_ref = ref.Gamma(log_gamma=(0.25, 0.25))
+    t_mine = tio.Gamma(log_gamma=(0.25, 0.25))
+    out_ref = t_ref(batch_ref).images["t1"].data.numpy()
+    out_mine = np.asarray(t_mine(batch_mine).images["t1"].data)
+    assert out_ref.shape == out_mine.shape == (b, *stack.shape[1:])
+    np.testing.assert_allclose(out_mine, out_ref, atol=1e-5, rtol=0)

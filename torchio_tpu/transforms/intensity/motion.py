@@ -27,29 +27,58 @@ from ..parameter_range import to_range
 from ..transform import IntensityTransform
 
 
-def _rigid_voxel_matrix(degrees, translation, shape) -> np.ndarray:
-    """Forward rigid map in voxel index space, pivoting at the center."""
-    from ..spatial.spatial import _euler_rotation
+def _axis_rotation(angle: float, axis: int) -> np.ndarray:
+    c, s = np.cos(angle), np.sin(angle)
+    m = np.eye(3)
+    a, b = [(1, 2), (0, 2), (0, 1)][axis]
+    m[a, a] = m[b, b] = c
+    m[a, b] = -s if axis != 1 else s
+    m[b, a] = s if axis != 1 else -s
+    return m
 
-    rot = _euler_rotation(np.asarray(degrees, np.float64))
-    center = (np.asarray(shape, np.float64) - 1) / 2
-    t = np.eye(4)
-    t[:3, :3] = rot
-    t[:3, 3] = center - rot @ center + np.asarray(translation, np.float64)
-    return t
+
+def _rigid_voxel_matrix(degrees, translation, shape) -> np.ndarray:
+    """Output-voxel -> input-voxel map matching the reference EXACTLY.
+
+    The reference builds ``theta = [Rz@Ry@Rx | t]`` and feeds it to
+    ``affine_grid(align_corners=True)`` (reference motion.py:416-530),
+    which means: (a) the rotation acts in NORMALIZED grid coordinates
+    with axis order (x, y, z) = (K, J, I) — anisotropic volumes shear
+    rather than rotate rigidly; (b) the translation is normalized by
+    ``(I, J, K)/2`` but applied to rows (x, y, z). We reproduce both,
+    composed into one voxel-space 4x4 so the shared gather resampler
+    can apply it.
+    """
+    rx, ry, rz = np.deg2rad(np.asarray(degrees, np.float64))
+    r = _axis_rotation(rz, 2) @ _axis_rotation(ry, 1) @ _axis_rotation(rx, 0)
+    si, sj, sk = (float(s) for s in shape)
+    sizes_xyz = np.array([sk, sj, si])  # affine_grid x, y, z extents
+    # reference quirk: normalized by (I, J, K)/2 in row order (x, y, z)
+    t_norm = np.asarray(translation, np.float64) / (np.array([si, sj, sk]) / 2)
+    # voxel -> normalized per xyz axis: n = a*v - 1 (align_corners=True)
+    a = 2.0 / np.maximum(sizes_xyz - 1.0, 1.0)
+    half = np.maximum(sizes_xyz - 1.0, 1.0) / 2.0
+    ones = np.ones(3)
+    a_xyz = half[:, None] * r * a[None, :]
+    c_xyz = half * (r @ (-ones) + t_norm + ones)
+    perm = np.zeros((3, 3))  # (i, j, k) voxel order -> (k, j, i) xyz order
+    perm[0, 2] = perm[1, 1] = perm[2, 0] = 1.0
+    m = np.eye(4)
+    m[:3, :3] = perm.T @ a_xyz @ perm
+    m[:3, 3] = perm.T @ c_xyz
+    return m
 
 
 def _move_batch(data, degrees_list, translation_list):
-    """Apply per-element rigid moves: resample at inv(T) coordinates."""
+    """Apply per-element rigid moves (resample at the reference's grid)."""
     from ..spatial.spatial import _dispatch_resample, _GridPlan
 
     shape = data.shape[2:]
     grids, plans = [], []
     for degrees, translation in zip(degrees_list, translation_list):
         t = _rigid_voxel_matrix(degrees, translation, shape)
-        inv = np.linalg.inv(t)
-        grids.append(build_coords(tuple(shape), inv))
-        plans.append(_GridPlan(inv))
+        grids.append(build_coords(tuple(shape), t))
+        plans.append(_GridPlan(t))
     return _dispatch_resample(
         data, jnp.stack(grids), plans, mode="linear", fill=0.0
     )
