@@ -1,0 +1,99 @@
+"""Golden parameter-convention parity.
+
+The value/range/distribution DSL (reference parameter_range.py) decides
+what ``degrees=10`` MEANS (symmetric range? constant?). RNG streams
+can't match across torch and numpy, so instead both libraries sample
+each spec many times and the empirical [min, max] bounds must agree.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from _reference_loader import load_reference  # noqa: E402
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(
+    ref is None, reason="reference TorchIO source not available"
+)
+
+N = 400
+
+
+def _bounds_ref(t, attr):
+    vals = np.stack(
+        [np.asarray(getattr(t, attr).sample(), np.float64) for _ in range(N)]
+    )
+    return float(vals.min()), float(vals.max())
+
+
+def _bounds_mine(t, attr):
+    vals = np.stack([np.asarray(getattr(t, attr).sample()) for _ in range(N)])
+    return float(vals.min()), float(vals.max())
+
+
+CASES = [
+    # (ctor kwargs for both, attribute, expected convention note)
+    ("Affine", {"degrees": 10.0}, "degrees"),          # scalar -> (-10, 10)
+    ("Affine", {"degrees": (5.0, 15.0)}, "degrees"),
+    ("Affine", {"scales": 0.2}, "scales"),             # scalar -> (0.8, 1.2)?
+    ("Affine", {"scales": (0.9, 1.1)}, "scales"),
+    ("Affine", {"translation": 4.0}, "translation"),
+    ("Blur", {"std": (0.5, 1.5)}, "std"),
+    ("Blur", {"std": 2.0}, "std"),                     # nonneg scalar -> (0, 2)?
+    ("Gamma", {"log_gamma": 0.3}, "log_gamma"),
+    ("Noise", {"std": 0.25}, "std"),
+    ("Motion", {"degrees": 7.0}, "degrees"),
+    ("Motion", {"translation": 3.0}, "translation"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,kwargs,attr",
+    CASES,
+    ids=[f"{c[0]}-{c[2]}-{c[1][c[2]]}" for c in CASES],
+)
+def test_sampling_bounds_match(name, kwargs, attr):
+    tio.seed(0)
+    t_ref = getattr(ref, name)(**kwargs)
+    t_mine = getattr(tio, name)(**kwargs)
+    lo_r, hi_r = _bounds_ref(t_ref, attr)
+    lo_m, hi_m = _bounds_mine(t_mine, attr)
+    width = max(hi_r - lo_r, 1e-6)
+    # empirical extremes of 400 uniform draws land within ~2% of the ends
+    assert abs(lo_m - lo_r) < 0.08 * width + 1e-6, (lo_m, lo_r, hi_m, hi_r)
+    assert abs(hi_m - hi_r) < 0.08 * width + 1e-6, (lo_m, lo_r, hi_m, hi_r)
+
+
+def test_choice_support_matches():
+    tio.seed(1)
+    values = [1.0, 2.0, 5.0]
+    c_ref = ref.Choice(values)
+    c_mine = tio.Choice(values)
+    seen_ref = {float(c_ref.sample()) for _ in range(100)}
+    seen_mine = {float(np.asarray(c_mine.sample())) for _ in range(100)}
+    assert seen_ref == seen_mine == set(values)
+
+
+def test_isotropic_scales_equal_axes():
+    tio.seed(2)
+    t = tio.Affine(scales=(0.8, 1.2), isotropic=True)
+    # isotropic sampling is resolved at make_params; the recorded affine
+    # matrix must scale all three axes identically
+    subject = tio.Subject(
+        t1=tio.ScalarImage(np.zeros((1, 4, 4, 4), np.float32))
+    )
+    from torchio_tpu.data.batch import SubjectsBatch
+
+    batch = SubjectsBatch.from_subjects([subject])
+    params = t.make_params(batch)
+    mat = np.asarray(params["affine_matrix"])
+    norms = np.linalg.norm(mat[:3, :3], axis=0)
+    assert np.allclose(norms, norms[0], atol=1e-5)
