@@ -97,6 +97,20 @@ def load_reference(debug: bool = False):
             return tuple(codes)
 
         ns["nibabel.orientations"].aff2axcodes = _aff2axcodes
+
+        # the reference's runtime orientation math runs on torchio_tpu's
+        # own nibabel-free implementations (core/orientation.py), which
+        # doubles as an oracle check of those functions
+        from torchio_tpu.core import orientation as _ori
+
+        for fn in (
+            "io_orientation",
+            "axcodes2ornt",
+            "ornt_transform",
+            "apply_orientation",
+            "inv_ornt_aff",
+        ):
+            setattr(ns["nibabel.orientations"], fn, getattr(_ori, fn))
     if "SimpleITK" in created:
         sitk = ns["SimpleITK"]
         sitk.Image = _FakeClass

@@ -292,3 +292,63 @@ def test_per_element_batch_golden(volume):
     out_mine = np.asarray(t_mine(batch_mine).images["t1"].data)
     assert out_ref.shape == out_mine.shape == (b, *stack.shape[1:])
     np.testing.assert_allclose(out_mine, out_ref, atol=1e-5, rtol=0)
+
+
+def test_labels_to_image_golden(labels):
+    """stds=0 makes the SynthSeg generative block deterministic."""
+    import torch
+
+    means = [0.1, 0.4, 0.6, 0.8, 1.0]
+    stds = [0.0] * 5
+    make = lambda m: m.LabelsToImage(  # noqa: E731
+        "seg", image_key="synth", mean=means, std=stds
+    )
+    s_ref = ref.Subject(seg=ref.LabelMap(torch.as_tensor(labels.copy())))
+    s_mine = tio.Subject(seg=tio.LabelMap(labels.copy()))
+    out_ref = make(ref)(s_ref)["synth"].data.numpy()
+    out_mine = np.asarray(make(tio)(s_mine).images["synth"].data)
+    np.testing.assert_allclose(out_mine, out_ref, atol=1e-5, rtol=0)
+
+
+def test_copy_affine_golden(volume):
+    import torch
+
+    affine = np.diag([2.0, 1.5, 1.0, 1.0])
+    affine[:3, 3] = (4.0, -3.0, 2.5)
+
+    s_ref = ref.Subject(
+        t1=ref.ScalarImage(torch.as_tensor(volume.copy()), affine=affine),
+        t2=ref.ScalarImage(torch.as_tensor(volume.copy())),
+    )
+    s_mine = tio.Subject(
+        t1=tio.ScalarImage(volume.copy(), affine=affine),
+        t2=tio.ScalarImage(volume.copy()),
+    )
+    out_ref = ref.CopyAffine(target="t1")(s_ref)
+    out_mine = tio.CopyAffine(target="t1")(s_mine)
+    np.testing.assert_allclose(
+        np.asarray(out_mine.images["t2"].affine.data),
+        np.asarray(out_ref.t2.affine.data),
+        atol=1e-9,
+    )
+
+
+def test_reorient_golden(volume):
+    import torch
+
+    affine = np.diag([-1.0, 1.0, -1.0, 1.0])  # LAS-ish: flips on I and K
+    affine[:3, 3] = (10.0, 0.0, 5.0)
+    s_ref = ref.Subject(
+        t1=ref.ScalarImage(torch.as_tensor(volume.copy()), affine=affine)
+    )
+    s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy(), affine=affine))
+    out_ref = ref.Reorient(orientation="RAS")(s_ref)
+    out_mine = tio.Reorient(orientation="RAS")(s_mine)
+    np.testing.assert_array_equal(
+        np.asarray(out_mine.images["t1"].data), out_ref.t1.data.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mine.images["t1"].affine.data),
+        np.asarray(out_ref.t1.affine.data),
+        atol=1e-9,
+    )

@@ -175,7 +175,9 @@ class TestLabelsToImage:
         seg = np.zeros((1, 8, 8, 8), np.int32)
         seg[0, 2:6, 2:6, 2:6] = 1
         sub = tio.Subject(seg=tio.LabelMap(seg))
-        out = tio.LabelsToImage(mean=[(0.9, 1.0)], std=[(0.0, 0.001)])(sub)
+        out = tio.LabelsToImage(
+            mean=[(0.9, 1.0)], std=[(0.0, 0.001)], ignore_background=True
+        )(sub)
         gen = np.asarray(out.image_from_labels.data)
         assert np.abs(gen[0, 0, 0, 0]) < 1e-6  # background stays 0
         assert gen[0, 4, 4, 4] > 0.5

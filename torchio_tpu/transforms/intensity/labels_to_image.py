@@ -35,14 +35,14 @@ class LabelsToImage(Transform):
 
     def __init__(
         self,
-        *,
         label_key: str | None = None,
+        *,
         image_key: str = "image_from_labels",
         mean: Sequence[Any] | None = None,
         std: Sequence[Any] | None = None,
         default_mean: Any = (0.1, 0.9),
         default_std: Any = (0.01, 0.1),
-        ignore_background: bool = True,
+        ignore_background: bool = False,
         **kwargs: Any,
     ) -> None:
         super().__init__(**kwargs)

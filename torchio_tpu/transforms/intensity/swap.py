@@ -127,9 +127,12 @@ class Swap(IntensityTransform):
         if n is None:
             iterations = max(1, round(self.num_iterations.sample_1d()))
             return {
+                # patch_size recorded so params alone replay the transform
+                # (self-contained history; the reference needs the instance)
+                "patch_size": list(self.patch_size),
                 "locations": _sample_locations(
                     spatial_shape, self.patch_size, iterations
-                )
+                ),
             }
         keep = self._keep_mask(batch, n)
         locations = []
@@ -141,7 +144,7 @@ class Swap(IntensityTransform):
             locations.append(
                 _sample_locations(spatial_shape, self.patch_size, iterations)
             )
-        params = {"locations": locations}
+        params = {"patch_size": list(self.patch_size), "locations": locations}
         self._tag_batched(params, batch, n, keep, ["locations"])
         return params
 
@@ -168,7 +171,10 @@ class Swap(IntensityTransform):
                 # inactive steps swap a patch with itself (no-op)
                 for si in range(len(locs), num_swaps):
                     origins_b[bi, si] = origins_a[bi, si]
+            patch_size = tuple(
+                params.get("patch_size", getattr(self, "patch_size", None))
+            )
             img_batch.data = _swap_kernel(
-                data, jnp.asarray(origins_a), jnp.asarray(origins_b), self.patch_size
+                data, jnp.asarray(origins_a), jnp.asarray(origins_b), patch_size
             )
         return batch
