@@ -352,3 +352,84 @@ def test_reorient_golden(volume):
         np.asarray(out_ref.t1.affine.data),
         atol=1e-9,
     )
+
+
+# --- spatial feature matrix golden tests ------------------------------------
+
+
+@pytest.mark.parametrize(
+    "pad_value", [0.0, "minimum", "mean", "otsu"], ids=str
+)
+def test_fill_policy_golden(pad_value, volume):
+    make = lambda m: m.Affine(  # noqa: E731
+        degrees=(12.0, 12.0),
+        translation=(4.0, 4.0),
+        default_pad_value=pad_value,
+    )
+    _run_pair(make, volume, 2e-3)
+
+
+def test_nearest_interpolation_golden(volume):
+    make = lambda m: m.Affine(  # noqa: E731
+        degrees=(9.0, 9.0), image_interpolation="nearest"
+    )
+    _run_pair(make, volume, 1e-6)
+
+
+def test_antialias_downsample_golden(volume):
+    make = lambda m: m.Resample(target=2.0, antialias=True)  # noqa: E731
+    _run_pair(make, volume, 1e-3)
+
+
+@pytest.mark.parametrize("mode", ["nearest", "label"])
+def test_label_interpolation_golden(mode, volume, labels):
+    import torch
+
+    make = lambda m: m.Affine(  # noqa: E731
+        degrees=(10.0, 10.0), label_interpolation=mode
+    )
+    s_ref = ref.Subject(
+        t1=ref.ScalarImage(torch.as_tensor(volume.copy())),
+        seg=ref.LabelMap(torch.as_tensor(labels.copy())),
+    )
+    s_mine = tio.Subject(
+        t1=tio.ScalarImage(volume.copy()), seg=tio.LabelMap(labels.copy())
+    )
+    out_ref = make(ref)(s_ref)
+    out_mine = make(tio)(s_mine)
+    seg_ref = out_ref.seg.data.numpy()
+    seg_mine = np.asarray(out_mine.images["seg"].data)
+    # label maps: voxels at region boundaries may legitimately differ when
+    # interpolated weights tie within float error; demand >= 99.5% agreement
+    agreement = (seg_ref == seg_mine).mean()
+    assert agreement > 0.995, agreement
+    np.testing.assert_allclose(
+        np.asarray(out_mine.images["t1"].data),
+        out_ref.t1.data.numpy(),
+        atol=1e-3,
+        rtol=0,
+    )
+
+
+def test_anisotropic_spacing_golden(volume):
+    """mm-space params on a 1x1x2 mm volume: catches mm<->voxel mixups."""
+    import torch
+
+    affine = np.diag([1.0, 1.0, 2.0, 1.0])
+    make = lambda m: m.Affine(  # noqa: E731
+        degrees=(8.0, 8.0), translation=(3.0, 3.0)
+    )
+    s_ref = ref.Subject(
+        t1=ref.ScalarImage(torch.as_tensor(volume.copy()), affine=affine)
+    )
+    s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy(), affine=affine))
+    out_ref = make(ref)(s_ref).t1.data.numpy()
+    out_mine = np.asarray(make(tio)(s_mine).images["t1"].data)
+    np.testing.assert_allclose(out_mine, out_ref, atol=1e-3, rtol=0)
+
+
+def test_per_axis_degrees_golden(volume):
+    make = lambda m: m.Affine(  # noqa: E731
+        degrees=(4.0, 4.0, -6.0, -6.0, 11.0, 11.0)
+    )
+    _run_pair(make, volume, 1e-3)
