@@ -123,3 +123,42 @@ def test_aggregator_hann_reconstructs_exactly(volume):
     np.testing.assert_allclose(
         np.asarray(a.get_output()), volume, atol=1e-5, rtol=0
     )
+
+
+def test_subject_slicing_golden(volume):
+    """Whole-subject spatial slicing: data + shifted affine match."""
+    import torch
+
+    affine = np.diag([1.0, 2.0, 1.5, 1.0])
+    affine[:3, 3] = (3.0, -1.0, 7.0)
+    s_ref = ref.Subject(
+        t1=ref.ScalarImage(torch.as_tensor(volume.copy()), affine=affine)
+    )
+    s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy(), affine=affine))
+    sub_ref = s_ref[4:16, 2:20, 5:25]  # spatial-only indices
+    sub_mine = s_mine[4:16, 2:20, 5:25]
+    np.testing.assert_array_equal(
+        np.asarray(sub_mine.images["t1"].data), sub_ref.t1.data.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(sub_mine.images["t1"].affine.data),
+        np.asarray(sub_ref.t1.affine.data),
+        atol=1e-9,
+    )
+
+
+def test_image_region_read_golden(volume):
+    """Region indexing keeps axes and shifts the affine origin."""
+    import torch
+
+    affine = np.diag([2.0, 1.0, 1.0, 1.0])
+    img_ref = ref.ScalarImage(torch.as_tensor(volume.copy()), affine=affine)
+    img_mine = tio.ScalarImage(volume.copy(), affine=affine)
+    r_ref = img_ref[:, 10, 3:9, ::2]
+    r_mine = img_mine[:, 10, 3:9, ::2]
+    np.testing.assert_array_equal(
+        np.asarray(r_mine.data), r_ref.data.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_mine.affine.data), np.asarray(r_ref.affine.data), atol=1e-9
+    )
