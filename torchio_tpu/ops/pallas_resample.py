@@ -111,7 +111,7 @@ def plan_tiles(
 
 def _kernel_body(
     bases_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref, box_ref, sem,
-    *, tile, box, mode: str,
+    *, tile, box, mode: str, matmul_dtype=jnp.float32, rows_per_step: int = 1,
 ):
     """One output tile. Mosaic-legal ops only: 2D iotas/transposes, a 2D
     MXU matmul, leading-dim-only reshapes (the lane dim is always Q or LK).
@@ -122,6 +122,8 @@ def _kernel_body(
     li, lj, lk = box
     c = out_ref.shape[1]
     q = tj * tk
+    r = rows_per_step
+    qr = q * r
     t = pl.program_id(0)
     # the host plan aligns bases to the (8, 8, 128) memory tiling;
     # pl.multiple_of lets Mosaic prove the dynamic slice is legal
@@ -138,9 +140,9 @@ def _kernel_body(
     dma.wait()
 
     # Mosaic's tpu.iota only produces integers; cast to f32 afterwards
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (q, lk), 1).astype(jnp.float32)
-    iota_j = jax.lax.broadcasted_iota(jnp.int32, (lj, q), 0).astype(jnp.float32)
-    iota_i = jax.lax.broadcasted_iota(jnp.int32, (li, q), 0).astype(jnp.float32)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (qr, lk), 1).astype(jnp.float32)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (lj, qr), 0).astype(jnp.float32)
+    iota_i = jax.lax.broadcasted_iota(jnp.int32, (li, qr), 0).astype(jnp.float32)
     box2 = box_ref[:].reshape(c * li * lj, lk)
 
     bi_f = bi.astype(jnp.float32)
@@ -152,10 +154,11 @@ def _kernel_body(
             return (jnp.abs(delta) <= 0.5).astype(jnp.float32)
         return jnp.maximum(0.0, 1.0 - jnp.abs(delta))
 
-    def body(row, carry):
-        lci = ci_ref[0, pl.ds(row, 1), :] - bi_f  # (1, Q)
-        lcj = cj_ref[0, pl.ds(row, 1), :] - bj_f
-        lck = ck_ref[0, pl.ds(row, 1), :] - bk_f
+    def body(step, carry):
+        row = step * r
+        lci = ci_ref[0, pl.ds(row, r), :].reshape(1, qr) - bi_f  # (1, R*Q)
+        lcj = cj_ref[0, pl.ds(row, r), :].reshape(1, qr) - bj_f
+        lck = ck_ref[0, pl.ds(row, r), :].reshape(1, qr) - bk_f
         if mode == "nearest":
             # round-half-to-even like torch grid_sample nearest
             lci_r = jnp.round(lci)
@@ -163,21 +166,29 @@ def _kernel_body(
             lck_r = jnp.round(lck)
         else:
             lci_r, lcj_r, lck_r = lci, lcj, lck
-        lck_col = jnp.transpose(lck_r, (1, 0))  # (Q, 1)
-        wk = weights(lck_col - iota_k)  # (Q, LK)
+        lck_col = jnp.transpose(lck_r, (1, 0))  # (R*Q, 1)
+        wk = weights(lck_col - iota_k)  # (R*Q, LK)
+        # Without HIGHEST, Mosaic lowers a f32 MXU dot as single-pass
+        # bf16 (measured ~3.6e-3 max error at 256^3 — over the 1e-3
+        # gate). matmul_dtype=bfloat16 opts into that speed explicitly.
         t1 = jax.lax.dot_general(
-            box2, wk,
+            box2.astype(matmul_dtype), wk.astype(matmul_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(c, li, lj, q)
-        wj = weights(lcj_r - iota_j)  # (LJ, Q) via (1, Q) broadcast
-        t2 = jnp.sum(t1 * wj[None, None, :, :], axis=2)  # (C, LI, Q)
-        wi = weights(lci_r - iota_i)  # (LI, Q)
-        t3 = jnp.sum(t2 * wi[None, :, :], axis=1)  # (C, Q)
-        out_ref[0, :, pl.ds(row, 1), :] = t3.reshape(c, 1, q)
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if matmul_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
+        ).reshape(c, li, lj, qr)
+        wj = weights(lcj_r - iota_j)  # (LJ, R*Q) via (1, R*Q) broadcast
+        t2 = jnp.sum(t1 * wj[None, None, :, :], axis=2)  # (C, LI, R*Q)
+        wi = weights(lci_r - iota_i)  # (LI, R*Q)
+        t3 = jnp.sum(t2 * wi[None, :, :], axis=1)  # (C, R*Q)
+        out_ref[0, :, pl.ds(row, r), :] = t3.reshape(c, r, q)
         return carry
 
-    jax.lax.fori_loop(0, ti, body, 0)
+    jax.lax.fori_loop(0, ti // r, body, 0)
 
 
 def resample_tiles(
@@ -190,6 +201,8 @@ def resample_tiles(
     tile: tuple[int, int, int] = DEFAULT_TILE,
     mode: str = "linear",
     interpret: bool = False,
+    matmul_dtype=jnp.float32,
+    rows_per_step: int = 1,
 ):
     """Run the tiled Pallas resample.
 
@@ -222,7 +235,10 @@ def resample_tiles(
     cj = tile_major(jnp.asarray(coords[..., 1]))
     ck = tile_major(jnp.asarray(coords[..., 2]))
 
-    kernel = partial(_kernel_body, tile=tile, box=box, mode=mode)
+    kernel = partial(
+        _kernel_body, tile=tile, box=box, mode=mode, matmul_dtype=matmul_dtype,
+        rows_per_step=rows_per_step,
+    )
     vol_f32 = volume.astype(jnp.float32)
     bases = np.asarray(bases)
 
@@ -294,6 +310,8 @@ def pallas_resample(
     fill=0.0,
     tile: tuple[int, int, int] = DEFAULT_TILE,
     interpret: bool | None = None,
+    matmul_dtype=jnp.float32,
+    rows_per_step: int = 8,
 ):
     """Resample (C, I, J, K) at ``coords`` with a host tile plan.
 
@@ -328,7 +346,8 @@ def pallas_resample(
     coords_p = jnp.pad(coords, [(0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)])
     out = resample_tiles(
         volume, coords_p, bases, box, grid, tile=tile, mode=mode,
-        interpret=interpret,
+        interpret=interpret, matmul_dtype=matmul_dtype,
+        rows_per_step=rows_per_step,
     )
     out = out[:, : out_shape[0], : out_shape[1], : out_shape[2]]
 
