@@ -433,3 +433,60 @@ def test_per_axis_degrees_golden(volume):
         degrees=(4.0, 4.0, -6.0, -6.0, 11.0, 11.0)
     )
     _run_pair(make, volume, 1e-3)
+
+
+def test_crop_or_pad_units_golden(volume):
+    import torch
+
+    aff = np.diag([2.0, 2.0, 2.0, 1.0])
+    for kwargs in (
+        {"units": "mm"},
+        {"units": "cm"},
+    ):
+        target = 16 if kwargs["units"] == "mm" else 1.6
+        s_ref = ref.Subject(
+            t1=ref.ScalarImage(torch.as_tensor(volume.copy()), affine=aff)
+        )
+        s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy(), affine=aff))
+        o_ref = ref.CropOrPad(target, **kwargs)(s_ref)
+        o_mine = tio.CropOrPad(target, **kwargs)(s_mine)
+        np.testing.assert_array_equal(
+            np.asarray(o_mine.images["t1"].data), o_ref.t1.data.numpy()
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_mine.images["t1"].affine.data),
+            np.asarray(o_ref.t1.affine.data),
+            atol=1e-9,
+        )
+
+
+def test_crop_or_pad_only_crop_golden(volume):
+    import torch
+
+    s_ref = ref.Subject(t1=ref.ScalarImage(torch.as_tensor(volume.copy())))
+    s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy()))
+    o_ref = ref.CropOrPad((8, 20, 12), only_crop=True)(s_ref)
+    o_mine = tio.CropOrPad((8, 20, 12), only_crop=True)(s_mine)
+    np.testing.assert_array_equal(
+        np.asarray(o_mine.images["t1"].data), o_ref.t1.data.numpy()
+    )
+
+
+def test_include_exclude_scoping_golden(volume):
+    import torch
+
+    t_ref = ref.Flip(axes=(0,), flip_probability=1.0, include=["a"])
+    t_mine = tio.Flip(axes=(0,), flip_probability=1.0, include=["a"])
+    s_ref = ref.Subject(
+        a=ref.ScalarImage(torch.as_tensor(volume.copy())),
+        b=ref.ScalarImage(torch.as_tensor(volume.copy())),
+    )
+    s_mine = tio.Subject(
+        a=tio.ScalarImage(volume.copy()), b=tio.ScalarImage(volume.copy())
+    )
+    o_ref, o_mine = t_ref(s_ref), t_mine(s_mine)
+    np.testing.assert_array_equal(
+        np.asarray(o_mine.images["a"].data), o_ref.a.data.numpy()
+    )
+    np.testing.assert_array_equal(np.asarray(o_mine.images["b"].data), volume)
+    np.testing.assert_array_equal(o_ref.b.data.numpy(), volume)
