@@ -97,3 +97,41 @@ def test_isotropic_scales_equal_axes():
     mat = np.asarray(params["affine_matrix"])
     norms = np.linalg.norm(mat[:3, :3], axis=0)
     assert np.allclose(norms, norms[0], atol=1e-5)
+
+
+def test_constructor_surface_superset():
+    """Every reference transform ctor arg exists on the torchio_tpu class.
+
+    ``To`` is exempt: the reference forwards ``*to_args/**to_kwargs`` to
+    ``Tensor.to``; torchio_tpu names them (device, dtype) and accepts the
+    positional convention (a lone dtype-like argument is the dtype).
+    """
+    import inspect
+
+    exempt = {"To"}
+    gaps = []
+    for name in sorted(d for d in dir(ref) if isinstance(getattr(ref, d), type)):
+        rcls = getattr(ref, name)
+        if not (hasattr(rcls, "apply_transform") or hasattr(rcls, "make_params")):
+            continue
+        if name in exempt:
+            continue
+        mcls = getattr(tio, name, None)
+        assert mcls is not None, f"{name} missing from torchio_tpu"
+        try:
+            rsig = set(inspect.signature(rcls.__init__).parameters)
+            msig = set(inspect.signature(mcls.__init__).parameters)
+        except (ValueError, TypeError):
+            continue
+        gap = (rsig - msig) - {"self", "args", "kwargs"}
+        if gap:
+            gaps.append((name, sorted(gap)))
+    assert not gaps, gaps
+
+
+def test_to_accepts_positional_dtype():
+    import jax.numpy as jnp
+
+    data = np.ones((1, 4, 4, 4), np.float32)
+    out = tio.To(jnp.bfloat16)(data)
+    assert np.asarray(out).dtype == jnp.bfloat16

@@ -490,3 +490,60 @@ def test_include_exclude_scoping_golden(volume):
     )
     np.testing.assert_array_equal(np.asarray(o_mine.images["b"].data), volume)
     np.testing.assert_array_equal(o_ref.b.data.numpy(), volume)
+
+
+def test_compose_pipeline_golden(volume):
+    """Deterministic 4-stage pipeline end-to-end + history + inverse."""
+    import torch
+
+    def pipeline(m):
+        return m.Compose(
+            [
+                m.Flip(axes=(1,), flip_probability=1.0),
+                m.Affine(degrees=(6.0, 6.0), translation=(1.0, 1.0)),
+                m.Gamma(log_gamma=(0.2, 0.2)),
+                m.Clamp(out_min=0.05, out_max=0.95),
+            ]
+        )
+
+    s_ref = ref.Subject(t1=ref.ScalarImage(torch.as_tensor(volume.copy())))
+    s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy()))
+    out_ref = pipeline(ref)(s_ref)
+    out_mine = pipeline(tio)(s_mine)
+    np.testing.assert_allclose(
+        np.asarray(out_mine.images["t1"].data),
+        out_ref.t1.data.numpy(),
+        atol=1e-3,
+        rtol=0,
+    )
+    names_ref = [t.name for t in out_ref.applied_transforms]
+    names_mine = [t.name for t in out_mine.applied_transforms]
+    assert names_ref == names_mine == ["Flip", "Affine", "Gamma", "Clamp"]
+    inv_ref = out_ref.apply_inverse_transform()
+    inv_mine = out_mine.apply_inverse_transform()
+    np.testing.assert_allclose(
+        np.asarray(inv_mine.images["t1"].data),
+        inv_ref.t1.data.numpy(),
+        atol=2e-3,
+        rtol=0,
+    )
+
+
+def test_batched_spatial_golden(volume):
+    """Per-instance batched Affine with degenerate ranges matches ref."""
+    import torch
+
+    b = 3
+    batch_ref = ref.SubjectsBatch.from_subjects(
+        [ref.Subject(t1=ref.ScalarImage(torch.as_tensor(volume.copy())))] * b
+    )
+    batch_mine = tio.SubjectsBatch.from_subjects(
+        [tio.Subject(t1=tio.ScalarImage(volume.copy()))] * b
+    )
+    make = lambda m: m.Affine(  # noqa: E731
+        scales=(1.05, 1.05), degrees=(7.0, 7.0)
+    )
+    out_ref = make(ref)(batch_ref).images["t1"].data.numpy()
+    out_mine = np.asarray(make(tio)(batch_mine).images["t1"].data)
+    assert out_ref.shape == out_mine.shape
+    np.testing.assert_allclose(out_mine, out_ref, atol=1e-3, rtol=0)

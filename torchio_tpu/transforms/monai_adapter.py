@@ -37,9 +37,14 @@ class MonaiAdapter(Transform):
 
     _records_history = False
 
-    def __init__(self, transform: Any, **kwargs: Any) -> None:
+    def __init__(self, monai_transform: Any, **kwargs: Any) -> None:
         super().__init__(**kwargs)
-        self.transform = transform
+        if not callable(monai_transform):
+            raise TypeError(
+                "monai_transform must be callable,"
+                f" got {type(monai_transform).__name__}"
+            )
+        self.transform = monai_transform
 
     def apply_transform(
         self, batch: SubjectsBatch, params: dict[str, Any]
@@ -89,9 +94,14 @@ class CornucopiaAdapter(Transform):
 
     _records_history = False
 
-    def __init__(self, transform: Any, **kwargs: Any) -> None:
+    def __init__(self, cornucopia_transform: Any, **kwargs: Any) -> None:
         super().__init__(**kwargs)
-        self.transform = transform
+        if not callable(cornucopia_transform):
+            raise TypeError(
+                "cornucopia_transform must be callable,"
+                f" got {type(cornucopia_transform).__name__}"
+            )
+        self.transform = cornucopia_transform
 
     def apply_transform(
         self, batch: SubjectsBatch, params: dict[str, Any]

@@ -1103,8 +1103,24 @@ class Resample(Spatial):
     Parity reference: ``spatial.py:759-803``.
     """
 
-    def __init__(self, *, target=1.0, **kwargs: Any) -> None:
-        super().__init__(target=target, **kwargs)
+    def __init__(
+        self,
+        *,
+        target=1.0,
+        image_interpolation="linear",
+        label_interpolation="nearest",
+        one_hot_label_interpolation="linear",
+        antialias: bool = False,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(
+            target=target,
+            image_interpolation=image_interpolation,
+            label_interpolation=label_interpolation,
+            one_hot_label_interpolation=one_hot_label_interpolation,
+            antialias=antialias,
+            **kwargs,
+        )
 
 
 class Affine(Spatial):
@@ -1121,6 +1137,11 @@ class Affine(Spatial):
         translation=0.0,
         isotropic: bool = False,
         center: str = "image",
+        default_pad_value="minimum",
+        default_pad_label: float = 0,
+        image_interpolation="linear",
+        label_interpolation="nearest",
+        one_hot_label_interpolation="linear",
         **kwargs: Any,
     ) -> None:
         super().__init__(
@@ -1129,6 +1150,11 @@ class Affine(Spatial):
             translation=translation,
             isotropic=isotropic,
             center=center,
+            default_pad_value=default_pad_value,
+            default_pad_label=default_pad_label,
+            image_interpolation=image_interpolation,
+            label_interpolation=label_interpolation,
+            one_hot_label_interpolation=one_hot_label_interpolation,
             **kwargs,
         )
 
@@ -1142,14 +1168,22 @@ class ElasticDeformation(Spatial):
     def __init__(
         self,
         *,
+        control_points=None,
         num_control_points=7,
         max_displacement=7.5,
         locked_borders: int = 2,
+        image_interpolation="linear",
+        label_interpolation="nearest",
+        one_hot_label_interpolation="linear",
         **kwargs: Any,
     ) -> None:
         super().__init__(
+            control_points=control_points,
             num_control_points=num_control_points,
             max_displacement=max_displacement,
             locked_borders=locked_borders,
+            image_interpolation=image_interpolation,
+            label_interpolation=label_interpolation,
+            one_hot_label_interpolation=one_hot_label_interpolation,
             **kwargs,
         )
