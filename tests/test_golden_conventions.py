@@ -109,11 +109,24 @@ def test_constructor_surface_superset():
     import inspect
 
     exempt = {"To"}
+    data_model = [
+        "Image", "ScalarImage", "LabelMap", "Subject", "Points",
+        "BoundingBoxes", "SubjectsBatch", "ImagesBatch", "SubjectsLoader",
+        "ImagesLoader", "Queue", "GridSampler", "UniformSampler",
+        "WeightedSampler", "LabelSampler", "PatchAggregator",
+        "PatchLocation", "Compose", "OneOf", "SomeOf",
+    ]
     gaps = []
-    for name in sorted(d for d in dir(ref) if isinstance(getattr(ref, d), type)):
+    transform_names = [
+        d for d in dir(ref)
+        if isinstance(getattr(ref, d), type)
+        and (
+            hasattr(getattr(ref, d), "apply_transform")
+            or hasattr(getattr(ref, d), "make_params")
+        )
+    ]
+    for name in sorted(set(transform_names) | set(data_model)):
         rcls = getattr(ref, name)
-        if not (hasattr(rcls, "apply_transform") or hasattr(rcls, "make_params")):
-            continue
         if name in exempt:
             continue
         mcls = getattr(tio, name, None)
