@@ -130,6 +130,11 @@ class BoundingBoxes:
         return self._data
 
     @property
+    def device(self) -> str:
+        """Placement of the box data ("cpu": annotations stay on host)."""
+        return "cpu"
+
+    @property
     def format(self) -> BoundingBoxFormat:
         return self._format
 

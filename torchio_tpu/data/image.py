@@ -67,6 +67,11 @@ class Image(Invertible):
         **kwargs: arbitrary metadata (attribute- and key-accessible).
     """
 
+    #: Source types accepted by the constructor (mirror of the reference's
+    #: ``Image.ImageInput``; zarr stores are additionally accepted when the
+    #: optional dependency is present).
+    ImageInput = object  # documented alias; runtime dispatch is duck-typed
+
     def __init__(
         self,
         source: Any = None,

@@ -56,6 +56,11 @@ class Points:
         return self._data
 
     @property
+    def device(self) -> str:
+        """Placement of the point data ("cpu": annotations stay on host)."""
+        return "cpu"
+
+    @property
     def axes(self) -> str:
         return self._axes
 
