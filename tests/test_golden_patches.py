@@ -162,3 +162,46 @@ def test_image_region_read_golden(volume):
     np.testing.assert_allclose(
         np.asarray(r_mine.affine.data), np.asarray(r_ref.affine.data), atol=1e-9
     )
+
+
+def test_points_conversions_golden():
+    import torch
+
+    pts = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+    aff = np.diag([2.0, -1.0, 1.5, 1.0])
+    aff[:3, 3] = (10.0, 20.0, -5.0)
+    p_ref = ref.Points(torch.as_tensor(pts), axes="IJK", affine=aff)
+    p_mine = tio.Points(pts, axes="IJK", affine=aff)
+    np.testing.assert_allclose(
+        np.asarray(p_mine.to_world()), p_ref.to_world().numpy(), atol=1e-5
+    )
+    for target in ("RAS", "LPS", "LPI", "KJI", "JIK"):
+        np.testing.assert_allclose(
+            np.asarray(p_mine.to_axes(target).data),
+            p_ref.to_axes(target).data.numpy(),
+            atol=1e-5,
+            err_msg=target,
+        )
+
+
+def test_bboxes_conversions_golden():
+    import torch
+
+    boxes = np.array([[1.0, 2.0, 3.0, 5.0, 7.0, 9.0]], np.float32)
+    aff = np.diag([2.0, -1.0, 1.5, 1.0])
+    aff[:3, 3] = (10.0, 20.0, -5.0)
+    b_ref = ref.BoundingBoxes(
+        torch.as_tensor(boxes), format=ref.BoundingBoxFormat.IJKIJK, affine=aff
+    )
+    b_mine = tio.BoundingBoxes(
+        boxes, format=tio.BoundingBoxFormat.IJKIJK, affine=aff
+    )
+    for fmt_args in (("IJK", "center_size"), ("RAS", "corners"), ("KJI", "corners")):
+        f_ref = ref.BoundingBoxFormat(*fmt_args)
+        f_mine = tio.BoundingBoxFormat(*fmt_args)
+        np.testing.assert_allclose(
+            np.asarray(b_mine.to_format(f_mine).data),
+            b_ref.to_format(f_ref).data.numpy(),
+            atol=1e-4,
+            err_msg=str(fmt_args),
+        )
