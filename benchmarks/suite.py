@@ -115,6 +115,8 @@ def config2() -> dict:
 
 
 def config3() -> dict:
+    import copy
+
     tio.seed(0)
     pipeline = tio.Compose(
         [
@@ -127,7 +129,11 @@ def config3() -> dict:
         {"ch": (4, 192, 192, 96), "seg": (1, 192, 192, 96)},
         spacing=(1.0, 1.0, 2.0),
     )
-    vps = _time(lambda: pipeline(batch))
+    # Resample changes the spatial shape, so each iteration must start
+    # from the ORIGINAL batch (a mutated copy=False batch would grow and
+    # recompile every iteration); deepcopy shares the immutable device
+    # buffers, so this is metadata-only.
+    vps = _time(lambda: pipeline(copy.deepcopy(batch)))
     return {
         "metric": "config3 Affine+Resample-to-1mm 4ch+labels volumes/sec",
         "value": round(vps, 2),
