@@ -119,36 +119,96 @@ def _reflect_index(idx, size: int):
     return jnp.where(idx >= size, period - idx, idx)
 
 
+def _fold_coord(x, size: int):
+    """Fold an arbitrary coordinate into [0, size-1] under mirror (dct1)
+    symmetry: the spline of mirror-extended coefficients satisfies
+    f(x) = f(fold(x)), so sampling at the fold is exact."""
+    if size == 1:
+        return jnp.zeros_like(x)
+    period = 2.0 * (size - 1)
+    y = jnp.mod(jnp.abs(x), period)
+    return jnp.where(y > size - 1, period - y, y)
+
+
 @partial(jax.jit, static_argnames=("order",))
 def _sample_element(coeffs, pts, order: int):
-    """coeffs (C, I, J, K) prefiltered; pts (M, 3) -> (C, M)."""
-    c, si, sj, sk = coeffs.shape
-    flat = coeffs.reshape(c, -1)
-    taps = order + 1
-    out = jnp.zeros((c, pts.shape[0]), jnp.float32)
-    axes = []
-    for a, size in enumerate((si, sj, sk)):
-        x = pts[:, a]
-        base = jnp.floor(x + 0.5).astype(jnp.int32) if order % 2 == 0 else jnp.floor(
-            x
-        ).astype(jnp.int32)
-        start = base - order // 2
-        weights = []
-        indices = []
-        for t in range(taps):
-            tap = start + t
-            weights.append(_bspline_kernel(x - tap.astype(jnp.float32), order))
-            indices.append(_reflect_index(tap, size))
-        axes.append((weights, indices))
+    """coeffs (C, I, J, K) prefiltered; pts (M, 3) -> (C, M).
 
-    (wi, ii), (wj, jj), (wk, kk) = axes
-    for a in range(taps):
-        for b in range(taps):
-            base_ij = ii[a] * (sj * sk) + jj[b] * sk
-            w_ij = wi[a] * wj[b]
-            for d in range(taps):
-                w = w_ij * wk[d]
-                out = out + w[None, :] * jnp.take(flat, base_ij + kk[d], axis=1)
+    Block-gather formulation (same trick as ops/resample.py): TPU
+    gathers cost per-index almost independent of row width, so the
+    (order+1) k-taps — and for order <= 3 the full (order+1)^2 (j, k)
+    tap block — are materialized as one wide row of a halo-padded
+    coefficient volume, collapsing taps^3 takes to taps^2 (or taps).
+    Coordinates are folded into [0, size-1] first so a fixed
+    ``order``-wide reflected halo covers every tap exactly.
+    """
+    c, si, sj, sk = coeffs.shape
+    taps = order + 1
+    halo = order
+
+    padded = coeffs
+    for axis, size in ((1, si), (2, sj), (3, sk)):
+        ref_idx = np.arange(-halo, size + halo)
+        if size == 1:
+            ref_idx = np.zeros_like(ref_idx)
+        else:
+            period = 2 * size - 2
+            ref_idx = np.abs(ref_idx) % period
+            ref_idx = np.where(ref_idx >= size, period - ref_idx, ref_idx)
+        padded = jnp.take(padded, jnp.asarray(ref_idx, jnp.int32), axis=axis)
+    sip, sjp, skp = si + 2 * halo, sj + 2 * halo, sk + 2 * halo
+
+    starts, weights = [], []
+    for a, size in enumerate((si, sj, sk)):
+        x = _fold_coord(pts[:, a], size)
+        base = (
+            jnp.floor(x + 0.5).astype(jnp.int32)
+            if order % 2 == 0
+            else jnp.floor(x).astype(jnp.int32)
+        )
+        start = base - order // 2
+        w = jnp.stack(
+            [
+                _bspline_kernel(x - (start + t).astype(jnp.float32), order)
+                for t in range(taps)
+            ],
+            axis=-1,
+        )  # (M, taps)
+        starts.append(start + halo)  # index into the padded volume
+        weights.append(w)
+    (si0, sj0, sk0), (wi, wj, wk) = starts, weights
+
+    out = jnp.zeros((c, pts.shape[0]), jnp.float32)
+    if taps * taps <= 16:
+        # pack the full (j, k) tap block into one row: taps takes total
+        sjb, skb = sjp - taps + 1, skp - taps + 1
+        block = jnp.stack(
+            [
+                padded[:, :, dj : dj + sjb, dk : dk + skb]
+                for dj in range(taps)
+                for dk in range(taps)
+            ],
+            axis=-1,
+        ).reshape(c, sip * sjb * skb, taps * taps)
+        w_jk = (wj[:, :, None] * wk[:, None, :]).reshape(
+            pts.shape[0], taps * taps
+        )
+        for a in range(taps):
+            idx = (si0 + a) * (sjb * skb) + sj0 * skb + sk0
+            vals = jnp.take(block, idx, axis=1)  # (C, M, taps^2)
+            out = out + wi[:, a][None, :] * jnp.sum(vals * w_jk[None], axis=-1)
+    else:
+        # wide orders: pack k only (taps^2 takes instead of taps^3)
+        skb = skp - taps + 1
+        block = jnp.stack(
+            [padded[:, :, :, dk : dk + skb] for dk in range(taps)], axis=-1
+        ).reshape(c, sip * sjp * skb, taps)
+        for a in range(taps):
+            for b in range(taps):
+                idx = (si0 + a) * (sjp * skb) + (sj0 + b) * skb + sk0
+                vals = jnp.take(block, idx, axis=1)  # (C, M, taps)
+                w = wi[:, a] * wj[:, b]
+                out = out + w[None, :] * jnp.sum(vals * wk[None], axis=-1)
     return out
 
 
