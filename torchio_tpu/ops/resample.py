@@ -69,19 +69,21 @@ def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
         # (clip(x0, -1, s-1) + 1, ...) is correct for all x0 in
         # [-1, s-1]; out-of-range corners read the zero pad and carry
         # zero weight anyway. Costs 8x the volume in scratch HBM.
-        vp = jnp.pad(
-            flat.reshape(c, si, sj, sk), ((0, 0), (1, 1), (1, 1), (1, 1))
-        )
         sip, sjp, skp = si + 1, sj + 1, sk + 1
-        block = jnp.stack(
-            [
-                vp[:, di : di + sip, dj : dj + sjp, dk : dk + skp]
-                for di in (0, 1)
-                for dj in (0, 1)
-                for dk in (0, 1)
-            ],
-            axis=-1,
-        ).reshape(c, sip * sjp * skp, 8)
+
+        def corner_block(channels):
+            vp = jnp.pad(
+                channels.reshape(-1, si, sj, sk), ((0, 0), (1, 1), (1, 1), (1, 1))
+            )
+            return jnp.stack(
+                [
+                    vp[:, di : di + sip, dj : dj + sjp, dk : dk + skp]
+                    for di in (0, 1)
+                    for dj in (0, 1)
+                    for dk in (0, 1)
+                ],
+                axis=-1,
+            ).reshape(-1, sip * sjp * skp, 8)
 
         i0 = jnp.floor(ci).astype(jnp.int32)
         j0 = jnp.floor(cj).astype(jnp.int32)
@@ -106,8 +108,15 @@ def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
         jb = jnp.clip(j0, -1, sj - 1) + 1
         kb = jnp.clip(k0, -1, sk - 1) + 1
         idx = ib * (sjp * skp) + jb * skp + kb
-        corners = jnp.take(block, idx, axis=1)  # (C, M, 8)
-        acc = jnp.sum(corners * weights[None], axis=-1)  # (C, M)
+        # chunk channels so the 8x scratch block stays bounded (~2 GB):
+        # label partial-volume mode resamples one channel per label
+        chunk = max(1, int(2e9 // max(sip * sjp * skp * 8 * 4, 1)))
+        parts = []
+        for lo in range(0, c, chunk):
+            block = corner_block(flat[lo : lo + chunk])
+            corners = jnp.take(block, idx, axis=1)  # (chunk, M, 8)
+            parts.append(jnp.sum(corners * weights[None], axis=-1))
+        acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     if not apply_fill:
         # fill == 0: grid_sample's zero padding already produces the
