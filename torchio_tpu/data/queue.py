@@ -78,6 +78,14 @@ class Queue:
         yield from self._flush(buffer)
 
     def _iter_threaded(self, subject_iter, buffer) -> Iterator[Subject]:
+        # First subject runs SYNCHRONOUSLY so jit compilation of the
+        # transform happens once, uncontended, in this thread — workers
+        # submitted afterwards hit warm executables. (Measured on the
+        # tunneled TPU backend: N workers tracing the same transforms
+        # concurrently serialize on compilation for ~20 s per process.)
+        first = next(subject_iter, None)
+        if first is not None:
+            buffer.extend(self._sample_patches(self._prepare(first)))
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             futures: deque[Future] = deque()
             for raw in subject_iter:
