@@ -92,3 +92,45 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_halo_resample_affine_matches_unsharded():
+    import jax
+    import jax.numpy as jnp
+
+    from torchio_tpu.ops.resample import build_coords, resample
+    from torchio_tpu.parallel import make_mesh
+    from torchio_tpu.parallel.halo import halo_resample_affine
+    from torchio_tpu.parallel.mesh import batch_sharding
+
+    mesh = make_mesh(jax.devices(), space=2)
+    b, c, si, sj, sk = 4, 1, 16, 32, 16
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((b, c, si, sj, sk), np.float32))
+
+    theta = np.deg2rad(7.0)
+    m = np.eye(4)
+    m[0, 0] = m[1, 1] = np.cos(theta)
+    m[0, 1], m[1, 0] = -np.sin(theta), np.sin(theta)
+    m[:3, 3] = (1.5, -2.0, 0.5)
+
+    expected = resample(x, build_coords((si, sj, sk), m), mode="linear", fill=0.0)
+
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = halo_resample_affine(xs, m, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+def test_halo_resample_rejects_oversized_halo():
+    import jax
+    import jax.numpy as jnp
+
+    from torchio_tpu.parallel import make_mesh
+    from torchio_tpu.parallel.halo import halo_resample_affine
+
+    mesh = make_mesh(jax.devices(), space=2)
+    x = jnp.zeros((4, 1, 8, 16, 8), jnp.float32)
+    m = np.eye(4)
+    m[1, 3] = 50.0  # J displacement far beyond the local shard width
+    with pytest.raises(ValueError, match="[Hh]alo"):
+        halo_resample_affine(x, m, mesh)

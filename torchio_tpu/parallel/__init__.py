@@ -1,10 +1,11 @@
-from .halo import halo_blur
+from .halo import halo_blur, halo_resample_affine
 from .mesh import batch_sharding, make_mesh, replicated_sharding, shard_batch
 from .step import make_augment_step, sample_step_params
 
 __all__ = [
     "batch_sharding",
     "halo_blur",
+    "halo_resample_affine",
     "make_augment_step",
     "make_mesh",
     "replicated_sharding",
