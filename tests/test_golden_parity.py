@@ -547,3 +547,16 @@ def test_batched_spatial_golden(volume):
     out_mine = np.asarray(make(tio)(batch_mine).images["t1"].data)
     assert out_ref.shape == out_mine.shape
     np.testing.assert_allclose(out_mine, out_ref, atol=1e-3, rtol=0)
+
+
+def test_2d_image_golden():
+    """(C, I, J, 1) volumes (2D images): size-1 axes never go OOB in
+    grid_sample's align_corners unnormalization — kernel must match."""
+    import torch
+
+    vol2d = np.random.default_rng(15).random((1, 24, 24, 1), np.float32)
+    make = lambda m: m.Affine(  # noqa: E731
+        degrees=(0.0, 0.0, 0.0, 0.0, 11.0, 11.0),  # in-plane rotation
+        translation=(1.0, 1.0),
+    )
+    _run_pair(make, vol2d, 1e-3)

@@ -157,3 +157,38 @@ class TestGaussian:
         out = np.asarray(gaussian_blur_per_element(x, sig))
         np.testing.assert_allclose(out[1], x[1], rtol=1e-5, atol=1e-6)
         assert out[0].std() < 0.7 * x[0].std()
+
+
+def test_exact_integer_boundary_coords(rng):
+    """Corner coords exactly on voxel centers and volume edges."""
+    data = rng.normal(size=(1, 1, 5, 6, 7)).astype(np.float32)
+    ii, jj, kk = np.meshgrid(
+        np.arange(-1, 6, dtype=np.float32),
+        np.arange(-1, 7, dtype=np.float32),
+        np.arange(-1, 8, dtype=np.float32),
+        indexing="ij",
+    )
+    coords = np.stack([ii, jj, kk], axis=-1)
+    got = np.asarray(resample(data, coords, mode="linear", fill=0.0))
+    want = torch_grid_sample_oracle(data, coords, "bilinear")
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_single_voxel_axis(rng, axis):
+    shape = [1, 1, 6, 6, 6]
+    shape[2 + axis] = 1
+    data = rng.normal(size=shape).astype(np.float32)
+    out_shape = (4, 4, 4)
+    coords = random_coords(rng, out_shape, tuple(shape[2:]))
+    got = np.asarray(resample(data, coords, mode="linear", fill=0.0))
+    want = torch_grid_sample_oracle(data, coords, "bilinear")
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_far_out_of_bounds_coords(rng):
+    data = rng.normal(size=(1, 1, 6, 6, 6)).astype(np.float32)
+    coords = rng.uniform(-50, 60, size=(5, 5, 5, 3)).astype(np.float32)
+    got = np.asarray(resample(data, coords, mode="linear", fill=0.0))
+    want = torch_grid_sample_oracle(data, coords, "bilinear")
+    np.testing.assert_allclose(got, want, atol=1e-5)

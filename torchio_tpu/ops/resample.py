@@ -44,6 +44,16 @@ def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
     c = flat.shape[0]
     m = pts.shape[0]
     ci, cj, ck = pts[:, 0], pts[:, 1], pts[:, 2]
+    # size-1 axes: grid_sample(align_corners=True) unnormalizes with
+    # (size - 1) = 0, so EVERY coordinate maps to index 0 with full
+    # weight and is never out of bounds (2D images stored as (C,I,J,1));
+    # forcing the coordinate to 0 reproduces that exactly
+    if si == 1:
+        ci = jnp.zeros_like(ci)
+    if sj == 1:
+        cj = jnp.zeros_like(cj)
+    if sk == 1:
+        ck = jnp.zeros_like(ck)
 
     if mode == "nearest":
         ri = jnp.round(ci).astype(jnp.int32)
