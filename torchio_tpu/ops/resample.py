@@ -8,17 +8,22 @@ padding_mode="zeros")`` working directly in **input voxel coordinates**
 (the reference normalizes to [-1, 1] and back; align_corners=True makes
 the two formulations identical):
 
-- trilinear: 8 corner gathers; corners outside the volume contribute 0.
+- trilinear: ONE block-gather fetches all 8 corner values per voxel
+  (see the kernel comment); corners outside the volume contribute 0.
 - nearest: round-half-to-even then a single gather.
+- size-1 axes: every coordinate maps to index 0 with full weight and is
+  never out of bounds (align_corners unnormalizes by ``size - 1 = 0``).
 - out-of-bounds fill: the trilinear in-bounds weight sum is the exact
   analog of grid-sampling a ones-volume; voxels with weight <= 0.5 are
   replaced by the fill value (scalar or per-channel), mirroring
   ``spatial.py:1719-1728``.
 
-Design notes for TPU: the volume is flattened and corner reads become
-1D gathers of linear indices — XLA lowers these to efficient dynamic
-gathers on TPU, and the 8 corner terms fuse into one kernel. The fused
-form avoids materializing a normalized grid or a ones-mask volume.
+Design notes for TPU: gather cost is per-index and nearly independent
+of row width, so the eight corner values are materialized as one 8-wide
+row of a zero-padded volume and fetched with a single ``jnp.take`` —
+317 ms per 256^3 volume on v5e vs ~1.2 s for separate corner gathers
+(measurement series in BASELINE.md). No normalized grid or ones-mask
+volume is ever materialized.
 """
 
 from __future__ import annotations
@@ -35,10 +40,10 @@ def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
 
     flat (C, N) flattened volume; pts (M, 3) coords; fill_row (C,) or
     scalar. Per-element 1D ``jnp.take`` gathers are used deliberately:
-    XLA lowers batched (B > 1) gathers on TPU to a scalar loop that is
-    ~10^4x slower for non-trivial index patterns, while the single-batch
-    form vectorizes (measured on v5e: 9.3 s vs ~1 ms for a 4x256^3
-    rotated resample).
+    XLA lowers batched (B > 1) gathers on TPU to a drastically slower
+    loop for non-trivial index patterns, while the single-batch form
+    vectorizes (measured on v5e: a batched 4x256^3 rotated resample took
+    ~9 s where four sequential single-element calls take ~0.3 s each).
     """
     si, sj, sk = spatial
     c = flat.shape[0]
