@@ -1,6 +1,9 @@
-"""ITK-SNAP sample subjects.
+"""ITK-SNAP sample subjects (www.itksnap.org), table-driven.
 
 Parity reference: ``/root/reference/src/torchio/datasets/itk_snap/``.
+Each dataset is described by a spec: its NITRC release code plus a
+mapping of subject keys to (filename, is_label) pairs; one generic
+downloader builds the Subject from the spec.
 """
 
 from __future__ import annotations
@@ -11,66 +14,68 @@ from ..data.image import LabelMap, ScalarImage
 from ..data.subject import Subject
 from ..utils.download import download_and_extract_archive, get_cache_dir
 
+_NITRC = "https://www.nitrc.org/frs/download.php/"
+
+#: dataset name -> (release code, {key: (relative filename, is_label)})
+_SPECS: dict[str, tuple[str, dict[str, tuple[str, bool]]]] = {
+    "braintumor": (
+        "10793",
+        {
+            "flair": ("flair.nii.gz", False),
+            "t1": ("t1.nii.gz", False),
+            "t1ce": ("t1ce.nii.gz", False),
+            "t2": ("t2.nii.gz", False),
+            "seg": ("seg.nii.gz", True),
+        },
+    ),
+    "t1t2": (
+        "10794",
+        {"t1": ("t1.nii.gz", False), "t2": ("t2.nii.gz", False)},
+    ),
+    "bav": (
+        "10795",
+        {"image": ("bav01.nii.gz", False), "seg": ("bav01_seg.nii.gz", True)},
+    ),
+}
+
 
 class SubjectITKSNAP(Subject):
-    """Base for www.itksnap.org sample data."""
+    """Base for ITK-SNAP sample data; subclasses pick a ``_SPECS`` entry."""
 
-    url_base = "https://www.nitrc.org/frs/download.php/"
+    dataset_name: str = ""
 
-    def __init__(self, name: str, code: str) -> None:
-        self.name = name
-        url = urllib.parse.urljoin(self.url_base, f"{code}/{name}.zip")
-        self.download_root = get_cache_dir() / name
-        if not self.download_root.is_dir():
+    def __init__(self) -> None:
+        name = self.dataset_name
+        code, files = _SPECS[name]
+        root = get_cache_dir() / name
+        if not root.is_dir():
             download_and_extract_archive(
-                url, download_root=self.download_root, filename=f"{name}.zip"
+                urllib.parse.urljoin(_NITRC, f"{code}/{name}.zip"),
+                download_root=root,
+                filename=f"{name}.zip",
             )
-        super().__init__(**self._get_kwargs())
-
-    def _get_kwargs(self) -> dict:
-        raise NotImplementedError
+        self.name = name
+        self.download_root = root
+        images = {
+            key: (LabelMap if is_label else ScalarImage)(root / name / fname)
+            for key, (fname, is_label) in files.items()
+        }
+        super().__init__(**images)
 
 
 class BrainTumor(SubjectITKSNAP):
     """Multi-modal MRI with glioblastoma segmentation."""
 
-    def __init__(self) -> None:
-        super().__init__("braintumor", "10793")
-
-    def _get_kwargs(self) -> dict:
-        root = self.download_root / self.name
-        return {
-            "flair": ScalarImage(root / "flair.nii.gz"),
-            "t1": ScalarImage(root / "t1.nii.gz"),
-            "t1ce": ScalarImage(root / "t1ce.nii.gz"),
-            "t2": ScalarImage(root / "t2.nii.gz"),
-            "seg": LabelMap(root / "seg.nii.gz"),
-        }
+    dataset_name = "braintumor"
 
 
 class T1T2(SubjectITKSNAP):
     """Paired T1 and T2 acquisitions."""
 
-    def __init__(self) -> None:
-        super().__init__("t1t2", "10794")
-
-    def _get_kwargs(self) -> dict:
-        root = self.download_root / self.name
-        return {
-            "t1": ScalarImage(root / "t1.nii.gz"),
-            "t2": ScalarImage(root / "t2.nii.gz"),
-        }
+    dataset_name = "t1t2"
 
 
 class AorticValve(SubjectITKSNAP):
     """Time-resolved aortic valve CT with segmentations."""
 
-    def __init__(self) -> None:
-        super().__init__("bav", "10795")
-
-    def _get_kwargs(self) -> dict:
-        root = self.download_root / self.name
-        return {
-            "image": ScalarImage(root / "bav01.nii.gz"),
-            "seg": LabelMap(root / "bav01_seg.nii.gz"),
-        }
+    dataset_name = "bav"

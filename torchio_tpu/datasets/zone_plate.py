@@ -23,19 +23,16 @@ class ZonePlate(Subject):
 
     @staticmethod
     def _generate_image(size: int) -> ScalarImage:
-        if size % 2 == 1:
-            fin = (size - 1) // 2
-            ini = -fin
-        else:
-            fin = size // 2
-            ini = -fin + 1
-        coords = np.arange(ini, fin + 1)
-        xx, yy, zz = np.meshgrid(coords, coords, coords)
-        r = np.sqrt(xx**2 + yy**2 + zz**2)
-        km = 0.8 * np.pi
-        rm = ini
-        w = rm / 10
-        g = np.sin((km * r**2) / (2 * rm)) * (0.5 * np.tanh((rm - r) / w) + 0.5)
+        # centered integer lattice: odd sizes are symmetric about 0,
+        # even sizes start one step later so the extent stays `size`
+        origin = -(size - 1) // 2 if size % 2 else -(size // 2) + 1
+        axis = np.arange(origin, origin + size, dtype=np.float64)
+        grids = np.meshgrid(axis, axis, axis)
+        radius = np.sqrt(sum(g * g for g in grids))
+        # eq. 10.63: chirp sin(km r^2 / 2 rm) faded by a tanh envelope
+        km, rm = 0.8 * np.pi, float(origin)
+        envelope = 0.5 * (np.tanh((rm - radius) / (rm / 10)) + 1.0)
+        plate = np.sin(km * radius * radius / (2.0 * rm)) * envelope
         affine = np.eye(4)
-        affine[:3, 3] = (ini, ini, ini)
-        return ScalarImage(g[np.newaxis].astype(np.float32), affine=affine)
+        affine[:3, 3] = origin
+        return ScalarImage(plate[None].astype(np.float32), affine=affine)
