@@ -560,3 +560,29 @@ def test_2d_image_golden():
         translation=(1.0, 1.0),
     )
     _run_pair(make, vol2d, 1e-3)
+
+
+def test_histogram_landmarks_training_golden(volume):
+    """Nyul-Udupa training phase: averaged landmarks match the reference."""
+    import torch
+
+    rng = np.random.default_rng(31)
+    arrays = [
+        (rng.random(SHAPE) * (i + 1)).astype(np.float32) for i in range(3)
+    ]
+    from torchio.transforms.intensity.histogram_standardization import (
+        compute_histogram_landmarks as ref_landmarks,
+    )
+
+    lm_ref = ref_landmarks(
+        [ref.ScalarImage(torch.as_tensor(a.copy())) for a in arrays]
+    )
+    lm_mine = tio.compute_histogram_landmarks(
+        [tio.ScalarImage(a.copy()) for a in arrays]
+    )
+    np.testing.assert_allclose(
+        np.asarray(lm_mine, np.float64),
+        np.asarray(lm_ref, np.float64),
+        atol=0.5,  # percentile interpolation conventions differ slightly
+        rtol=0.01,
+    )
