@@ -148,3 +148,14 @@ def test_to_accepts_positional_dtype():
     data = np.ones((1, 4, 4, 4), np.float32)
     out = tio.To(jnp.bfloat16)(data)
     assert np.asarray(out).dtype == jnp.bfloat16
+
+
+def test_top_level_api_superset():
+    """Every public top-level reference name exists in torchio_tpu.
+
+    'version' is exempt: it is the reference's leaked
+    ``from importlib.metadata import version`` helper, not API.
+    """
+    ref_pub = {n for n in dir(ref) if not n.startswith("_")} - {"version"}
+    mine_pub = {n for n in dir(tio) if not n.startswith("_")}
+    assert not (ref_pub - mine_pub), sorted(ref_pub - mine_pub)

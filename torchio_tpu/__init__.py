@@ -26,6 +26,21 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         pass
 
 from . import datasets, profiling, random  # noqa: A004  (random named like stdlib on purpose, like torch)
+from . import external, types
+from .data import loader
+from .types import (
+    TypeAffineMatrix,
+    TypeDirection,
+    TypeImageData,
+    TypeOrientationCodes,
+    TypeOrigin,
+    TypePath,
+    TypeSpacing,
+    TypeSpatialShape,
+    TypeTensorShape,
+    TypeWorldPoints,
+)
+from .utils import download
 from .core.affine import AffineMatrix
 from .data.aggregator import PatchAggregator
 from .data.batch import ImagesBatch, StudiesBatch, SubjectsBatch
