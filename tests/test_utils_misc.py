@@ -1,0 +1,179 @@
+"""Direct unit tests for helper APIs exercised only indirectly elsewhere."""
+
+from __future__ import annotations
+
+import hashlib
+import tarfile
+import zipfile
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+
+
+class TestStatistics:
+    def test_compute_quantile_matches_numpy(self, rng):
+        from torchio_tpu.transforms._statistics import compute_quantile
+
+        values = rng.normal(size=10_000).astype(np.float32)
+        for q in (0.0, 0.25, 0.5, 0.995, 1.0):
+            got = compute_quantile(values, q)
+            want = float(np.quantile(values, q))
+            assert abs(got - want) < 1e-4, q
+
+    def test_compute_quantiles_vector(self, rng):
+        from torchio_tpu.transforms._statistics import compute_quantiles
+
+        values = rng.normal(size=5_000).astype(np.float32)
+        qs = [0.1, 0.5, 0.9]
+        got = compute_quantiles(values, qs)
+        np.testing.assert_allclose(got, np.quantile(values, qs), atol=1e-4)
+
+
+class TestCollate:
+    def test_collate_subjects(self, rng):
+        from torchio_tpu.data.loader import collate_subjects
+
+        subjects = [
+            tio.Subject(t1=tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32)))
+            for _ in range(3)
+        ]
+        batch = collate_subjects(subjects)
+        assert batch.batch_size == 3
+        assert batch.images["t1"].data.shape == (3, 1, 4, 4, 4)
+
+    def test_collate_images(self, rng):
+        from torchio_tpu.data.loader import collate_images
+
+        images = [
+            tio.ScalarImage(rng.random((2, 4, 4, 4)).astype(np.float32))
+            for _ in range(2)
+        ]
+        batch = collate_images(images)
+        assert batch.data.shape == (2, 2, 4, 4, 4)
+
+
+class TestRegistry:
+    def test_get_transform_class(self):
+        from torchio_tpu.transforms.transform import get_transform_class
+
+        assert get_transform_class("Affine") is tio.Affine
+        assert get_transform_class("Noise") is tio.Noise
+
+    def test_registered_backends_names(self):
+        from torchio_tpu.io.backends import registered_backends
+
+        names = registered_backends()
+        assert any("nifti" in str(n).lower() for n in names), names
+
+
+class TestUniqueLabels:
+    def test_matches_numpy_unique(self, rng):
+        import jax.numpy as jnp
+
+        from torchio_tpu.transforms._utils import unique_labels
+
+        data = rng.integers(0, 9, (4, 5, 6)).astype(np.int32)
+        got = unique_labels(jnp.asarray(data))
+        assert got == sorted(int(v) for v in np.unique(data))
+
+    def test_host_fallback_for_floats(self, rng):
+        from torchio_tpu.transforms._utils import unique_labels
+
+        data = np.asarray([0.0, 2.0, 2.0, 5.0])
+        assert unique_labels(data) == [0, 2, 5]
+
+
+class TestDownloadUtils:
+    def test_check_integrity_md5(self, tmp_path):
+        from torchio_tpu.utils.download import check_integrity
+
+        f = tmp_path / "blob.bin"
+        f.write_bytes(b"hello world")
+        md5 = hashlib.md5(b"hello world").hexdigest()
+        assert check_integrity(f, md5)
+        assert not check_integrity(f, "0" * 32)
+
+    def test_extract_zip(self, tmp_path):
+        from torchio_tpu.utils.download import extract_archive
+
+        archive = tmp_path / "a.zip"
+        with zipfile.ZipFile(archive, "w") as z:
+            z.writestr("inner/data.txt", "payload")
+        out = tmp_path / "out"
+        extract_archive(archive, out)
+        assert (out / "inner" / "data.txt").read_text() == "payload"
+
+    def test_extract_tar(self, tmp_path):
+        from torchio_tpu.utils.download import extract_archive
+
+        src = tmp_path / "data.txt"
+        src.write_text("tar-payload")
+        archive = tmp_path / "a.tar.gz"
+        with tarfile.open(archive, "w:gz") as t:
+            t.add(src, arcname="data.txt")
+        out = tmp_path / "out"
+        extract_archive(archive, out)
+        assert (out / "data.txt").read_text() == "tar-payload"
+
+    def test_cache_dir_is_path(self):
+        from torchio_tpu.utils.download import get_cache_dir
+
+        d = get_cache_dir()
+        assert d.name  # a real path object with a name
+
+
+class TestAxes:
+    def test_opposite(self):
+        from torchio_tpu.core.axes import opposite
+
+        assert opposite("R") == "L"
+        assert opposite("A") == "P"
+        assert opposite("S") == "I"
+        assert opposite("L") == "R"
+
+
+class TestRandom:
+    def test_seed_reproducible_draws(self):
+        tio.seed(123)
+        a = tio.random.draw_seed()
+        tio.seed(123)
+        b = tio.random.draw_seed()
+        assert a == b
+
+    def test_randint_range(self):
+        tio.seed(0)
+        vals = [tio.random.randint(0, 5) for _ in range(50)]
+        assert set(vals) <= set(range(5))
+
+
+class TestUpsampleVolume:
+    def test_matches_torch_interpolate(self, rng):
+        import torch
+        import torch.nn.functional as F
+
+        from torchio_tpu.ops.resample import upsample_volume
+
+        x = rng.normal(size=(1, 1, 5, 6, 7)).astype(np.float32)
+        got = np.asarray(upsample_volume(x, (10, 12, 14)))
+        want = F.interpolate(
+            torch.as_tensor(x), size=(10, 12, 14), mode="trilinear",
+            align_corners=True,
+        ).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestPadParsing:
+    def test_parse_six_forms(self):
+        from torchio_tpu.transforms.spatial.pad import parse_six
+
+        assert parse_six(2, "Padding") == (2, 2, 2, 2, 2, 2)
+        assert parse_six((1, 2, 3), "Padding") == (1, 1, 2, 2, 3, 3)
+        assert parse_six((1, 2, 3, 4, 5, 6), "Padding") == (1, 2, 3, 4, 5, 6)
+
+    def test_parse_six_rejects_bad_lengths(self):
+        from torchio_tpu.transforms.spatial.pad import parse_six
+
+        with pytest.raises(ValueError):
+            parse_six((1, 2), "Padding")
