@@ -159,3 +159,63 @@ def test_top_level_api_superset():
     ref_pub = {n for n in dir(ref) if not n.startswith("_")} - {"version"}
     mine_pub = {n for n in dir(tio) if not n.startswith("_")}
     assert not (ref_pub - mine_pub), sorted(ref_pub - mine_pub)
+
+
+ERROR_CASES = [
+    (
+        "5d-tensor",
+        lambda m, torch_mode: m.ScalarImage(
+            _as(np.random.rand(1, 1, 4, 4, 4).astype(np.float32), torch_mode)
+        ),
+        ValueError,
+    ),
+    (
+        "3x3-affine",
+        lambda m, torch_mode: m.ScalarImage(
+            _as(np.random.rand(1, 4, 4, 4).astype(np.float32), torch_mode),
+            affine=np.eye(3),
+        ),
+        ValueError,
+    ),
+    (
+        "negative-scales",
+        lambda m, torch_mode: m.Affine(scales=(-1.0, 1.0)),
+        ValueError,
+    ),
+    (
+        "bad-interpolation",
+        lambda m, torch_mode: m.Affine(image_interpolation="cubic?"),
+        ValueError,
+    ),
+    (
+        "bad-pad-mode",
+        lambda m, torch_mode: m.Pad(padding=1, padding_mode="nope"),
+        ValueError,
+    ),
+    (
+        "inconsistent-shapes",
+        lambda m, torch_mode: m.Subject(
+            a=m.ScalarImage(_as(np.random.rand(1, 4, 4, 4).astype(np.float32), torch_mode)),
+            b=m.ScalarImage(_as(np.random.rand(1, 5, 5, 5).astype(np.float32), torch_mode)),
+        ).spatial_shape,
+        RuntimeError,
+    ),
+]
+
+
+def _as(arr, torch_mode):
+    if torch_mode:
+        import torch
+
+        return torch.as_tensor(arr)
+    return arr
+
+
+@pytest.mark.parametrize(
+    "build,exc", [c[1:] for c in ERROR_CASES], ids=[c[0] for c in ERROR_CASES]
+)
+def test_error_paths_match_reference(build, exc):
+    with pytest.raises(exc):
+        build(ref, True)
+    with pytest.raises(exc):
+        build(tio, False)
