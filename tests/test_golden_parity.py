@@ -586,3 +586,31 @@ def test_histogram_landmarks_training_golden(volume):
         atol=0.5,  # percentile interpolation conventions differ slightly
         rtol=0.01,
     )
+
+
+@pytest.mark.parametrize(
+    "target_id",
+    ["tuple-spacing", "shape-affine", "ndarray-spacing", "image-object"],
+)
+def test_resample_target_forms_golden(target_id, volume):
+    import torch
+
+    targets = {
+        "tuple-spacing": lambda m, tm: (2.0, 1.0, 1.5),
+        "ndarray-spacing": lambda m, tm: np.asarray([2.0, 2.0, 2.0]),
+        "shape-affine": lambda m, tm: ((8, 8, 8), np.diag([2.0, 2.0, 2.0, 1.0])),
+        "image-object": lambda m, tm: m.ScalarImage(
+            tm(np.zeros((1, 6, 7, 8), np.float32)),
+            affine=np.diag([2.0, 2.0, 2.0, 1.0]),
+        ),
+    }
+    build = targets[target_id]
+    out_ref = ref.Resample(target=build(ref, lambda a: torch.as_tensor(a)))(
+        ref.ScalarImage(torch.as_tensor(volume.copy()))
+    )
+    out_mine = tio.Resample(target=build(tio, lambda a: a))(
+        tio.ScalarImage(volume.copy())
+    )
+    rd, md = out_ref.data.numpy(), np.asarray(out_mine.data)
+    assert rd.shape == md.shape
+    np.testing.assert_allclose(md, rd, atol=1e-3, rtol=0)
