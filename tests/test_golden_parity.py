@@ -614,3 +614,56 @@ def test_resample_target_forms_golden(target_id, volume):
     rd, md = out_ref.data.numpy(), np.asarray(out_mine.data)
     assert rd.shape == md.shape
     np.testing.assert_allclose(md, rd, atol=1e-3, rtol=0)
+
+
+def test_antialias_skips_label_maps_golden(volume):
+    """Antialiased downsample must blur scalars but never labels."""
+    import torch
+
+    # block-structured labels: uniform-random labels put a boundary at
+    # every voxel and NN rounding ties flip under float noise
+    idx = np.indices(SHAPE[1:])
+    block_labels = ((idx // 4).sum(axis=0) % 3).astype(np.int32)[None]
+    make = lambda m: m.Resample(target=2.0, antialias=True)  # noqa: E731
+    s_ref = ref.Subject(
+        t1=ref.ScalarImage(torch.as_tensor(volume.copy())),
+        seg=ref.LabelMap(torch.as_tensor(block_labels.copy())),
+    )
+    s_mine = tio.Subject(
+        t1=tio.ScalarImage(volume.copy()), seg=tio.LabelMap(block_labels.copy())
+    )
+    out_ref, out_mine = make(ref)(s_ref), make(tio)(s_mine)
+    seg_ref = out_ref.seg.data.numpy()
+    seg_mine = np.asarray(out_mine.images["seg"].data)
+    # integer dtype preserved and label values stay from the input set
+    assert seg_mine.dtype == seg_ref.dtype == np.int32
+    assert set(np.unique(seg_mine)) <= set(np.unique(block_labels))
+    assert set(np.unique(seg_ref)) <= set(np.unique(block_labels))
+    assert (seg_ref == seg_mine).mean() > 0.97
+    np.testing.assert_allclose(
+        np.asarray(out_mine.images["t1"].data),
+        out_ref.t1.data.numpy(),
+        atol=1e-3,
+        rtol=0,
+    )
+
+
+def test_inverse_respects_exclude_golden(volume):
+    """Inverting a scoped transform must leave excluded images untouched."""
+    import torch
+
+    make = lambda m: m.Flip(axes=(0,), flip_probability=1.0, include=["a"])  # noqa: E731
+    s_ref = ref.Subject(
+        a=ref.ScalarImage(torch.as_tensor(volume.copy())),
+        b=ref.ScalarImage(torch.as_tensor(volume.copy())),
+    )
+    s_mine = tio.Subject(
+        a=tio.ScalarImage(volume.copy()), b=tio.ScalarImage(volume.copy())
+    )
+    inv_ref = make(ref)(s_ref).apply_inverse_transform()
+    inv_mine = make(tio)(s_mine).apply_inverse_transform()
+    for key in ("a", "b"):
+        np.testing.assert_array_equal(
+            np.asarray(inv_mine.images[key].data), volume
+        )
+        np.testing.assert_array_equal(getattr(inv_ref, key).data.numpy(), volume)

@@ -962,9 +962,12 @@ def _apply_spatial_to_batch(
             data = as_jnp(img_batch.data)
             if antialias and not is_label:
                 data = _antialias(data, input_affine, output_affine)
-            img_batch.data = _dispatch_resample(
+            sampled = _dispatch_resample(
                 data, grid, plans, mode=interpolation, fill=fill
             )
+            # the reference restores the input dtype after sampling
+            # (integer labels stay integer; reference spatial.py:1731)
+            img_batch.data = sampled.astype(data.dtype)
         # Output affines: per-sample affines collapse to the shared output
         # space; passthrough rows are restored bit-exactly.
         new_affines = [AffineMatrix(output_affine) for _ in img_batch.affines]
