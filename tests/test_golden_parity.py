@@ -667,3 +667,27 @@ def test_inverse_respects_exclude_golden(volume):
             np.asarray(inv_mine.images[key].data), volume
         )
         np.testing.assert_array_equal(getattr(inv_ref, key).data.numpy(), volume)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"target_shape": (10, 5, 9)},     # mixed crop+pad, odd differences
+        {"target_shape": (None, 4, None)},  # None leaves axes unchanged
+        {"target_shape": 13, "units": "mm"},
+        {"target_shape": (9, 9, 9)},
+    ],
+    ids=["mixed-odd", "none-axes", "mm-units", "odd-centering"],
+)
+def test_crop_or_pad_centering_golden(kwargs):
+    import torch
+
+    vol = np.arange(7 * 8 * 9, dtype=np.float32).reshape(1, 7, 8, 9)
+    out_ref = ref.CropOrPad(**kwargs)(ref.ScalarImage(torch.as_tensor(vol.copy())))
+    out_mine = tio.CropOrPad(**kwargs)(tio.ScalarImage(vol.copy()))
+    np.testing.assert_array_equal(
+        np.asarray(out_mine.data), out_ref.data.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mine.affine.data), np.asarray(out_ref.affine.data), atol=1e-9
+    )
