@@ -691,3 +691,37 @@ def test_crop_or_pad_centering_golden(kwargs):
     np.testing.assert_allclose(
         np.asarray(out_mine.affine.data), np.asarray(out_ref.affine.data), atol=1e-9
     )
+
+
+def test_flip_anatomical_labels_golden(volume):
+    import torch
+
+    las = np.diag([-1.0, 1.0, 1.0, 1.0])
+    for axes, affine in ((("L",), las), (("A",), None), (("S",), None)):
+        kw = {} if affine is None else {"affine": affine}
+        make = lambda m, t: m.Flip(axes=axes, flip_probability=1.0)(  # noqa: E731
+            m.ScalarImage(t, **kw)
+        )
+        out_ref = make(ref, torch.as_tensor(volume.copy()))
+        out_mine = make(tio, volume.copy())
+        np.testing.assert_array_equal(
+            np.asarray(out_mine.data), out_ref.data.numpy(), err_msg=str(axes)
+        )
+
+
+def test_masked_znorm_golden(volume):
+    """Masked z-normalization with a callable mask; sample std (ddof=1)."""
+    import torch
+
+    def mask_fn(t):
+        return (t > 0.5) if hasattr(t, "bool") else np.asarray(t) > 0.5
+
+    out_ref = ref.ZNormalization(masking_method=mask_fn)(
+        ref.ScalarImage(torch.as_tensor(volume.copy()))
+    )
+    out_mine = tio.ZNormalization(masking_method=mask_fn)(
+        tio.ScalarImage(volume.copy())
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mine.data), out_ref.data.numpy(), atol=1e-4, rtol=0
+    )

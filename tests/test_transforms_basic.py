@@ -133,7 +133,8 @@ class TestStandardize:
         out = tio.ZNormalization()(subject)
         data = np.asarray(out.t1.data)
         assert abs(data.mean()) < 1e-5
-        assert abs(data.std() - 1.0) < 1e-4
+        # normalized by SAMPLE std (ddof=1, like torch.std's default)
+        assert abs(data.std(ddof=1) - 1.0) < 1e-4
 
     def test_inverse(self, subject):
         out = tio.Standardize()(subject)

@@ -41,6 +41,8 @@ class Standardize(IntensityTransform):
             mask = resolve_mask(self.masking_method, img_batch, batch)
             # device-side reductions: only the two scalars cross to host
             data = as_jnp(img_batch.data[0]).astype(jnp.float32)
+            # sample std (ddof=1), matching torch.std's unbiased default
+            # in the reference (standardize.py:48-49)
             if mask is not None:
                 m = jnp.broadcast_to(as_jnp(mask), data.shape)
                 count = float(jnp.sum(m))
@@ -49,11 +51,11 @@ class Standardize(IntensityTransform):
                         f'Standardization mask for "{name}" is empty.'
                     )
                 mean = float(jnp.sum(jnp.where(m, data, 0.0)) / count)
-                var = float(jnp.sum(jnp.where(m, (data - mean) ** 2, 0.0)) / count)
-                std = var**0.5
+                ss = float(jnp.sum(jnp.where(m, (data - mean) ** 2, 0.0)))
+                std = (ss / max(count - 1.0, 1.0)) ** 0.5
             else:
                 mean = float(jnp.mean(data))
-                std = float(jnp.std(data))
+                std = float(jnp.std(data, ddof=1))
             if std == 0:
                 raise RuntimeError(
                     f'Cannot standardize "{name}": standard deviation is zero.'
