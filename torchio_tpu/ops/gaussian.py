@@ -44,6 +44,9 @@ def _conv_axis_shared(data, kernel_1d, axis: int):
         window_strides=(1, 1, 1),
         padding="VALID",
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        # TPU convs default to single-pass bf16 (~2e-3 error measured);
+        # the kernel taps deserve true f32
+        precision=lax.Precision.HIGHEST,
     )
     return out.reshape((b, c) + out.shape[2:])
 
@@ -129,6 +132,7 @@ def _blur_per_element_kernel(data, sigmas, radii: tuple[int, int, int]):
             padding="VALID",
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
             feature_group_count=b * c,
+            precision=lax.Precision.HIGHEST,
         )
         out = conv.reshape((b, c) + conv.shape[2:])
     return out

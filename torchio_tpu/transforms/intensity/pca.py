@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from ...data.batch import SubjectsBatch
@@ -57,12 +58,15 @@ class PCA(IntensityTransform):
         flat = tensor.astype(jnp.float32).reshape(c, -1).T  # (voxels, C)
         centered = flat - flat.mean(axis=0, keepdims=True)
         # full SVD of the (voxels, C) matrix via its CxC gram (C is tiny)
-        gram = centered.T @ centered
+        # HIGHEST: TPU matmuls default to bf16; PCA statistics need f32
+        gram = jnp.matmul(
+            centered.T, centered, precision=jax.lax.Precision.HIGHEST
+        )
         eigvals, eigvecs = jnp.linalg.eigh(gram)
         order = jnp.argsort(eigvals)[::-1][: self.num_components]
         v = eigvecs[:, order]
         s = jnp.sqrt(jnp.clip(eigvals[order], 0.0))
-        projected = centered @ v
+        projected = jnp.matmul(centered, v, precision=jax.lax.Precision.HIGHEST)
         if self.whiten:
             n = flat.shape[0]
             denom = (n - 1) ** 0.5 if n > 1 else 1.0

@@ -35,6 +35,7 @@ from numbers import Number
 from pathlib import Path
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -370,7 +371,14 @@ def _mapping_matrix(input_affine, output_affine, affine_matrix) -> np.ndarray:
 
 def _apply_mapping_jnp(coords, matrix):
     m = jnp.asarray(np.asarray(matrix, np.float64), jnp.float32)
-    return coords @ m[:3, :3].T + m[:3, 3]
+    # TPU matmuls default to single-pass bf16; coordinates deserve f32
+    rotated = jax.lax.dot_general(
+        coords.reshape(-1, 3),
+        m[:3, :3].T,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(coords.shape)
+    return rotated + m[:3, 3]
 
 
 class _GridPlan:
