@@ -177,3 +177,18 @@ class TestPadParsing:
 
         with pytest.raises(ValueError):
             parse_six((1, 2), "Padding")
+
+
+class TestWarmup:
+    def test_warmup_preserves_rng_and_compiles(self, rng):
+        pipeline = tio.Compose(
+            [tio.Flip(axes=(0,), flip_probability=0.5), tio.Noise(std=0.1)]
+        )
+        tio.seed(99)
+        before = tio.random.get_rng().bit_generator.state
+        tio.warmup(pipeline, (8, 8, 8), batch_size=2, label_keys=("seg",))
+        after = tio.random.get_rng().bit_generator.state
+        assert before == after  # warm-up must not consume user RNG
+        # and the pipeline still works normally afterwards
+        out = pipeline(np.zeros((1, 8, 8, 8), np.float32))
+        assert np.asarray(out).shape == (1, 8, 8, 8)

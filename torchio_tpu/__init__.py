@@ -68,6 +68,7 @@ from .data.subject import Study, Subject
 from .io import read_header, read_nifti, write_nifti
 from .io.matrix import read_matrix, write_matrix
 from .logging import disable_logging, enable_logging
+from .warmup import warmup
 from .transforms import (
     PCA,
     Affine,
@@ -216,6 +217,7 @@ __all__ = [
     "read_matrix",
     "read_nifti",
     "seed",
+    "warmup",
     "write_matrix",
     "write_nifti",
 ]
