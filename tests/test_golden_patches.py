@@ -205,3 +205,25 @@ def test_bboxes_conversions_golden():
             atol=1e-4,
             err_msg=str(fmt_args),
         )
+
+
+def test_all_points_aggregation_golden():
+    """Subject + image-level annotation merge uses the same key scheme."""
+    import torch
+
+    vol = np.random.default_rng(33).random((1, 6, 6, 6)).astype(np.float32)
+    pts = np.array([[1.0, 2.0, 3.0]], np.float32)
+    s_ref = ref.Subject(
+        t1=ref.ScalarImage(torch.as_tensor(vol.copy())),
+        lm=ref.Points(torch.as_tensor(pts)),
+    )
+    s_ref.t1.points["img_pts"] = ref.Points(torch.as_tensor(pts + 1))
+    s_mine = tio.Subject(t1=tio.ScalarImage(vol.copy()), lm=tio.Points(pts))
+    s_mine.images["t1"].points["img_pts"] = tio.Points(pts + 1)
+    assert sorted(s_ref.all_points(), key=str) == sorted(
+        s_mine.all_points(), key=str
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_mine.all_points()[("t1", "img_pts")].data),
+        s_ref.all_points()[("t1", "img_pts")].data.numpy(),
+    )
