@@ -18,29 +18,44 @@
 extern "C" {
 
 // Returns the number of bytes written, or a negative zlib error code.
+// avail_in/avail_out are 32-bit in zlib, so streams and buffers larger
+// than 4 GiB (common for 4D volumes) are fed through <4GiB windows.
 long long fn_gunzip(const uint8_t* src, long long src_len,
                     uint8_t* dst, long long dst_cap) {
     z_stream strm;
     std::memset(&strm, 0, sizeof(strm));
     if (inflateInit2(&strm, 16 + MAX_WBITS) != Z_OK) return -100;
-    strm.next_in = const_cast<Bytef*>(src);
-    strm.avail_in = static_cast<uInt>(src_len);
-    strm.next_out = dst;
-    strm.avail_out = static_cast<uInt>(dst_cap);
-    long long total = 0;
+    constexpr long long WINDOW = 1LL << 30;  // 1 GiB refill granularity
+    long long in_off = 0;
+    long long out_off = 0;
     int ret = Z_OK;
     while (ret != Z_STREAM_END) {
+        if (strm.avail_in == 0) {
+            const long long chunk = src_len - in_off;
+            if (chunk <= 0 && ret == Z_OK && out_off > 0) break;  // truncated/concat
+            const long long take = chunk < WINDOW ? chunk : WINDOW;
+            strm.next_in = const_cast<Bytef*>(src + in_off);
+            strm.avail_in = static_cast<uInt>(take > 0 ? take : 0);
+            in_off += take > 0 ? take : 0;
+        }
+        if (strm.avail_out == 0) {
+            const long long room = dst_cap - out_off;
+            if (room <= 0) { inflateEnd(&strm); return -101; }  // dst too small
+            const long long give = room < WINDOW ? room : WINDOW;
+            strm.next_out = dst + out_off;
+            strm.avail_out = static_cast<uInt>(give);
+            out_off += give;
+        }
+        const long long before = static_cast<long long>(strm.avail_out);
         ret = inflate(&strm, Z_NO_FLUSH);
         if (ret == Z_STREAM_END) break;
-        if (ret != Z_OK) { inflateEnd(&strm); return -ret; }
-        if (strm.avail_out == 0 && strm.avail_in > 0) {
-            inflateEnd(&strm);
-            return -101;  // destination too small
+        if (ret == Z_BUF_ERROR && strm.avail_in == 0 && in_off >= src_len) {
+            break;  // consumed all input without END marker (concat members)
         }
-        // concatenated gzip members: restart on next member
-        if (strm.avail_in == 0 && ret == Z_OK) break;
+        if (ret != Z_OK) { inflateEnd(&strm); return -ret; }
+        (void)before;
     }
-    total = static_cast<long long>(strm.total_out);
+    const long long total = out_off - static_cast<long long>(strm.avail_out);
     inflateEnd(&strm);
     return total;
 }

@@ -18,12 +18,12 @@ def test_gunzip_matches_gzip(rng):
     assert native.gunzip(gzip.compress(raw), len(raw)) == raw
 
 
-def test_gunzip_too_small_buffer(rng):
-    if not native.available():
-        pytest.skip("native library unavailable")
+def test_gunzip_too_small_buffer_falls_back(rng):
+    # A wrong expected_size must never make a loadable file fail: the
+    # native path reports the undersized buffer and the wrapper falls
+    # back to the gzip module, returning the complete payload.
     raw = rng.random(1000).astype(np.float32).tobytes()
-    with pytest.raises(ValueError):
-        native.gunzip(gzip.compress(raw), 16)
+    assert native.gunzip(gzip.compress(raw), 16) == raw
 
 
 @pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32, np.float64])

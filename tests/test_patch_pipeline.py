@@ -248,6 +248,37 @@ class TestLoader:
         loader = tio.SubjectsLoader(subjects, batch_size=2, drop_last=True)
         assert len(list(loader)) == 2
 
+    def test_worker_readahead_is_bounded(self, rng):
+        # With a slow consumer, the thread pool must not race ahead and
+        # materialize the whole dataset: at most num_workers + 2 items
+        # may be loaded but not yet consumed.
+        num_workers = 2
+        loaded = []
+        consumed = [0]
+        max_outstanding = [0]
+
+        class Tracking:
+            def __len__(self):
+                return 32
+
+            def __getitem__(self, i):
+                loaded.append(i)
+                outstanding = len(loaded) - consumed[0]
+                max_outstanding[0] = max(max_outstanding[0], outstanding)
+                return tio.Subject(
+                    t1=tio.ScalarImage(np.zeros((1, 2, 2, 2), np.float32))
+                )
+
+        loader = tio.SubjectsLoader(
+            Tracking(), batch_size=1, num_workers=num_workers
+        )
+        for _ in loader:
+            consumed[0] += 1
+        assert consumed[0] == 32
+        # window(num_workers + 2) items may be in flight ahead of the
+        # consumer, plus num_workers threads may each have begun one more.
+        assert max_outstanding[0] <= num_workers + 2 + num_workers
+
     def test_queue_to_loader_end_to_end(self, rng):
         subjects = [
             tio.Subject(t1=tio.ScalarImage(rng.normal(size=(1, 12, 12, 12)).astype(np.float32)))

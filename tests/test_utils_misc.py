@@ -147,6 +147,51 @@ class TestRandom:
         vals = [tio.random.randint(0, 5) for _ in range(50)]
         assert set(vals) <= set(range(5))
 
+    def test_worker_threads_get_distinct_generators(self):
+        # numpy Generators are not thread-safe; each worker thread must
+        # draw from its own spawned child, never the main generator.
+        import threading
+
+        tio.seed(7)
+        main_gen = tio.random.get_rng()
+        seen = {}
+
+        def worker(name):
+            gen = tio.random.get_rng()
+            again = tio.random.get_rng()
+            seen[name] = (gen, again)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        gens = [g for g, _ in seen.values()]
+        for gen, again in seen.values():
+            assert gen is again  # stable within a thread
+            assert gen is not main_gen
+        assert len({id(g) for g in gens}) == len(gens)  # distinct per thread
+
+    def test_reseed_invalidates_worker_generators(self):
+        import threading
+
+        tio.seed(1)
+        out = {}
+
+        def draw(tag):
+            out[tag] = tio.random.draw_seed()
+
+        t = threading.Thread(target=draw, args=("a",))
+        t.start()
+        t.join()
+        tio.seed(1)
+        t = threading.Thread(target=draw, args=("b",))
+        t.start()
+        t.join()
+        assert out["a"] == out["b"]  # spawn chain is deterministic per seed
+
 
 class TestUpsampleVolume:
     def test_matches_torch_interpolate(self, rng):

@@ -29,7 +29,6 @@ from ..io.backends import (
     normalize_index,
     resolve_backend,
 )
-from ..io.nifti import write_nifti
 from .bboxes import BoundingBoxes
 from .invertible import Invertible
 from .points import Points
@@ -361,8 +360,17 @@ class Image(Invertible):
         return out
 
     def save(self, path: str | Path, **kwargs: Any) -> None:
-        """Write to ``.nii`` / ``.nii.gz``."""
-        write_nifti(path, self.numpy(), self.affine.data)
+        """Write to disk; format chosen by suffix.
+
+        Supports ``.nii``/``.nii.gz`` (native writer), ``.nrrd``/
+        ``.nhdr`` and ``.mha``/``.mhd`` (native writers, LPS on disk
+        like the reference's SimpleITK output), and ``.nii.zarr``
+        (optional ``zarr`` dependency). Parity reference:
+        ``/root/reference/src/torchio/data/image.py:699-753``.
+        """
+        from ..io.write import write_image
+
+        write_image(path, self.numpy(), self.affine.data)
 
     # --- Visualization hooks ---
 

@@ -63,8 +63,23 @@ class _Loader:
             if self.shuffle:
                 _pyrandom.shuffle(indices)
             if self.num_workers > 0:
+                # Bounded in-flight window: at most num_workers + 2
+                # items are loaded-but-unconsumed at once, so a slow
+                # consumer cannot pull the whole dataset into RAM
+                # (DataLoader's prefetch_factor bound, and the same
+                # deque pattern as queue.py's worker pool).
+                window = self.num_workers + 2
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    yield from pool.map(self.dataset.__getitem__, indices)
+                    from collections import deque
+
+                    inflight: deque = deque()
+                    it = iter(indices)
+                    for i in it:
+                        inflight.append(pool.submit(self.dataset.__getitem__, i))
+                        if len(inflight) >= window:
+                            yield inflight.popleft().result()
+                    while inflight:
+                        yield inflight.popleft().result()
             else:
                 for i in indices:
                     yield self.dataset[i]

@@ -1,10 +1,13 @@
-"""NRRD and MetaImage (MHA/MHD) readers — pure Python/numpy.
+"""NRRD and MetaImage (MHA/MHD) readers and writers — pure Python/numpy.
 
-The reference reads these through SimpleITK
-(``/root/reference/src/torchio/data/io.py:148-174``); both formats are
+The reference reads AND writes these through SimpleITK
+(``/root/reference/src/torchio/data/io.py:148-174``, image writing at
+``/root/reference/src/torchio/data/image.py:699-753``); both formats are
 text headers + raw/gzip payloads, implemented natively here. Space
 conventions (NRRD's explicit space field, MetaImage's LPS) are converted
-to RAS+ at the boundary, like the reference's LPS->RAS flip.
+to RAS+ at the boundary, like the reference's LPS->RAS flip; writers
+emit LPS (the ITK ecosystem convention) so files interoperate with
+Slicer/ITK tooling.
 """
 
 from __future__ import annotations
@@ -94,9 +97,11 @@ def read_nrrd(path) -> tuple[np.ndarray, np.ndarray]:
     directions = []
     spatial_axes = []
     if "space directions" in fields:
-        for axis, token in enumerate(fields["space directions"].split(") ")):
-            token = token.strip()
-            if token in ("none", ""):
+        import re
+
+        tokens = re.findall(r"none|\([^)]*\)", fields["space directions"])
+        for axis, token in enumerate(tokens):
+            if token == "none":
                 continue
             directions.append(_parse_vector(token))
             spatial_axes.append(axis)
@@ -184,3 +189,151 @@ def read_meta_image(path) -> tuple[np.ndarray, np.ndarray]:
     if out.dtype.byteorder not in ("=", "|"):
         out = out.astype(out.dtype.newbyteorder("="))
     return np.ascontiguousarray(out), affine
+
+
+# --- Writers -----------------------------------------------------------
+
+_NRRD_TYPE_NAMES = {
+    np.dtype(np.int8): "int8", np.dtype(np.uint8): "uint8",
+    np.dtype(np.int16): "int16", np.dtype(np.uint16): "uint16",
+    np.dtype(np.int32): "int32", np.dtype(np.uint32): "uint32",
+    np.dtype(np.int64): "int64", np.dtype(np.uint64): "uint64",
+    np.dtype(np.float32): "float", np.dtype(np.float64): "double",
+}
+
+_MET_TYPE_NAMES = {
+    np.dtype(np.int8): "MET_CHAR", np.dtype(np.uint8): "MET_UCHAR",
+    np.dtype(np.int16): "MET_SHORT", np.dtype(np.uint16): "MET_USHORT",
+    np.dtype(np.int32): "MET_INT", np.dtype(np.uint32): "MET_UINT",
+    np.dtype(np.int64): "MET_LONG", np.dtype(np.uint64): "MET_ULONG",
+    np.dtype(np.float32): "MET_FLOAT", np.dtype(np.float64): "MET_DOUBLE",
+}
+
+
+def _prepare_cijk(data: np.ndarray) -> np.ndarray:
+    arr = np.asarray(data)
+    if arr.ndim == 3:
+        arr = arr[None]
+    if arr.ndim != 4:
+        raise ValueError(f"Expected (C, I, J, K) or (I, J, K) data, got {arr.shape}")
+    if arr.dtype == np.bool_:
+        arr = arr.astype(np.uint8)
+    dtype = arr.dtype.newbyteorder("<")
+    if dtype.newbyteorder("=") not in _NRRD_TYPE_NAMES:
+        dtype = np.dtype("<f4")
+    return np.ascontiguousarray(arr.astype(dtype, copy=False))
+
+
+def write_nrrd(path, data, affine=None, *, encoding: str = "gzip") -> None:
+    """Write (C, I, J, K) data + RAS affine as ``.nrrd`` (attached) or
+    ``.nhdr`` (detached header + ``.raw``/``.raw.gz`` payload).
+
+    Space is written as left-posterior-superior, matching what the
+    reference's SimpleITK writer emits, so files round-trip through
+    ITK/Slicer. A (1, I, J, K) volume is written 3D.
+    """
+    path = Path(path)
+    arr = _prepare_cijk(data)
+    affine = np.eye(4) if affine is None else np.asarray(affine, np.float64)
+    signs = np.asarray([-1.0, -1.0, 1.0])  # RAS -> LPS
+
+    c = arr.shape[0]
+    spatial_dirs = [
+        "(" + ",".join(repr(float(v)) for v in affine[:3, col] * signs) + ")"
+        for col in range(3)
+    ]
+    origin = "(" + ",".join(repr(float(v)) for v in affine[:3, 3] * signs) + ")"
+
+    if c == 1:
+        sizes = arr.shape[1:]
+        kinds = "domain domain domain"
+        dirs = " ".join(spatial_dirs)
+        payload_arr = arr[0]
+    else:
+        sizes = arr.shape  # C fastest on disk (F order, C listed first)
+        kinds = "list domain domain domain"
+        dirs = "none " + " ".join(spatial_dirs)
+        payload_arr = arr
+
+    if encoding not in ("gzip", "raw"):
+        raise ValueError(f"Unsupported NRRD encoding: {encoding}")
+    detached = path.name.lower().endswith(".nhdr")
+    payload = payload_arr.tobytes(order="F")
+    if encoding == "gzip":
+        payload = gzip.compress(payload, 1)
+
+    lines = [
+        "NRRD0005",
+        "# written by torchio_tpu",
+        f"type: {_NRRD_TYPE_NAMES[payload_arr.dtype.newbyteorder('=')]}",
+        f"dimension: {payload_arr.ndim}",
+        "space: left-posterior-superior",
+        f"sizes: {' '.join(str(s) for s in sizes)}",
+        f"space directions: {dirs}",
+        f"kinds: {kinds}",
+        "endian: little",
+        f"encoding: {encoding}",
+        f"space origin: {origin}",
+    ]
+    if detached:
+        dataname = path.name[: -len(".nhdr")] + (
+            ".raw.gz" if encoding == "gzip" else ".raw"
+        )
+        lines.append(f"data file: {dataname}")
+        header = ("\n".join(lines) + "\n").encode("ascii")
+        path.write_bytes(header)
+        (path.parent / dataname).write_bytes(payload)
+    else:
+        header = ("\n".join(lines) + "\n\n").encode("ascii")
+        path.write_bytes(header + payload)
+
+
+def write_meta_image(path, data, affine=None, *, compressed: bool | None = None) -> None:
+    """Write (C, I, J, K) data + RAS affine as ``.mha`` (attached) or
+    ``.mhd`` (detached header + ``.raw``/``.zraw`` payload)."""
+    path = Path(path)
+    arr = _prepare_cijk(data)
+    affine = np.eye(4) if affine is None else np.asarray(affine, np.float64)
+    flip = np.diag([-1.0, -1.0, 1.0, 1.0])
+    lps = flip @ affine
+    spacing = np.linalg.norm(lps[:3, :3], axis=0)
+    spacing[spacing == 0] = 1.0
+    direction = lps[:3, :3] / spacing  # columns are direction cosines
+    # read_meta_image does reshape(3, 3).T, so the file stores direction.T
+    tmatrix = direction.T.reshape(-1)
+
+    detached = path.name.lower().endswith(".mhd")
+    if compressed is None:
+        compressed = not detached
+    c = arr.shape[0]
+    payload = arr.tobytes(order="F")  # C fastest (channel-interleaved)
+    if compressed:
+        payload = zlib.compress(payload, 1)
+
+    lines = [
+        "ObjectType = Image",
+        "NDims = 3",
+        "BinaryData = True",
+        "BinaryDataByteOrderMSB = False",
+        f"CompressedData = {'True' if compressed else 'False'}",
+    ]
+    if compressed:
+        lines.append(f"CompressedDataSize = {len(payload)}")
+    lines += [
+        "TransformMatrix = " + " ".join(repr(float(v)) for v in tmatrix),
+        "Offset = " + " ".join(repr(float(v)) for v in lps[:3, 3]),
+        "CenterOfRotation = 0 0 0",
+        "AnatomicalOrientation = ???",
+        "ElementSpacing = " + " ".join(repr(float(v)) for v in spacing),
+        f"DimSize = {' '.join(str(s) for s in arr.shape[1:])}",
+        f"ElementNumberOfChannels = {c}",
+        f"ElementType = {_MET_TYPE_NAMES[arr.dtype.newbyteorder('=')]}",
+    ]
+    if detached:
+        dataname = path.name[: -len(".mhd")] + (".zraw" if compressed else ".raw")
+        lines.append(f"ElementDataFile = {dataname}")
+        path.write_bytes(("\n".join(lines) + "\n").encode("ascii"))
+        (path.parent / dataname).write_bytes(payload)
+    else:
+        lines.append("ElementDataFile = LOCAL")
+        path.write_bytes(("\n".join(lines) + "\n").encode("ascii") + payload)

@@ -79,17 +79,18 @@ def available() -> bool:
 def gunzip(data: bytes, expected_size: int) -> bytes:
     """Inflate a gzip stream into a preallocated buffer (native or zlib)."""
     lib = get_lib()
-    if lib is None:
-        import gzip as _gzip
-        import io as _io
+    if lib is not None:
+        out = ctypes.create_string_buffer(expected_size)
+        written = lib.fn_gunzip(data, len(data), out, expected_size)
+        if written >= 0:
+            return out.raw[:written]
+        # Negative rc (corrupt stream, undersized buffer): a file that
+        # loads without the native lib must never fail because of it.
+    import gzip as _gzip
+    import io as _io
 
-        with _gzip.GzipFile(fileobj=_io.BytesIO(data)) as g:
-            return g.read()
-    out = ctypes.create_string_buffer(expected_size)
-    written = lib.fn_gunzip(data, len(data), out, expected_size)
-    if written < 0:
-        raise ValueError(f"native gunzip failed with code {written}")
-    return out.raw[:written]
+    with _gzip.GzipFile(fileobj=_io.BytesIO(data)) as g:
+        return g.read()
 
 
 def f2c_transpose(arr_f: np.ndarray) -> np.ndarray:

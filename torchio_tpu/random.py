@@ -27,22 +27,45 @@ def seed(value: int | None = None) -> None:
 
 
 def get_rng() -> np.random.Generator:
-    """The global host generator used by ``make_params``."""
-    return _generator
+    """A generator safe to draw from in the calling thread.
+
+    numpy Generators are not thread-safe, and ``Queue`` runs transforms
+    (which sample params) in worker threads. Rather than serializing
+    every draw through one mutex, each non-main thread gets its own
+    child generator spawned (under the lock) from the global one, so
+    draws never contend and streams never interleave. ``seed()``
+    invalidates all children so reseeding stays deterministic
+    single-threaded and fresh in workers.
+    """
+    if threading.current_thread() is threading.main_thread():
+        return _generator
+    epoch, gen = getattr(_tls, "gen", (None, None))
+    if gen is None or epoch is not _generator:
+        with _lock:
+            gen = _generator.spawn(1)[0]
+        _tls.gen = (_generator, gen)
+    return gen
+
+
+_tls = threading.local()
 
 
 def uniform(lo: float, hi: float, size=None):
-    return _generator.uniform(lo, hi, size)
+    return get_rng().uniform(lo, hi, size)
 
 
 def random(size=None):
-    return _generator.random(size)
+    return get_rng().random(size)
 
 
 def randint(lo: int, hi: int, size=None):
-    return _generator.integers(lo, hi, size)
+    return get_rng().integers(lo, hi, size)
+
+
+def choice(values, size=None, p=None):
+    return get_rng().choice(values, size=size, p=p)
 
 
 def draw_seed() -> int:
     """Draw a fresh 31-bit seed for device-side ``jax.random`` keys."""
-    return int(_generator.integers(0, 2**31 - 1))
+    return int(get_rng().integers(0, 2**31 - 1))

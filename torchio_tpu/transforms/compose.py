@@ -5,9 +5,13 @@ Parity reference: ``/root/reference/src/torchio/transforms/compose.py``
 weighted choice with per-element branching via unbatch/re-stack; SomeOf
 random subsets; schema checks before re-stacking).
 
-TPU note: ``Compose.jit()`` (see :mod:`torchio_tpu.transforms.pipeline`)
-additionally fuses an entire shape-preserving pipeline into a single XLA
-program — the per-transform path below remains the flexible eager route.
+TPU note: each transform stage runs as its own jit-compiled kernel (XLA
+fuses within stages). A whole-pipeline fused Compose was evaluated and
+deliberately not built — see ROADMAP.md ("Fused Compose.jit — DECIDED
+AGAINST"): params flow through host float64 geometry, and measured
+inter-stage HBM traffic (~0.2 ms at 256 cubed) does not justify the
+device-params refactor. Use :func:`torchio_tpu.warmup` to pre-compile a
+pipeline's kernels.
 """
 
 from __future__ import annotations

@@ -23,9 +23,10 @@ The key behaviors replicated:
 TPU-native notes: the geometry math (4x4 matrices, target-space
 resolution, control-point sampling) is host numpy float64; the hot path
 is :func:`torchio_tpu.ops.resample.resample` — a jit-compiled fused
-gather kernel. Interpolation currently supports orders 0-1 plus the
-"label" mode; B-spline orders 2-7 parse but raise until the prefilter
-kernel lands (documented limitation for this round).
+gather kernel. Interpolation orders 0-1 and the "label" mode use the
+block-gather/Pallas kernels; B-spline orders 2-7 route to
+:func:`torchio_tpu.ops.bspline.bspline_resample` (IIR prefilter +
+mirror-fold gather, see spatial.py's _sample routing below).
 """
 
 from __future__ import annotations

@@ -63,6 +63,15 @@ def download_url(
     except (urllib.error.URLError, OSError):
         if url.startswith("https://"):
             fallback = "http://" + url[len("https://") :]
+            if md5 is None:
+                import warnings
+
+                warnings.warn(
+                    f"https failed; retrying over plain http without an "
+                    f"md5 checksum to verify the payload: {fallback}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             urllib.request.urlretrieve(fallback, path)  # noqa: S310
         else:
             raise
@@ -78,10 +87,19 @@ def extract_archive(path: str | Path, to: str | Path | None = None) -> Path:
     name = path.name.lower()
     if name.endswith(".zip"):
         with zipfile.ZipFile(path) as z:
+            root = to.resolve()
+            for member in z.namelist():
+                target = (to / member).resolve()
+                if not target.is_relative_to(root):
+                    raise RuntimeError(
+                        f"zip member escapes extraction root: {member!r}"
+                    )
             z.extractall(to)  # noqa: S202
     elif name.endswith((".tar", ".tar.gz", ".tgz", ".tar.bz2")):
         with tarfile.open(path) as t:
-            t.extractall(to)  # noqa: S202
+            # filter="data" blocks path traversal, symlink escapes,
+            # device nodes (PEP 706; default only from Python 3.14).
+            t.extractall(to, filter="data")
     elif name.endswith(".gz"):
         out = to / path.name[:-3]
         with gzip.open(path, "rb") as src, open(out, "wb") as dst:
