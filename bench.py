@@ -2,21 +2,34 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md); the baseline is the
-measured torch-CPU proxy of its hot path (``benchmarks/baseline_cpu.py``)
-on this machine: 0.086 volumes/sec (single 256^3 volume per call).
+The reference publishes no numbers (BASELINE.md). The baseline is the
+REAL reference TorchIO measured on this machine's CPU (1 thread) via
+``benchmarks/baseline_reference_cpu.py``: 0.0262 volumes/sec
+(38.2 s/volume). Round 1 used a hand-written torch proxy of the hot
+path (0.086 volumes/sec, ``benchmarks/baseline_cpu.py``), which
+flattered the reference 3.3x by skipping its python transform engine;
+the proxy-relative number is reported alongside for continuity.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+# Half-precision corner-row gather: value rounding <= 2^-11 relative,
+# inside BASELINE.json's 1e-3 accuracy gate (validated by
+# tests/test_ops_resample.py gather16 bound test). Library default
+# stays exact f32; the bench opts in as production serving would.
+os.environ.setdefault("TORCHIO_TPU_GATHER16", "1")
+
 import torchio_tpu as tio
 from torchio_tpu.data.batch import SubjectsBatch
 
-#: Measured by benchmarks/baseline_cpu.py on the driver host (1 CPU core).
-CPU_BASELINE_VOLUMES_PER_SEC = 0.086
+#: benchmarks/baseline_reference_cpu.py on the driver host (1 CPU core).
+CPU_BASELINE_VOLUMES_PER_SEC = 0.0262
+#: Round-1 torch proxy of the hot path (benchmarks/baseline_cpu.py).
+CPU_PROXY_VOLUMES_PER_SEC = 0.086
 
 S = 256
 B = 4
@@ -82,6 +95,9 @@ def main() -> None:
                 "value": round(vps, 2),
                 "unit": "volumes/sec",
                 "vs_baseline": round(vps / CPU_BASELINE_VOLUMES_PER_SEC, 1),
+                "baseline": "reference TorchIO on 1-core CPU, 0.0262 vol/s"
+                " (benchmarks/baseline_reference_cpu.py)",
+                "vs_round1_proxy": round(vps / CPU_PROXY_VOLUMES_PER_SEC, 1),
             }
         )
     )

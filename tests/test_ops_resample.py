@@ -192,3 +192,119 @@ def test_far_out_of_bounds_coords(rng):
     got = np.asarray(resample(data, coords, mode="linear", fill=0.0))
     want = torch_grid_sample_oracle(data, coords, "bilinear")
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestFusedResample:
+    """resample_fused builds the grid INSIDE the program; it must equal
+    the dense-grid path exactly (f32) and within the 1e-3 driver gate
+    (gather16)."""
+
+    def _specs(self, rng, b, elastic=True):
+        import torchio_tpu as tio_pkg  # noqa: F401
+
+        mats, cps = [], []
+        for i in range(b):
+            theta = rng.uniform(-0.3, 0.3)
+            m = np.eye(4)
+            m[0, 0] = m[1, 1] = np.cos(theta)
+            m[0, 1], m[1, 0] = -np.sin(theta), np.sin(theta)
+            m[:3, 3] = rng.uniform(-2, 2, 3)
+            mats.append(m)
+            cps.append(
+                rng.normal(0, 1.5, (4, 4, 4, 3)) if elastic else None
+            )
+        return mats, cps
+
+    @pytest.mark.parametrize("elastic", [False, True])
+    def test_fused_matches_dense_grid(self, rng, elastic):
+        from torchio_tpu.ops.resample import resample_fused
+
+        b, s = 2, 12
+        data = rng.normal(size=(b, 1, s, s, s)).astype(np.float32)
+        mats, cps = self._specs(rng, b, elastic)
+        got = np.asarray(
+            resample_fused(data, mats, cps, mode="linear", fill=0.0)
+        )
+        # dense-grid oracle
+        import jax.numpy as jnp
+
+        grids = []
+        for m, cp in zip(mats, cps):
+            coords = build_coords((s, s, s), m)
+            if cp is not None:
+                coords = coords + upsample_field(
+                    np.asarray(cp, np.float32), (s, s, s)
+                )
+            grids.append(coords)
+        want = np.asarray(
+            resample(data, jnp.stack(grids), mode="linear", fill=0.0)
+        )
+        # fused XLA program reorders the coordinate arithmetic: allow
+        # float-associativity noise
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_fused_out_shape_and_fill(self, rng):
+        from torchio_tpu.ops.resample import resample_fused
+
+        data = rng.normal(size=(1, 2, 8, 8, 8)).astype(np.float32)
+        m = np.eye(4)
+        m[:3, 3] = [20.0, 20.0, 20.0]  # everything out of bounds
+        out = np.asarray(
+            resample_fused(
+                data, [m], [None], out_shape=(5, 6, 7), mode="linear",
+                fill=[3.0, -1.0],
+            )
+        )
+        assert out.shape == (1, 2, 5, 6, 7)
+        np.testing.assert_allclose(out[0, 0], 3.0)
+        np.testing.assert_allclose(out[0, 1], -1.0)
+
+    def test_gather16_within_driver_gate(self, rng):
+        # BASELINE.json accuracy gate: <=1e-3 intensity error. bench.py
+        # cites this test when enabling TORCHIO_TPU_GATHER16.
+        from torchio_tpu.ops.resample import resample_fused
+
+        b, s = 2, 16
+        data = rng.random((b, 1, s, s, s)).astype(np.float32)
+        mats, cps = self._specs(rng, b, elastic=True)
+        exact = np.asarray(
+            resample_fused(data, mats, cps, mode="linear", use_f16=False)
+        )
+        fast = np.asarray(
+            resample_fused(data, mats, cps, mode="linear", use_f16=True)
+        )
+        scale = np.abs(exact).max()
+        assert np.abs(fast - exact).max() <= 1e-3 * max(scale, 1.0)
+
+    def test_spatial_uses_fused_path_and_matches_materialized(self, rng):
+        # the public Spatial transform must produce identical output
+        # whether the grid is fused or materialized (bspline/pallas path)
+        from torchio_tpu.transforms.spatial.spatial import (
+            _LazyGrid,
+            _build_grid,
+            _dispatch_resample,
+        )
+        from torchio_tpu.core.affine import AffineMatrix
+
+        s = 10
+        data = rng.normal(size=(2, 1, s, s, s)).astype(np.float32)
+        cp = rng.normal(0, 1.0, (4, 4, 4, 3))
+        for affine_first in (True, False):
+            grid, plan = _build_grid(
+                input_shape=(s, s, s),
+                input_affine=AffineMatrix(np.diag([1.5, 1.0, 2.0, 1.0])),
+                output_shape=(s, s, s),
+                output_affine=AffineMatrix(np.diag([1.5, 1.0, 2.0, 1.0])),
+                affine_matrix=None,
+                control_points=cp,
+                max_displacement=(2.0, 2.0, 2.0),
+                affine_first=affine_first,
+            )
+            assert isinstance(grid, _LazyGrid)
+            fused = np.asarray(
+                _dispatch_resample(data, grid, plan, mode="linear", fill=0.0)
+            )
+            dense = np.asarray(
+                resample(data, grid.materialize(), mode="linear", fill=0.0)
+            )
+            np.testing.assert_allclose(fused, dense, rtol=1e-4, atol=1e-5)

@@ -134,3 +134,78 @@ def test_halo_resample_rejects_oversized_halo():
     m[1, 3] = 50.0  # J displacement far beyond the local shard width
     with pytest.raises(ValueError, match="[Hh]alo"):
         halo_resample_affine(x, m, mesh)
+
+
+class TestShardedPublicAPI:
+    """The PUBLIC transform pipeline on a mesh (VERDICT round-1 item 3):
+    ``batch.shard_(mesh)`` then ``tio.Compose([...])(batch)`` must equal
+    the single-device result, with outputs still on the mesh."""
+
+    def _make_batch(self, b=8, shape=(10, 12, 14)):
+        rng = np.random.default_rng(3)
+        subjects = [
+            tio.Subject(
+                t1=tio.ScalarImage(rng.random((1, *shape)).astype(np.float32))
+            )
+            for _ in range(b)
+        ]
+        from torchio_tpu.data.batch import SubjectsBatch
+
+        batch = SubjectsBatch.from_subjects(subjects)
+        for ib in batch.images.values():
+            ib.data = jnp.asarray(ib.data)
+        return batch
+
+    def _pipeline(self):
+        return tio.Compose(
+            [
+                tio.Affine(degrees=(-10.0, 10.0), scales=(0.95, 1.05)),
+                tio.BiasField(std=0.4),
+                tio.Noise(std=0.05),
+                tio.RescaleIntensity(out_min=0.0, out_max=1.0),
+            ]
+        )
+
+    def test_sharded_compose_matches_single_device(self, mesh):
+        tio.seed(42)
+        ref = self._pipeline()(self._make_batch())
+        ref_data = np.asarray(ref.images["t1"].data)
+
+        tio.seed(42)
+        batch = self._make_batch().shard_(mesh)
+        out = self._pipeline()(batch)
+        out_data = out.images["t1"].data
+        assert out.images["t1"].sharding is not None
+        # the result stayed on the mesh (batch axis over 'data')
+        assert len(out_data.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(out_data), ref_data, rtol=1e-5, atol=1e-5)
+
+    def test_sharded_compose_spatial_axis(self, mesh):
+        # J-axis sharding (the SP analog): stencil/gather collectives are
+        # inserted by XLA; results must still match exactly.
+        tio.seed(7)
+        ref = self._pipeline()(self._make_batch(b=4, shape=(8, 16, 12)))
+        ref_data = np.asarray(ref.images["t1"].data)
+
+        tio.seed(7)
+        batch = self._make_batch(b=4, shape=(8, 16, 12)).shard_(mesh, spatial=True)
+        out = self._pipeline()(batch)
+        np.testing.assert_allclose(
+            np.asarray(out.images["t1"].data), ref_data, rtol=1e-5, atol=1e-5
+        )
+
+    def test_sharding_survives_deepcopy_and_copying_transform(self, mesh):
+        import copy
+
+        tio.seed(0)
+        batch = self._make_batch().shard_(mesh)
+        dup = copy.deepcopy(batch)
+        assert dup.images["t1"].sharding is not None
+        out = tio.Noise(std=0.1)(dup)  # copy=True path
+        assert out.images["t1"].sharding is not None
+        assert len(out.images["t1"].data.sharding.device_set) == 8
+
+    def test_unshard(self, mesh):
+        batch = self._make_batch().shard_(mesh)
+        batch.unshard_()
+        assert batch.images["t1"].sharding is None

@@ -28,3 +28,22 @@ def pallas_resample_enabled() -> bool:
     if use_pallas_resample is not None:
         return use_pallas_resample
     return _PALLAS_AUTO_DEFAULT
+
+
+# Half-precision corner-block gather. Gather cost on TPU tracks row
+# BYTES past ~16 B (measured: 235 ms vs 276 ms per 256^3 volume on v5e
+# for f16 vs f32 8-wide rows). With f16 rows the corner VALUES round to
+# half precision before the f32 weighted sum: max relative error
+# ~2^-11 ≈ 5e-4 — inside BASELINE.json's 1e-3 accuracy gate but not
+# bit-comparable to the exact-f32 default, so it is OPT-IN:
+# TORCHIO_TPU_GATHER16=1 or torchio_tpu.config.use_gather16 = True.
+use_gather16: bool | None = None
+
+
+def gather16() -> bool:
+    value = os.environ.get("TORCHIO_TPU_GATHER16")
+    if value is not None:
+        return value not in ("0", "false", "False", "")
+    if use_gather16 is not None:
+        return use_gather16
+    return False

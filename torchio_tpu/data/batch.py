@@ -11,6 +11,7 @@ the structure transforms operate on — the hot path.
 
 from __future__ import annotations
 
+import copy as _copy
 import dataclasses
 from typing import Any
 
@@ -43,6 +44,7 @@ class ImagesBatch(Invertible):
         self._data = data
         self._affines = affines
         self._image_class = image_class
+        self._sharding: Any = None
         self.applied_transforms: list[Any] = []
 
     @classmethod
@@ -65,7 +67,76 @@ class ImagesBatch(Invertible):
     def data(self, value: Any) -> None:
         if value.ndim != 5:
             raise ValueError(f"Expected 5D tensor, got {value.ndim}D")
+        if self._sharding is not None and value.shape[0] == self._data.shape[0]:
+            # Placement invariant: a sharded batch keeps every stage's
+            # output on the mesh (device_put is a no-op when the kernel
+            # already produced the right sharding). Shape-changing
+            # stages (e.g. Resample to a new space) re-place too — only
+            # a batch-size change drops the sharding.
+            value = jax.device_put(jnp.asarray(value), self._sharding)
+        elif self._sharding is not None:
+            self._sharding = None
         self._data = value
+
+    @property
+    def sharding(self) -> Any:
+        """The mesh placement enforced on ``data`` (None = unmanaged)."""
+        return self._sharding
+
+    def shard_(self, mesh_or_sharding: Any, *, spatial: bool = False) -> "ImagesBatch":
+        """Place ``data`` on a mesh and keep transform outputs there.
+
+        Args:
+            mesh_or_sharding: a :class:`jax.sharding.Mesh` (the batch axis
+                goes over its first axis name; with ``spatial=True`` the J
+                axis goes over its second) or an explicit
+                :class:`~jax.sharding.NamedSharding`.
+            spatial: also shard the J spatial axis (for volumes larger
+                than one chip's HBM; stencil/gather kernels then incur
+                XLA-inserted collectives).
+
+        Beyond-reference: the reference's only distributed hook is an
+        injected subject sampler (SURVEY.md §2.10); here the public
+        transform pipeline itself runs on a ``jax.sharding`` mesh.
+        """
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        if isinstance(mesh_or_sharding, Mesh):
+            mesh = mesh_or_sharding
+            names = mesh.axis_names
+            spec = PartitionSpec(
+                names[0],
+                None,
+                None,
+                names[1] if spatial and len(names) > 1 else None,
+                None,
+            )
+            sharding = NamedSharding(mesh, spec)
+        else:
+            sharding = mesh_or_sharding
+        self._sharding = sharding
+        self._data = jax.device_put(jnp.asarray(self._data), sharding)
+        return self
+
+    def unshard_(self) -> "ImagesBatch":
+        """Stop enforcing the mesh placement (data stays where it is)."""
+        self._sharding = None
+        return self
+
+    def __deepcopy__(self, memo: dict) -> "ImagesBatch":
+        # jax Arrays and shardings are immutable: share the buffers,
+        # copy the mutable metadata (the same contract as the
+        # reference's deepcopy-before-transform).
+        cls = type(self)
+        new = cls.__new__(cls)
+        memo[id(self)] = new
+        data = self._data
+        new._data = data if isinstance(data, jax.Array) else _copy.deepcopy(data, memo)
+        new._affines = [a.clone() for a in self._affines]
+        new._image_class = self._image_class
+        new._sharding = self._sharding
+        new.applied_transforms = _copy.deepcopy(self.applied_transforms, memo)
+        return new
 
     @property
     def affines(self) -> list[AffineMatrix]:
@@ -181,6 +252,22 @@ class SubjectsBatch(Invertible):
     def to(self, device: Any = None, dtype: Any = None) -> "SubjectsBatch":
         for batch in self._images.values():
             batch.to(device, dtype)
+        return self
+
+    def shard_(self, mesh_or_sharding: Any, *, spatial: bool = False) -> "SubjectsBatch":
+        """Place every image batch on a mesh; transform outputs stay there.
+
+        See :meth:`ImagesBatch.shard_`. After this, the public pipeline
+        (``tio.Compose([...])(batch)``) runs with mesh-sharded arrays and
+        XLA inserts the collectives the kernels need.
+        """
+        for batch in self._images.values():
+            batch.shard_(mesh_or_sharding, spatial=spatial)
+        return self
+
+    def unshard_(self) -> "SubjectsBatch":
+        for batch in self._images.values():
+            batch.unshard_()
         return self
 
     def __getitem__(self, key: str) -> ImagesBatch:

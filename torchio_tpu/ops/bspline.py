@@ -215,10 +215,18 @@ def _sample_element(coeffs, pts, order: int):
 def bspline_resample(data, coords, *, order: int, fill=0.0):
     """Resample (B, C, I, J, K) at input-voxel coords with B-spline order 2-7.
 
-    Semantics match ``interpol.grid_pull(bound="dct2", prefilter=True)``:
-    values reflect at the boundary; the reference's OOB mask-and-fill
-    (bilinear in-bounds weight > 0.5) is applied on top, as in
-    ``spatial.py:1719-1728``.
+    Boundary model: MIRROR about the edge SAMPLES (dct1), golden-matched
+    to ``scipy.ndimage.map_coordinates(mode="mirror", prefilter=True)``
+    at <=5e-6 for orders 2-7 (tests/test_bspline.py). The reference uses
+    ``interpol.grid_pull(bound="dct2")`` — reflection about the edge
+    CENTERS — which differs only in how out-of-range coordinates fold
+    back; since the reference then REPLACES out-of-bounds voxels through
+    its mask-and-fill (bilinear in-bounds weight > 0.5, reference
+    ``spatial.py:1719-1728``, reproduced below), the two boundary models
+    produce the same final output except for the <=half-voxel partially-
+    in-bounds shell. This is a documented deliberate deviation: dct1 has
+    the exact-interpolation property at integer coordinates everywhere
+    including the boundary, which the test suite relies on.
     """
     if order not in _POLES:
         raise ValueError(f"B-spline order must be 2-7, got {order}")

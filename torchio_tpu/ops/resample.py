@@ -35,7 +35,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
+def _resample_one(
+    flat, pts, fill_row, spatial, mode: str, apply_fill: bool,
+    block_dtype=None,
+):
     """Resample ONE batch element.
 
     flat (C, N) flattened volume; pts (M, 3) coords; fill_row (C,) or
@@ -90,7 +93,7 @@ def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
             vp = jnp.pad(
                 channels.reshape(-1, si, sj, sk), ((0, 0), (1, 1), (1, 1), (1, 1))
             )
-            return jnp.stack(
+            block = jnp.stack(
                 [
                     vp[:, di : di + sip, dj : dj + sjp, dk : dk + skp]
                     for di in (0, 1)
@@ -99,6 +102,15 @@ def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
                 ],
                 axis=-1,
             ).reshape(-1, sip * sjp * skp, 8)
+            if block_dtype is not None:
+                # Half-precision corner rows (gather cost tracks row
+                # BYTES past ~16 B: measured 235 ms vs 276 ms per 256^3
+                # on v5e for f16 vs f32 rows). Weights and accumulation
+                # stay f32; value rounding is <= 2^-11 relative — inside
+                # the 1e-3 driver accuracy gate, opt-in via
+                # torchio_tpu.config.gather16.
+                block = block.astype(block_dtype)
+            return block
 
         i0 = jnp.floor(ci).astype(jnp.int32)
         j0 = jnp.floor(cj).astype(jnp.int32)
@@ -130,7 +142,9 @@ def _resample_one(flat, pts, fill_row, spatial, mode: str, apply_fill: bool):
         for lo in range(0, c, chunk):
             block = corner_block(flat[lo : lo + chunk])
             corners = jnp.take(block, idx, axis=1)  # (chunk, M, 8)
-            parts.append(jnp.sum(corners * weights[None], axis=-1))
+            parts.append(
+                jnp.sum(corners.astype(jnp.float32) * weights[None], axis=-1)
+            )
         acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
     if not apply_fill:
@@ -171,6 +185,102 @@ def _resample_element(
     pts = coords.reshape(-1, 3)
     out = _resample_one(flat, pts, fill_row, (si, sj, sk), mode, apply_fill)
     return out.reshape(c, *out_spatial)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("out_spatial", "mode", "apply_fill", "use_f16"),
+)
+def _resample_element_fused(
+    data, matrix, control_points, fill_row,
+    out_spatial: tuple[int, int, int], mode: str, apply_fill: bool,
+    use_f16: bool,
+):
+    """One batch element with the sampling grid built INSIDE the program.
+
+    ``matrix`` is the (4, 4) output-voxel -> input-voxel map;
+    ``control_points`` is an optional pre-folded coarse displacement
+    field in input-voxel units (spacing and, for affine-last ordering,
+    the rotation are folded into it on host — both commute with the
+    trilinear upsample because everything is linear). Fusing the ramp
+    build, elastic upsample, floor/weight math, gather, and weighted sum
+    into one XLA program keeps the (M, 3) coordinate tensor (~200 MB at
+    256^3) and the upsampled displacement field out of HBM entirely —
+    measured 27+28 ms per element at 256^3 for the separate
+    build_coords/upsample_field dispatches this replaces.
+    """
+    c, si, sj, sk = data.shape
+    flat = data.reshape(c, -1).astype(jnp.float32)
+    coords = _build_coords_kernel(matrix, out_spatial)
+    if control_points is not None:
+        coords = coords + upsample_field(control_points, out_spatial)
+    pts = coords.reshape(-1, 3)
+    out = _resample_one(
+        flat, pts, fill_row, (si, sj, sk), mode, apply_fill,
+        block_dtype=jnp.float16 if use_f16 else None,
+    )
+    return out.reshape(c, *out_spatial)
+
+
+def resample_fused(
+    data,
+    matrices,
+    control_points,
+    *,
+    out_shape=None,
+    mode: str = "linear",
+    fill=0.0,
+    use_f16: bool | None = None,
+):
+    """Resample a (B, C, I, J, K) batch from per-element grid SPECS.
+
+    Args:
+        data: (B, C, I, J, K) array.
+        matrices: length-B list of 4x4 host float64 output->input maps.
+        control_points: length-B list of pre-folded coarse displacement
+            fields (input-voxel units) or None entries.
+        out_shape: (Io, Jo, Ko) output spatial shape (defaults to the
+            input spatial shape).
+        mode: "linear" or "nearest".
+        fill: scalar / (C,) / (B, C) out-of-bounds fill.
+        use_f16: gather the corner block as float16 rows (defaults to
+            :func:`torchio_tpu.config.gather16`).
+
+    Equivalent to building the dense (B, Io, Jo, Ko, 3) grid and calling
+    :func:`resample`, but never materializes it.
+    """
+    from ..config import gather16
+
+    if use_f16 is None:
+        use_f16 = gather16()
+    data = jnp.asarray(data)
+    b = data.shape[0]
+    fill_arr = np.asarray(fill, np.float32)
+    if fill_arr.ndim != 2:
+        fill_arr = fill_arr.reshape(-1)
+    apply_fill = not (
+        fill_arr.size == 1 and float(fill_arr.reshape(-1)[0]) == 0.0
+    )
+    out_spatial = tuple(
+        int(s) for s in (out_shape if out_shape is not None else data.shape[-3:])
+    )
+    outs = []
+    for bi in range(b):
+        m = jnp.asarray(np.asarray(matrices[bi], np.float64), jnp.float32)
+        cp = control_points[bi]
+        cp = None if cp is None else jnp.asarray(
+            np.asarray(cp, np.float64), jnp.float32
+        )
+        fill_row = jnp.asarray(
+            fill_arr[bi] if fill_arr.ndim == 2 else fill_arr, jnp.float32
+        )
+        outs.append(
+            _resample_element_fused(
+                data[bi], m, cp, fill_row, out_spatial, mode, apply_fill,
+                bool(use_f16),
+            )
+        )
+    return jnp.stack(outs)
 
 
 def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):

@@ -55,46 +55,31 @@ def _affine_coords(shape, rot, shift):
     return rel + center - shift
 
 
-def _trilinear(volume, coords):
-    """(C, I, J, K) volume sampled at (I, J, K, 3) coords, zero padding."""
-    c = volume.shape[0]
-    si, sj, sk = volume.shape[1:]
-    flat = volume.reshape(c, -1)
-    pts = coords.reshape(-1, 3)
-    i0 = jnp.floor(pts[:, 0]).astype(jnp.int32)
-    j0 = jnp.floor(pts[:, 1]).astype(jnp.int32)
-    k0 = jnp.floor(pts[:, 2]).astype(jnp.int32)
-    fi, fj, fk = pts[:, 0] - i0, pts[:, 1] - j0, pts[:, 2] - k0
-    acc = jnp.zeros((c, pts.shape[0]), jnp.float32)
-    for di in (0, 1):
-        wi = fi if di else 1 - fi
-        ii = i0 + di
-        vi = (ii >= 0) & (ii < si)
-        ii = jnp.clip(ii, 0, si - 1)
-        for dj in (0, 1):
-            wj = fj if dj else 1 - fj
-            jj = j0 + dj
-            vj = (jj >= 0) & (jj < sj)
-            jj = jnp.clip(jj, 0, sj - 1)
-            for dk in (0, 1):
-                wk = fk if dk else 1 - fk
-                kk = k0 + dk
-                vk = (kk >= 0) & (kk < sk)
-                kk = jnp.clip(kk, 0, sk - 1)
-                w = wi * wj * wk * (vi & vj & vk).astype(jnp.float32)
-                idx = (ii * sj + jj) * sk + kk
-                acc = acc + w[None, :] * jnp.take(flat, idx, axis=1)
-    return acc.reshape(c, si, sj, sk)
-
-
 def augment_step(data, rotations, shifts, seed, bias_std, noise_std):
-    """Pure fused step over (B, C, I, J, K) float32 data."""
+    """Pure fused step over (B, C, I, J, K) float32 data.
+
+    The resample stage is the production block-gather kernel
+    (:func:`torchio_tpu.ops.resample._resample_one` — the same code path
+    ``tio.Spatial`` dispatches to), vmapped over the batch so the whole
+    step stays one shardable XLA program.
+    """
+    from ..ops.resample import _resample_one
+
     b = data.shape[0]
     spatial = data.shape[2:]
 
     def per_element(volume, rot, shift):
         coords = _affine_coords(spatial, rot, shift)
-        return _trilinear(volume.astype(jnp.float32), coords)
+        flat = volume.astype(jnp.float32).reshape(volume.shape[0], -1)
+        out = _resample_one(
+            flat,
+            coords.reshape(-1, 3),
+            jnp.float32(0.0),
+            spatial,
+            "linear",
+            False,
+        )
+        return out.reshape(volume.shape[0], *spatial)
 
     out = jax.vmap(per_element)(data, rotations, shifts)
 

@@ -393,6 +393,54 @@ class _GridPlan:
         self.extra_in = extra_in
 
 
+class _LazyGrid:
+    """Deferred sampling grid: 4x4 map + pre-folded control points.
+
+    The hot path never materializes the dense (Io, Jo, Ko, 3) coordinate
+    tensor — :func:`torchio_tpu.ops.resample.resample_fused` builds it
+    inside the resample program (ramps + elastic upsample fuse with the
+    gather). ``materialize()`` produces the dense grid for consumers
+    that need one (B-spline orders, the Pallas tiled kernel).
+
+    ``control_points`` is in INPUT-VOXEL units with spacing (and, for
+    affine-last ordering, the rotation) already folded in — legal
+    because the trilinear upsample commutes with any linear map of the
+    displacement components.
+    """
+
+    __slots__ = ("matrix", "control_points", "out_shape")
+
+    def __init__(self, matrix, control_points, out_shape):
+        self.matrix = np.asarray(matrix, np.float64)
+        self.control_points = (
+            None if control_points is None
+            else np.asarray(control_points, np.float64)
+        )
+        self.out_shape = tuple(int(s) for s in out_shape)
+
+    def materialize(self):
+        coords = build_coords(self.out_shape, self.matrix)
+        if self.control_points is not None:
+            coords = coords + upsample_field(
+                self.control_points.astype(np.float32), self.out_shape
+            )
+        return coords
+
+
+def _is_lazy_grid(grid) -> bool:
+    return isinstance(grid, _LazyGrid) or (
+        isinstance(grid, list) and bool(grid) and isinstance(grid[0], _LazyGrid)
+    )
+
+
+def _materialize_grid(grid):
+    if isinstance(grid, _LazyGrid):
+        return grid.materialize()
+    if _is_lazy_grid(grid):
+        return jnp.stack([g.materialize() for g in grid])
+    return grid
+
+
 def _build_grid(
     *,
     input_shape,
@@ -404,10 +452,20 @@ def _build_grid(
     max_displacement,
     affine_first: bool,
 ):
-    """((Io, Jo, Ko, 3) sampling coordinates, host tile plan)."""
+    """(:class:`_LazyGrid` sampling-grid spec, host tile plan).
+
+    The grid is DEFERRED: both elastic orderings reduce to
+    ``ramps @ mapping + upsample(folded_control_points)`` because the
+    trilinear upsample is linear in the control points —
+    ``upsample(cp) / spacing == upsample(cp / spacing)`` and
+    ``upsample(cp) @ R^T == upsample(cp @ R^T)`` — so spacing and the
+    affine-last rotation fold into the tiny coarse field on host (f64)
+    and the dense field never exists outside the fused resample program.
+    """
     mapping = _mapping_matrix(input_affine, output_affine, affine_matrix)
+    out_shape = tuple(output_shape)
     if control_points is None:
-        return build_coords(tuple(output_shape), mapping), _GridPlan(mapping)
+        return _LazyGrid(mapping, None, out_shape), _GridPlan(mapping)
     if max_displacement is None:
         max_displacement = _max_abs_displacement(control_points)
     _check_folding(
@@ -416,18 +474,23 @@ def _build_grid(
         output_shape,
         np.asarray(output_affine.spacing),
     )
-    displacement = upsample_field(np.asarray(control_points, np.float32), tuple(output_shape))
-    in_spacing = jnp.asarray(np.asarray(input_affine.spacing), jnp.float32)
-    out_spacing = jnp.asarray(np.asarray(output_affine.spacing), jnp.float32)
+    cp = np.asarray(control_points, np.float64)
     disp_bound = np.asarray(max_displacement, np.float64)
     if affine_first:
-        coords = build_coords(tuple(output_shape), mapping)
+        folded = cp / np.asarray(input_affine.spacing, np.float64)
         extra_in = disp_bound / np.asarray(input_affine.spacing, np.float64)
-        return coords + displacement / in_spacing, _GridPlan(mapping, extra_in=extra_in)
-    out_coords = build_coords(tuple(output_shape), np.eye(4))
-    deformed = out_coords + displacement / out_spacing
+        return (
+            _LazyGrid(mapping, folded, out_shape),
+            _GridPlan(mapping, extra_in=extra_in),
+        )
+    folded = (cp / np.asarray(output_affine.spacing, np.float64)) @ mapping[
+        :3, :3
+    ].T
     extra_out = disp_bound / np.asarray(output_affine.spacing, np.float64)
-    return _apply_mapping_jnp(deformed, mapping), _GridPlan(mapping, extra_out=extra_out)
+    return (
+        _LazyGrid(mapping, folded, out_shape),
+        _GridPlan(mapping, extra_out=extra_out),
+    )
 
 
 def _dispatch_resample(data, grid, plans, *, mode: str, fill):
@@ -441,10 +504,31 @@ def _dispatch_resample(data, grid, plans, *, mode: str, fill):
     if order >= 2:
         from ...ops.bspline import bspline_resample
 
-        return bspline_resample(as_jnp(data), grid, order=order, fill=fill)
+        return bspline_resample(
+            as_jnp(data), _materialize_grid(grid), order=order, fill=fill
+        )
 
     from ...config import pallas_resample_enabled
 
+    if _is_lazy_grid(grid) and mode in ("linear", "nearest") and not (
+        pallas_resample_enabled()
+    ):
+        # Hot path: the grid spec goes straight into the fused resample
+        # program (ramp build + elastic upsample + gather in ONE jit; no
+        # dense coordinate tensor in HBM).
+        from ...ops.resample import resample_fused
+
+        grids = grid if isinstance(grid, list) else [grid] * data.shape[0]
+        return resample_fused(
+            data,
+            [g.matrix for g in grids],
+            [g.control_points for g in grids],
+            out_shape=grids[0].out_shape,
+            mode=mode,
+            fill=fill,
+        )
+
+    grid = _materialize_grid(grid)
     if (
         plans is not None
         and mode in ("linear", "nearest")
@@ -934,7 +1018,7 @@ def _apply_spatial_to_batch(
             )
             grids.append(g)
             plans.append(p)
-        grid = jnp.stack(grids)
+        grid = grids  # list of _LazyGrid, one per element
 
     passthrough = (
         per_sample.passthrough_indices()
