@@ -92,8 +92,11 @@ class TestScipyGoldens:
     prefilter=True) — the external oracle for the IIR prefilter + spline
     gather (VERDICT round-1 missing #2)."""
 
-    @pytest.mark.parametrize("order", [2, 3, 4, 5, 6, 7])
+    @pytest.mark.parametrize("order", [2, 3, 4, 5])
     def test_matches_scipy_interior(self, rng, order):
+        # scipy.ndimage supports spline orders <= 5; orders 6-7 are
+        # covered by the mathematical property tests above (exact
+        # interpolation at integers, linear-ramp preservation).
         from scipy import ndimage
 
         from torchio_tpu.ops.resample import build_coords
@@ -125,41 +128,25 @@ class TestScipyGoldens:
         err = np.abs(ours - want)[inb].max()
         assert err < 1e-4, f"order {order}: {err}"
 
-    @pytest.mark.parametrize("order", [2, 3, 5, 7])
+    @pytest.mark.parametrize("order", [2, 3, 5])
     def test_matches_scipy_far_out_of_range_folding(self, rng, order):
-        # coordinates several periods outside the volume must fold back
-        # exactly like scipy's 'mirror'
+        # the PRE-MASK spline must fold far out-of-range coordinates
+        # exactly like scipy's 'mirror' (the public API then replaces
+        # them with the fill value; this validates _fold_coord itself)
         from scipy import ndimage
 
+        from torchio_tpu.ops.bspline import _sample_element, prefilter
+
         s = 9
-        vol = rng.normal(size=(1, 1, s, s, s)).astype(np.float32)
+        vol = rng.normal(size=(1, s, s, s)).astype(np.float32)
         pts = rng.uniform(-2 * s, 3 * s, (400, 3)).astype(np.float32)
-        coords = pts.reshape(400, 1, 1, 3)
-        ours = np.asarray(
-            bspline_resample(vol, coords[None], order=order, fill=0.0)
-        ).reshape(-1)
+        coeffs = prefilter(vol, order)
+        ours = np.asarray(_sample_element(coeffs, pts, order)).reshape(-1)
         want = ndimage.map_coordinates(
-            vol[0, 0].astype(np.float64),
+            vol[0].astype(np.float64),
             pts.T,
             order=order,
             mode="mirror",
             prefilter=True,
         )
-        # our mask-and-fill zeroes out-of-bounds points; compare the
-        # underlying spline only where the mask keeps it (none here) —
-        # so disable fill comparison by checking the masked output is 0
-        np.testing.assert_allclose(ours, 0.0, atol=1e-6)
-        # and the raw spline (pre-mask) via interior-mapped duplicates:
-        # fold the coords to the interior with numpy and require scipy
-        # evaluated at original == scipy at folded (sanity of oracle)
-        period = 2 * (s - 1)
-        folded = np.abs(np.mod(pts + period, 2 * period) - period)
-        folded = np.where(folded > s - 1, period - folded, folded)
-        want_folded = ndimage.map_coordinates(
-            vol[0, 0].astype(np.float64),
-            folded.T,
-            order=order,
-            mode="mirror",
-            prefilter=True,
-        )
-        np.testing.assert_allclose(want, want_folded, atol=1e-9)
+        np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
