@@ -107,6 +107,71 @@ class TestVisualization:
         out = img.to_gif(tmp_path / "x.gif")
         assert out.stat().st_size > 0
 
+    def test_crosshair_ticks_and_conventions(self, rng, tmp_path):
+        # reference-parity features: crosshair intersections, mm/voxel
+        # tick labels, radiological vs neurological convention
+        img = tio.ScalarImage(
+            rng.normal(size=(1, 10, 12, 14)).astype(np.float32),
+            affine=np.diag([2.0, 1.5, 1.0, 1.0]),
+        )
+        fig = img.plot(
+            output_path=tmp_path / "a.png",
+            show=False,
+            crosshair=True,
+            indices=(3, 4, 5),
+            units="mm",
+            radiological=True,
+        )
+        axes = fig.get_axes()
+        assert len(axes) == 3
+        # crosshair = 2 lines per pane
+        assert all(len(ax.lines) == 2 for ax in axes)
+        # anatomical axis labels with units
+        assert "mm" in axes[0].get_xlabel()
+        assert "P" in axes[0].get_xlabel() and "A" in axes[0].get_xlabel()
+        # radiological coronal/axial panes flip left-right: label order R->L
+        assert axes[1].get_xlabel().startswith("R")
+        fig2 = img.plot(
+            output_path=tmp_path / "b.png",
+            show=False,
+            units="voxel",
+            radiological=False,
+        )
+        assert fig2.get_axes()[1].get_xlabel().startswith("L")
+        assert "voxel" in fig2.get_axes()[0].get_xlabel()
+
+    def test_subject_grid_shares_world_point(self, rng, tmp_path):
+        # images with different affines: the crosshair must mark the
+        # same world point in each row
+        a = tio.ScalarImage(
+            rng.normal(size=(1, 12, 12, 12)).astype(np.float32)
+        )
+        b = tio.ScalarImage(
+            rng.normal(size=(1, 24, 24, 24)).astype(np.float32),
+            affine=np.diag([0.5, 0.5, 0.5, 1.0]),
+        )
+        sub = tio.Subject(t1=a, t2=b)
+        fig = sub.plot(
+            output_path=tmp_path / "grid.png",
+            show=False,
+            crosshair=True,
+            indices=(6, 6, 6),
+        )
+        axes = np.asarray(fig.get_axes()).reshape(2, 3)
+        # t1 sagittal crosshair at voxel 6; t2 (half spacing) at voxel 12
+        x_t1 = axes[0, 0].lines[0].get_xdata()[0]
+        x_t2 = axes[1, 0].lines[0].get_xdata()[0]
+        assert x_t1 == 6
+        assert x_t2 == 12
+
+    def test_percentile_windowing(self, rng, tmp_path):
+        data = rng.normal(size=(1, 8, 8, 8)).astype(np.float32)
+        data[0, 0, 0, 0] = 1e6  # outlier must not wash out the window
+        img = tio.ScalarImage(data)
+        fig = img.plot(output_path=tmp_path / "w.png", show=False)
+        im = fig.get_axes()[0].get_images()[0]
+        assert im.get_clim()[1] < 1e5
+
     def test_repr_html(self, rng):
         img = tio.ScalarImage(rng.normal(size=(1, 6, 6, 6)).astype(np.float32))
         html = img._repr_html_()

@@ -203,17 +203,25 @@ class WeightedSampler(PatchSampler):
     def __call__(self, subject: Subject, num_patches: int | None = None):
         prob = self._build_probability_map_for(subject)
         flat = prob.reshape(-1)
-        total = flat.sum()
+        # One O(N) cumulative pass per subject, O(log N) per draw.
+        # (rng.choice(p=...) rebuilds the full distribution PER DRAW —
+        # ~70 ms/patch on a 128^3 map; this is the config-5 fix.)
+        cdf = np.cumsum(flat)
+        total = cdf[-1]
         if total == 0:
             raise RuntimeError(
                 f"Probability map '{self.probability_map}' is all zeros"
             )
-        p = flat / total
         rng = tio_random.get_rng()
         limit = num_patches or self.num_patches
         count = 0
+        pending: list[int] = []
         while limit is None or count < limit:
-            idx_flat = int(rng.choice(flat.size, p=p))
+            if not pending:
+                chunk = 64 if limit is None else min(64, limit - count)
+                draws = rng.random(chunk) * total
+                pending = list(np.searchsorted(cdf, draws, side="right"))
+            idx_flat = int(min(pending.pop(), flat.size - 1))
             center = tuple(int(x) for x in np.unravel_index(idx_flat, prob.shape))
             index = _center_to_corner(center, subject.spatial_shape, self.patch_size)
             yield self._extract_patch(

@@ -32,13 +32,25 @@ def _get_matplotlib():
 
 def _reorient_ras(image: Image) -> np.ndarray:
     """Data reoriented to RAS+ so plots are anatomically consistent."""
-    from .core.orientation import apply_orientation, axcodes2ornt, io_orientation, ornt_transform
+    return _reorient_ras_with_affine(image)[0]
+
+
+def _reorient_ras_with_affine(image: Image) -> tuple[np.ndarray, np.ndarray]:
+    """(RAS-reoriented data, matching affine)."""
+    from .core.orientation import (
+        apply_orientation,
+        axcodes2ornt,
+        inv_ornt_aff,
+        io_orientation,
+        ornt_transform,
+    )
 
     data = np.asarray(image.data)
     ornt = ornt_transform(
         io_orientation(image.affine.data), axcodes2ornt(("R", "A", "S"))
     )
-    return apply_orientation(data, ornt)
+    affine = image.affine.data @ inv_ornt_aff(ornt, data.shape[1:])
+    return apply_orientation(data, ornt), affine
 
 
 def _slices(data: np.ndarray, indices=None):
@@ -53,11 +65,83 @@ def _slices(data: np.ndarray, indices=None):
 
 def _label_cmap(num_labels: int):
     plt = _get_matplotlib()
-    base = plt.get_cmap("tab10" if num_labels <= 10 else "tab20")
     from matplotlib.colors import ListedColormap
 
-    colors = [(0, 0, 0, 0)] + [base(i % base.N) for i in range(max(num_labels, 1))]
-    return ListedColormap(colors)
+    # colorcet's glasbey palette gives maximally-distinct label colors
+    # (what the reference uses); tab10/20 is the fallback.
+    try:  # pragma: no cover - colorcet not in this image
+        import colorcet
+
+        palette = colorcet.glasbey[: max(num_labels, 1)]
+        colors = [(0, 0, 0, 0)] + list(palette)
+        return ListedColormap(colors)
+    except ImportError:
+        base = plt.get_cmap("tab10" if num_labels <= 10 else "tab20")
+        colors = [(0, 0, 0, 0)] + [
+            base(i % base.N) for i in range(max(num_labels, 1))
+        ]
+        return ListedColormap(colors)
+
+
+#: (display-x data axis, display-y data axis) per plane after the
+#: np.rot90 used for display; data axes are RAS indices 0=R, 1=A, 2=S.
+_PLANE_AXES = {"Sagittal": (1, 2), "Coronal": (0, 2), "Axial": (0, 1)}
+_AXIS_LABELS = {0: ("L", "R"), 1: ("P", "A"), 2: ("I", "S")}
+
+
+def _apply_ticks(ax, plane_name, shape_ras, affine_ras, *, units, flip_x):
+    """Anatomical axis labels + voxel or mm tick labels.
+
+    After RAS reorientation the affine is axis-aligned up to obliquity;
+    mm labels use the dominant world coordinate per axis (exact for
+    non-oblique volumes, the reference's behavior).
+    """
+    ax_x, ax_y = _PLANE_AXES[plane_name]
+    n_x, n_y = shape_ras[ax_x], shape_ras[ax_y]
+
+    def world(axis, idx):
+        voxel = [0.0, 0.0, 0.0]
+        voxel[axis] = idx
+        return float(
+            affine_ras[axis, :3] @ np.asarray(voxel) + affine_ras[axis, 3]
+        )
+
+    def tick_values(n):
+        step = max(1, int(np.ceil(n / 5 / 10.0)) * 10) if n > 20 else max(1, n // 4)
+        return list(range(0, n, step))
+
+    xs = tick_values(n_x)
+    ys = tick_values(n_y)
+    disp_x = [(n_x - 1 - v) if flip_x else v for v in xs]
+    disp_y = [n_y - 1 - v for v in ys]  # rot90 puts axis-y upward
+    if units == "mm":
+        x_labels = [f"{world(ax_x, v):.0f}" for v in xs]
+        y_labels = [f"{world(ax_y, v):.0f}" for v in ys]
+        unit_suffix = " (mm)"
+    else:
+        x_labels = [str(v) for v in xs]
+        y_labels = [str(v) for v in ys]
+        unit_suffix = " (voxel)"
+    ax.set_xticks(disp_x, x_labels, fontsize=7)
+    ax.set_yticks(disp_y, y_labels, fontsize=7)
+    neg_x, pos_x = _AXIS_LABELS[ax_x]
+    neg_y, pos_y = _AXIS_LABELS[ax_y]
+    if flip_x:
+        neg_x, pos_x = pos_x, neg_x
+    ax.set_xlabel(f"{neg_x} → {pos_x}{unit_suffix}", fontsize=8)
+    ax.set_ylabel(f"{neg_y} → {pos_y}{unit_suffix}", fontsize=8)
+
+
+def _draw_crosshair(ax, plane_name, shape_ras, indices, *, flip_x, color="lime"):
+    """Crosshair lines at the (i, j, k) RAS voxel on one plane."""
+    ax_x, ax_y = _PLANE_AXES[plane_name]
+    n_x, n_y = shape_ras[ax_x], shape_ras[ax_y]
+    x = indices[ax_x]
+    y = indices[ax_y]
+    disp_x = (n_x - 1 - x) if flip_x else x
+    disp_y = n_y - 1 - y
+    ax.axvline(disp_x, color=color, lw=0.8, alpha=0.8)
+    ax.axhline(disp_y, color=color, lw=0.8, alpha=0.8)
 
 
 def plot_image(
@@ -69,29 +153,76 @@ def plot_image(
     output_path: str | Path | None = None,
     show: bool = True,
     title: str | None = None,
+    radiological: bool = True,
+    units: str | None = "mm",
+    crosshair: bool = False,
+    percentiles: tuple[float, float] | None = (0.5, 99.5),
 ) -> Any:
-    """Plot mid-volume sagittal/coronal/axial slices (radiological)."""
+    """Plot mid-volume sagittal/coronal/axial slices.
+
+    Feature parity with the reference plotter
+    (``/root/reference/src/torchio/visualization.py:348-1127``):
+
+    Args:
+        indices: (i, j, k) RAS voxel to slice at (default: mid-volume).
+        radiological: show the patient's left on the image right
+            (coronal/axial panes flipped; ``False`` = neurological).
+        units: tick labels in ``"mm"`` (world coordinates), ``"voxel"``,
+            or ``None`` for no ticks. Axes are labeled with anatomical
+            directions (e.g. ``P → A (mm)``).
+        crosshair: draw intersection lines at ``indices`` on each pane.
+        percentiles: display window for scalar images (robust to
+            outliers, the nnU-Net (0.5, 99.5) convention); ``None``
+            uses the full range.
+    """
     plt = _get_matplotlib()
     is_label = isinstance(image, LabelMap)
-    data = _reorient_ras(image)
+    data, affine_ras = _reorient_ras_with_affine(image)
+    shape_ras = data.shape[1:]
+    if indices is None:
+        indices = tuple(s // 2 for s in shape_ras)
     sag, cor, axi = _slices(data, indices)
     if axes is None:
-        fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+        fig, axes = plt.subplots(1, 3, figsize=(10, 3.4))
     else:
         fig = axes[0].figure
     names = ("Sagittal", "Coronal", "Axial")
-    spacing = image.affine.spacing
-    aspects = (spacing[2] / spacing[1], spacing[2] / spacing[0], spacing[1] / spacing[0])
+    spacing = np.linalg.norm(affine_ras[:3, :3], axis=0)
+    aspects = (
+        spacing[2] / spacing[1],
+        spacing[2] / spacing[0],
+        spacing[1] / spacing[0],
+    )
     if is_label:
         num = int(data.max())
-        kwargs = {"cmap": _label_cmap(num), "vmin": 0, "vmax": num, "interpolation": "none"}
+        kwargs = {
+            "cmap": _label_cmap(num),
+            "vmin": 0,
+            "vmax": num,
+            "interpolation": "none",
+        }
     else:
         kwargs = {"cmap": cmap or "gray"}
+        if percentiles is not None:
+            lo, hi = np.percentile(data, percentiles)
+            if hi > lo:
+                kwargs["vmin"], kwargs["vmax"] = float(lo), float(hi)
     for ax, name, plane, aspect in zip(axes, names, (sag, cor, axi), aspects):
-        ax.imshow(np.rot90(plane), aspect=aspect, **kwargs)
-        ax.set_title(name)
-        ax.set_xticks([])
-        ax.set_yticks([])
+        disp = np.rot90(plane)
+        flip_x = radiological and name in ("Coronal", "Axial")
+        if flip_x:
+            disp = np.fliplr(disp)
+        ax.imshow(disp, aspect=aspect, **kwargs)
+        ax.set_title(name, fontsize=9)
+        if units in ("mm", "voxel"):
+            _apply_ticks(
+                ax, name, shape_ras, affine_ras, units=units, flip_x=flip_x
+            )
+        else:
+            ax.set_xticks([])
+            ax.set_yticks([])
+        if crosshair:
+            _draw_crosshair(ax, name, shape_ras, indices, flip_x=flip_x)
     if title:
         fig.suptitle(title)
     fig.tight_layout()
@@ -107,18 +238,59 @@ def plot_subject(
     *,
     output_path: str | Path | None = None,
     show: bool = True,
+    indices=None,
+    crosshair: bool = False,
     **kwargs: Any,
 ) -> Any:
-    """One row of 3-plane views per image in the subject."""
+    """Grid of 3-plane views, one row per image in the subject.
+
+    All rows share the same slice ``indices`` (resolved in the FIRST
+    image's RAS voxel space and mapped through each image's affine), so
+    a ``crosshair=True`` intersection marks the same WORLD point in
+    every image — the reference's shared-crosshair subject grid.
+    """
     plt = _get_matplotlib()
     images = list(subject.images.items())
     if not images:
         raise RuntimeError("Subject has no images to plot")
-    fig, axes = plt.subplots(len(images), 3, figsize=(9, 3 * len(images)))
-    axes = np.atleast_2d(axes)
+    fig, axes = plt.subplots(
+        len(images), 3, figsize=(10, 3.4 * len(images)), squeeze=False
+    )
+
+    # resolve the shared world point from the first image
+    first_data, first_affine = _reorient_ras_with_affine(images[0][1])
+    if indices is None:
+        indices = tuple(s // 2 for s in first_data.shape[1:])
+    world = first_affine @ np.array([*indices, 1.0])
+
     for row, (name, image) in enumerate(images):
-        plot_image(image, axes=axes[row], show=False, title=None, **kwargs)
-        axes[row][0].set_ylabel(name)
+        _, affine_ras = _reorient_ras_with_affine(image)
+        voxel = np.linalg.inv(affine_ras) @ world
+        img_indices = tuple(
+            int(np.clip(round(v), 0, s - 1))
+            for v, s in zip(voxel[:3], _reorient_ras(image).shape[1:])
+        )
+        plot_image(
+            image,
+            axes=axes[row],
+            show=False,
+            title=None,
+            indices=img_indices,
+            crosshair=crosshair,
+            **kwargs,
+        )
+        axes[row][0].annotate(
+            name,
+            xy=(0, 0.5),
+            xytext=(-axes[row][0].yaxis.labelpad - 24, 0),
+            xycoords=axes[row][0].yaxis.label,
+            textcoords="offset points",
+            ha="right",
+            va="center",
+            fontsize=10,
+            fontweight="bold",
+            rotation=90,
+        )
     fig.tight_layout()
     if output_path is not None:
         fig.savefig(output_path, dpi=120, bbox_inches="tight")
