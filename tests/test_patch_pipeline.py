@@ -296,3 +296,83 @@ class TestLoader:
             assert batch.images["t1"].data.shape[1:] == (1, 6, 6, 6)
             total += batch.batch_size
         assert total == 12
+
+
+class TestDevicePatches:
+    """On-device batched patch extraction + ring buffer
+    (the BASELINE.json on-device patch queue north star)."""
+
+    def test_extract_patches_matches_host_slicing(self, rng):
+        import jax.numpy as jnp
+
+        from torchio_tpu.ops.patches import extract_patches
+
+        vol = rng.normal(size=(2, 16, 18, 20)).astype(np.float32)
+        corners = np.asarray(
+            [[0, 0, 0], [8, 10, 12], [3, 5, 7]], np.int32
+        )
+        got = np.asarray(extract_patches(jnp.asarray(vol), corners, (8, 8, 8)))
+        assert got.shape == (3, 2, 8, 8, 8)
+        for n, (i, j, k) in enumerate(corners):
+            np.testing.assert_array_equal(
+                got[n], vol[:, i : i + 8, j : j + 8, k : k + 8]
+            )
+
+    def test_ring_buffer_push_sample(self, rng):
+        import torchio_tpu as tio_pkg  # noqa: F401
+
+        from torchio_tpu.ops.patches import RingPatchBuffer
+
+        buf = RingPatchBuffer(capacity=8, patch_shape=(1, 2, 2, 2))
+        batch1 = rng.normal(size=(5, 1, 2, 2, 2)).astype(np.float32)
+        buf.push(batch1)
+        assert buf.filled == 5
+        out = np.asarray(buf.sample(16, seed=0))
+        assert out.shape == (16, 1, 2, 2, 2)
+        # every sample must be one of the pushed patches
+        flat_pushed = batch1.reshape(5, -1)
+        for row in out.reshape(16, -1):
+            assert any(np.allclose(row, p) for p in flat_pushed)
+        # wrap-around overwrites the oldest entries
+        batch2 = rng.normal(size=(6, 1, 2, 2, 2)).astype(np.float32)
+        buf.push(batch2)
+        assert buf.filled == 8
+
+    def test_queue_device_path_matches_host_path(self, rng):
+        import jax.numpy as jnp
+
+        data = rng.normal(size=(1, 12, 12, 12)).astype(np.float32)
+        seg = np.zeros((1, 12, 12, 12), np.int32)
+        seg[0, 3:9, 3:9, 3:9] = 1
+
+        def run(device: bool):
+            tio.seed(5)
+            conv = (lambda a: jnp.asarray(a)) if device else (lambda a: a)
+            subject = tio.Subject(
+                t1=tio.ScalarImage(conv(data.copy())),
+                seg=tio.LabelMap(conv(seg.copy())),
+            )
+            queue = tio.Queue(
+                [subject],
+                patch_sampler=tio.LabelSampler(patch_size=6, label_name="seg"),
+                patches_per_volume=4,
+                shuffle_subjects=False,
+                shuffle_patches=False,
+            )
+            return list(queue)
+
+        host = run(False)
+        dev = run(True)
+        assert len(host) == len(dev) == 4
+        for h, d in zip(host, dev):
+            np.testing.assert_allclose(
+                np.asarray(d.t1.data), np.asarray(h.t1.data)
+            )
+            assert isinstance(d.seg, tio.LabelMap)
+            np.testing.assert_allclose(
+                d.t1.affine.data, h.t1.affine.data
+            )
+            assert (
+                d.metadata["patch_location"].index
+                == h.metadata["patch_location"].index
+            )

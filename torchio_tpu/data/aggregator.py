@@ -12,6 +12,7 @@ batch). ``get_output()`` is the only host sync point.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -19,6 +20,39 @@ import jax.numpy as jnp
 import numpy as np
 
 from .patch import PatchLocation
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_add_kernel(buf, patches, corners):
+    """Scatter-add (B, C, p, p, p) patches at dynamic (B, 3) corners.
+
+    One compiled program per (buffer, batch) SHAPE — corner positions
+    are traced values, so every grid location reuses the same
+    executable (concrete ``.at[slice].add`` updates would recompile per
+    distinct location). The donated buffer updates in place in HBM.
+    """
+
+    def body(buf, xs):
+        patch, corner = xs
+        start = (jnp.int32(0), corner[0], corner[1], corner[2])
+        region = jax.lax.dynamic_slice(buf, start, patch.shape)
+        return jax.lax.dynamic_update_slice(buf, region + patch, start), None
+
+    buf, _ = jax.lax.scan(body, buf, (patches, corners))
+    return buf
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_set_kernel(buf, patches, corners):
+    """Like :func:`_scatter_add_kernel` but overwriting (crop mode)."""
+
+    def body(buf, xs):
+        patch, corner = xs
+        start = (jnp.int32(0), corner[0], corner[1], corner[2])
+        return jax.lax.dynamic_update_slice(buf, patch, start), None
+
+    buf, _ = jax.lax.scan(body, buf, (patches, corners))
+    return buf
 
 
 def _hann_1d(size: int) -> np.ndarray:
@@ -79,15 +113,39 @@ class PatchAggregator:
         self._hann_cache: dict[tuple[int, int, int], jax.Array] = {}
 
     def add_batch(self, batch: Any, locations: list[PatchLocation]) -> None:
-        """Accumulate a (B, C, i, j, k) array (or dict of them)."""
+        """Accumulate a (B, C, i, j, k) array (or dict of them).
+
+        The whole batch scatters in ONE jitted donated-buffer program
+        (compiled once per shape; dynamic corner positions)."""
         tensors = {"__default__": batch} if not isinstance(batch, dict) else batch
         for key, tensor in tensors.items():
             tensor = jnp.asarray(np.asarray(tensor) if not isinstance(tensor, jax.Array) else tensor)
-            for idx, loc in enumerate(locations):
-                patch = tensor[idx]
-                if self._scale != (1.0, 1.0, 1.0):
-                    loc = loc.scaled(self._scale)
-                self._add_patch(key, patch, loc)
+            locs = [
+                loc.scaled(self._scale) if self._scale != (1.0, 1.0, 1.0) else loc
+                for loc in locations
+            ]
+            self._ensure_buffer(key, tensor[0])
+            tensor = tensor.astype(jnp.float32)
+            if self.overlap_mode == "crop":
+                for idx, loc in enumerate(locs):
+                    self._add_crop(key, tensor[idx], loc)
+                continue
+            corners = jnp.asarray(
+                np.asarray([loc.index for loc in locs], np.int32)
+            )
+            if self.overlap_mode == "average":
+                weighted = tensor
+                count_patch = jnp.ones_like(tensor)
+            else:  # hann
+                window = self._get_hann(tuple(tensor.shape[-3:]))
+                weighted = tensor * window
+                count_patch = jnp.broadcast_to(window, tensor.shape)
+            self._outputs[key] = _scatter_add_kernel(
+                self._outputs[key], weighted, corners
+            )
+            self._counts[key] = _scatter_add_kernel(
+                self._counts[key], count_patch, corners
+            )
 
     def get_output(self, key: str | None = None) -> np.ndarray:
         """Aggregated (C, I, J, K) volume (host numpy)."""
@@ -111,23 +169,6 @@ class PatchAggregator:
         if self.overlap_mode in ("average", "hann"):
             self._counts[key] = jnp.zeros((c, *self.spatial_shape), jnp.float32)
 
-    def _add_patch(self, key: str, patch, location: PatchLocation) -> None:
-        self._ensure_buffer(key, patch)
-        patch = patch.astype(jnp.float32)
-        if self.overlap_mode == "crop":
-            self._add_crop(key, patch, location)
-        elif self.overlap_mode == "average":
-            si, sj, sk = location.to_slices()
-            self._outputs[key] = self._outputs[key].at[:, si, sj, sk].add(patch)
-            self._counts[key] = self._counts[key].at[:, si, sj, sk].add(1.0)
-        else:  # hann
-            window = self._get_hann(tuple(patch.shape[-3:]))
-            si, sj, sk = location.to_slices()
-            self._outputs[key] = (
-                self._outputs[key].at[:, si, sj, sk].add(patch * window)
-            )
-            self._counts[key] = self._counts[key].at[:, si, sj, sk].add(window)
-
     def _add_crop(self, key: str, patch, location: PatchLocation) -> None:
         scaled_overlap = tuple(
             round(o * s) for o, s in zip(self.patch_overlap, self._scale)
@@ -150,10 +191,13 @@ class PatchAggregator:
             crop_ini[1] : crop_fin[1],
             crop_ini[2] : crop_fin[2],
         ]
-        self._outputs[key] = (
-            self._outputs[key]
-            .at[:, ini[0] : fin[0], ini[1] : fin[1], ini[2] : fin[2]]
-            .set(cropped)
+        # dynamic start, static cropped shape: one executable per
+        # boundary-crop variant (<= 8) instead of one per location
+        corner = jnp.asarray(
+            np.asarray([ini], np.int32)
+        )
+        self._outputs[key] = _scatter_set_kernel(
+            self._outputs[key], cropped[None], corner
         )
 
     def _get_hann(self, patch_size: tuple[int, int, int]):

@@ -423,7 +423,12 @@ class Image(Invertible):
             return self._metadata[index]
         if self._data is not None:
             slices = normalize_index(index, self.shape)
-            region = _to_host(self._data)[slices]
+            if isinstance(self._data, jax.Array):
+                # device-resident data: slice ON DEVICE (a host pull
+                # here would download the whole volume per patch)
+                region = self._data[slices]
+            else:
+                region = _to_host(self._data)[slices]
             corner = np.array([slices[1].start, slices[2].start, slices[3].start])
         else:
             backend = self.dataobj

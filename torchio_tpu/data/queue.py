@@ -111,7 +111,59 @@ class Queue:
         return subject
 
     def _sample_patches(self, subject: Subject) -> list[Subject]:
+        fast = self._sample_patches_on_device(subject)
+        if fast is not None:
+            return fast
         return list(islice(iter(self.patch_sampler(subject)), self.patches_per_volume))
+
+    def _sample_patches_on_device(self, subject: Subject) -> list[Subject] | None:
+        """All of a subject's patches in ONE jit call per image.
+
+        Engages when every image is device-resident and the sampler can
+        produce corner locations (the BASELINE "on-device patch queue"
+        north star — the reference slices host tensors one patch at a
+        time, ``/root/reference/src/torchio/data/sampler.py:54-67``).
+        """
+        import jax
+
+        images = subject.images
+        if not images or not all(
+            isinstance(img.data, jax.Array) for img in images.values()
+        ):
+            return None
+        try:
+            locations = self.patch_sampler.sample_locations(
+                subject, self.patches_per_volume
+            )
+        except NotImplementedError:
+            return None
+        if not locations:
+            return None
+
+        import numpy as np
+
+        from ..ops.patches import extract_patches
+
+        corners = np.asarray([loc.index for loc in locations], np.int32)
+        patch_size = tuple(int(p) for p in locations[0].size)
+        per_image = {
+            name: extract_patches(img.data, corners, patch_size)
+            for name, img in images.items()
+        }
+        patches = []
+        for i, loc in enumerate(locations):
+            kwargs: dict[str, Any] = {}
+            for name, img in images.items():
+                aff = np.array(img.affine.data)
+                corner = np.asarray(loc.index, np.float64)
+                aff[:3, 3] = aff[:3, :3] @ corner + aff[:3, 3]
+                kwargs[name] = img.new_like(
+                    data=per_image[name][i], affine=aff
+                )
+            kwargs.update(subject.metadata)
+            kwargs["patch_location"] = loc
+            patches.append(Subject(**kwargs))
+        return patches
 
     def _make_subject_iter(self) -> Iterator[Subject]:
         if self.subject_sampler is not None:

@@ -42,6 +42,26 @@ class PatchSampler:
         kwargs["patch_location"] = location
         return Subject(**kwargs)
 
+    def sample_locations(
+        self, subject: Subject, num_patches: int
+    ) -> list[PatchLocation]:
+        """Corner locations only — no voxel extraction.
+
+        Random samplers override ``_sample_corners``; device pipelines
+        (``Queue``, :mod:`torchio_tpu.ops.patches`) use the locations to
+        slice every patch in one jit call instead of one slice per
+        patch per image.
+        """
+        return [
+            PatchLocation(index=corner, size=self.patch_size)
+            for corner in self._sample_corners(subject, num_patches)
+        ]
+
+    def _sample_corners(self, subject: Subject, num_patches: int):
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement corner sampling"
+        )
+
 
 class GridSampler(PatchSampler):
     """Regular-grid patches for dense inference (map-style: len + index).
@@ -149,6 +169,12 @@ class UniformSampler(PatchSampler):
             out.append(int(rng.integers(0, hi)))
         return (out[0], out[1], out[2])
 
+    def _sample_corners(self, subject: Subject, num_patches: int):
+        return [
+            self._random_index(subject.spatial_shape)
+            for _ in range(num_patches)
+        ]
+
 
 def _mask_borders(prob: np.ndarray, spatial_shape, patch_size) -> np.ndarray:
     """Zero probability where a patch centered there would overflow."""
@@ -164,6 +190,21 @@ def _mask_borders(prob: np.ndarray, spatial_shape, patch_size) -> np.ndarray:
             sl = [slice(None)] * 3
             sl[d] = slice(tail, None)
             prob[tuple(sl)] = 0
+    return prob
+
+
+def _mask_borders_device(prob, spatial_shape, patch_size):
+    """Device analog of :func:`_mask_borders` (immutable arrays)."""
+    import jax.numpy as jnp
+
+    for d in range(3):
+        half = patch_size[d] // 2
+        tail = spatial_shape[d] - half
+        pos = jnp.arange(spatial_shape[d])
+        valid = (pos >= half) & (pos < tail)
+        shape = [1, 1, 1]
+        shape[d] = -1
+        prob = prob * valid.reshape(shape).astype(prob.dtype)
     return prob
 
 
@@ -200,30 +241,88 @@ class WeightedSampler(PatchSampler):
         )
         return _mask_borders(prob, subject.spatial_shape, self.patch_size)
 
-    def __call__(self, subject: Subject, num_patches: int | None = None):
-        prob = self._build_probability_map_for(subject)
-        flat = prob.reshape(-1)
-        # One O(N) cumulative pass per subject, O(log N) per draw.
-        # (rng.choice(p=...) rebuilds the full distribution PER DRAW —
-        # ~70 ms/patch on a 128^3 map; this is the config-5 fix.)
-        cdf = np.cumsum(flat)
-        total = cdf[-1]
+    def _corners_from_cdf(self, subject, shape, cdf, total, n):
+        import jax
+
+        rng = tio_random.get_rng()
+        draws = rng.random(n) * total
+        if isinstance(cdf, jax.Array):
+            import jax.numpy as jnp
+
+            idxs = np.asarray(
+                jnp.searchsorted(
+                    cdf, jnp.asarray(draws, jnp.float32), side="right"
+                )
+            )
+        else:
+            idxs = np.searchsorted(cdf, draws, side="right")
+        idxs = np.minimum(idxs, int(np.prod(shape)) - 1)
+        corners = []
+        for idx_flat in idxs:
+            center = tuple(
+                int(x) for x in np.unravel_index(int(idx_flat), shape)
+            )
+            corners.append(
+                _center_to_corner(center, subject.spatial_shape, self.patch_size)
+            )
+        return corners
+
+    def _build_cdf(self, subject: Subject):
+        """(map shape, cumulative distribution, total) — one O(N) pass
+        per subject, O(log N) per draw.
+
+        (``rng.choice(p=...)`` rebuilds the full distribution PER DRAW —
+        ~70 ms/patch on a 128^3 map; this is the config-5 fix.)
+        For device-resident maps the cumsum + searchsorted run on
+        device and only the drawn indices cross the host link.
+        """
+        import jax
+
+        img = subject.images[self.probability_map]
+        if isinstance(img.data, jax.Array):
+            import jax.numpy as jnp
+
+            prob = self._device_probability_map_for(subject)
+            cdf = jnp.cumsum(prob.reshape(-1))
+            total = float(cdf[-1])
+            shape = tuple(int(s) for s in prob.shape)
+        else:
+            prob = self._build_probability_map_for(subject)
+            cdf = np.cumsum(prob.reshape(-1))
+            total = float(cdf[-1])
+            shape = prob.shape
         if total == 0:
             raise RuntimeError(
                 f"Probability map '{self.probability_map}' is all zeros"
             )
-        rng = tio_random.get_rng()
+        return shape, cdf, total
+
+    def _device_probability_map_for(self, subject: Subject):
+        import jax.numpy as jnp
+
+        prob = jnp.asarray(
+            subject.images[self.probability_map].data[0], jnp.float32
+        )
+        return _mask_borders_device(
+            prob, subject.spatial_shape, self.patch_size
+        )
+
+    def _sample_corners(self, subject: Subject, num_patches: int):
+        shape, cdf, total = self._build_cdf(subject)
+        return self._corners_from_cdf(subject, shape, cdf, total, num_patches)
+
+    def __call__(self, subject: Subject, num_patches: int | None = None):
+        shape, cdf, total = self._build_cdf(subject)
         limit = num_patches or self.num_patches
         count = 0
-        pending: list[int] = []
+        pending: list = []
         while limit is None or count < limit:
             if not pending:
                 chunk = 64 if limit is None else min(64, limit - count)
-                draws = rng.random(chunk) * total
-                pending = list(np.searchsorted(cdf, draws, side="right"))
-            idx_flat = int(min(pending.pop(), flat.size - 1))
-            center = tuple(int(x) for x in np.unravel_index(idx_flat, prob.shape))
-            index = _center_to_corner(center, subject.spatial_shape, self.patch_size)
+                pending = self._corners_from_cdf(
+                    subject, shape, cdf, total, chunk
+                )
+            index = pending.pop(0)
             yield self._extract_patch(
                 subject, PatchLocation(index=index, size=self.patch_size)
             )
@@ -264,3 +363,17 @@ class LabelSampler(WeightedSampler):
         else:
             prob = (label > 0).astype(np.float64)
         return _mask_borders(prob, subject.spatial_shape, self.patch_size)
+
+    def _device_probability_map_for(self, subject: Subject):
+        import jax.numpy as jnp
+
+        label = subject.images[self.label_name].data[0]
+        if self.label_probabilities is not None:
+            prob = jnp.zeros(label.shape, jnp.float32)
+            for value, weight in self.label_probabilities.items():
+                prob = jnp.where(label == value, jnp.float32(weight), prob)
+        else:
+            prob = (label > 0).astype(jnp.float32)
+        return _mask_borders_device(
+            prob, subject.spatial_shape, self.patch_size
+        )
