@@ -176,3 +176,90 @@ class TestUnbatchHistory:
                 assert len(sub.applied_transforms) == 1
             else:
                 assert sub.applied_transforms == []
+
+
+class TestExternalImagePolymorphism:
+    """_wrap accepts duck-typed nibabel / SimpleITK images and returns
+    the SAME type (reference transform.py:510-665). Neither library is
+    installed here, so minimal fakes exercise the seam."""
+
+    def test_nibabel_like_roundtrip(self, rng):
+        class FakeNifti1Image:
+            def __init__(self, dataobj, affine):
+                self.dataobj = np.asanyarray(dataobj)
+                self.affine = np.asarray(affine)
+
+        data = rng.random((5, 6, 7)).astype(np.float32)
+        affine = np.diag([2.0, 1.0, 1.5, 1.0])
+        nii = FakeNifti1Image(data, affine)
+        out = tio.Clamp(out_min=0.2, out_max=0.8)(nii)
+        assert isinstance(out, FakeNifti1Image)
+        assert out.dataobj.shape == (5, 6, 7)
+        np.testing.assert_allclose(
+            out.dataobj, np.clip(data, 0.2, 0.8), rtol=1e-6
+        )
+        np.testing.assert_allclose(out.affine, affine)
+
+    def test_nibabel_like_4d_channels_last(self, rng):
+        class FakeNifti1Image:
+            def __init__(self, dataobj, affine):
+                self.dataobj = np.asanyarray(dataobj)
+                self.affine = np.asarray(affine)
+
+        data = rng.random((5, 6, 7, 3)).astype(np.float32)  # (I,J,K,C)
+        out = tio.Clamp(out_min=0.0, out_max=0.5)(
+            FakeNifti1Image(data, np.eye(4))
+        )
+        assert out.dataobj.shape == (5, 6, 7, 3)
+        np.testing.assert_allclose(
+            out.dataobj, np.clip(data, 0.0, 0.5), rtol=1e-6
+        )
+
+    def test_sitk_like_roundtrip(self, rng, monkeypatch):
+        import sys
+        import types
+
+        class FakeSitkImage:
+            def __init__(self, kji, spacing, direction, origin):
+                self._arr = np.asarray(kji)
+                self._spacing = tuple(spacing)
+                self._direction = tuple(direction)
+                self._origin = tuple(origin)
+
+            def GetSpacing(self):
+                return self._spacing
+
+            def GetDirection(self):
+                return self._direction
+
+            def GetOrigin(self):
+                return self._origin
+
+            def SetSpacing(self, value):
+                self._spacing = tuple(value)
+
+            def SetDirection(self, value):
+                self._direction = tuple(value)
+
+            def SetOrigin(self, value):
+                self._origin = tuple(value)
+
+        fake_mod = types.ModuleType("SimpleITK")
+        fake_mod.GetArrayFromImage = lambda img: img._arr
+        fake_mod.GetImageFromArray = lambda arr, isVector=False: FakeSitkImage(
+            arr, (1, 1, 1), (1, 0, 0, 0, 1, 0, 0, 0, 1), (0, 0, 0)
+        )
+        monkeypatch.setitem(sys.modules, "SimpleITK", fake_mod)
+
+        kji = rng.random((7, 6, 5)).astype(np.float32)  # sitk (K, J, I)
+        img = FakeSitkImage(
+            kji, (2.0, 1.0, 1.5), (1, 0, 0, 0, 1, 0, 0, 0, 1), (10.0, -4.0, 2.0)
+        )
+        out = tio.Clamp(out_min=0.2, out_max=0.8)(img)
+        assert isinstance(out, FakeSitkImage)
+        np.testing.assert_allclose(
+            out._arr, np.clip(kji, 0.2, 0.8), rtol=1e-6
+        )
+        # LPS -> RAS -> LPS round trip preserves geometry
+        np.testing.assert_allclose(out._spacing, (2.0, 1.0, 1.5))
+        np.testing.assert_allclose(out._origin, (10.0, -4.0, 2.0))

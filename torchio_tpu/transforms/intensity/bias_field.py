@@ -46,6 +46,37 @@ def _field_from_seed(shape, std, seed: int, scale: float):
     return jnp.exp(field)
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("scale", "divide"))
+def _bias_kernel_per_element(data, stds, seeds, scale: float, divide: bool):
+    """Per-element fields + apply, fused into ONE program.
+
+    Matches the sequential per-element path bit-for-bit: each element's
+    coarse field comes from ``PRNGKey(seed_i)`` with the (1, C, *small)
+    shape the unfused path used."""
+    c = data.shape[1]
+    spatial = tuple(data.shape[2:])
+    small = _coarse_shape(spatial, scale)
+
+    def field_one(sd, s):
+        key = jax.random.PRNGKey(sd)
+        coarse = jax.random.normal(key, (1, c, *small), jnp.float32) * s
+        return jnp.exp(upsample_volume(coarse, spatial))[0]
+
+    field = jax.vmap(field_one)(seeds, stds)
+    out = data / field if divide else data * field
+    return out.astype(data.dtype)
+
+
+@_partial(jax.jit, static_argnames=("scale", "divide"))
+def _bias_kernel_shared(data, std, seed, scale: float, divide: bool):
+    field = _field_from_seed(data.shape, std, seed, scale)
+    out = data / field if divide else data * field
+    return out.astype(data.dtype)
+
+
 def _apply_bias(data, std, seed, scale: float, *, divide: bool):
     data = as_jnp(data)
     if isinstance(seed, list):  # per-element seeds
@@ -53,20 +84,20 @@ def _apply_bias(data, std, seed, scale: float, *, divide: bool):
         identity = [s == 0 for s in stds]
         if all(identity):
             return data
-        fields = [
-            _field_from_seed((1, *data.shape[1:]), s, sd, scale)[0]
-            for s, sd in zip(stds, seed)
-        ]
-        field = jnp.stack(fields)
-        out = data / field if divide else data * field
-        out = out.astype(data.dtype)
+        out = _bias_kernel_per_element(
+            data,
+            jnp.asarray(np.asarray(stds, np.float32)),
+            jnp.asarray(np.asarray(seed, np.uint32)),
+            scale,
+            divide,
+        )
         keep = [not i for i in identity]
         return restore_gated(out, data, keep)
     if std == 0:
         return data
-    field = _field_from_seed(data.shape, std, seed, scale)
-    out = data / field if divide else data * field
-    return out.astype(data.dtype)
+    return _bias_kernel_shared(
+        data, jnp.float32(std), jnp.uint32(seed), scale, divide
+    )
 
 
 class BiasField(IntensityTransform):

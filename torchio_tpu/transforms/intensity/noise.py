@@ -81,11 +81,19 @@ class Noise(IntensityTransform):
             mean = broadcast_param(params["mean"], data)
             std = broadcast_param(params["std"], data)
             key, k1, k2 = jax.random.split(key, 3)
-            noise = mean + std * jax.random.normal(k1, data.shape, jnp.float32)
-            if rician:
-                noise2 = mean + std * jax.random.normal(k2, data.shape, jnp.float32)
-                out = jnp.sqrt((data + noise) ** 2 + noise2**2)
-            else:
-                out = data + noise
+            out = _noise_kernel(data, mean, std, k1, k2, rician)
             img_batch.data = restore_gated(out, data, keep)
         return batch
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("rician",))
+def _noise_kernel(data, mean, std, k1, k2, rician: bool):
+    """RNG + add (or Rician magnitude) fused into one program."""
+    noise = mean + std * jax.random.normal(k1, data.shape, jnp.float32)
+    if rician:
+        noise2 = mean + std * jax.random.normal(k2, data.shape, jnp.float32)
+        return jnp.sqrt((data + noise) ** 2 + noise2**2)
+    return data + noise

@@ -87,20 +87,46 @@ class Spike(IntensityTransform):
 
 
 def _add_spikes(data, per_element):
-    result = data.astype(jnp.float32)
-    shape = result.shape[2:]
     # Impulses are sparse: scatter them into the UNSHIFTED spectrum at
     # host-ifftshifted indices instead of shipping a dense (B, I, J, K)
-    # impulse volume through the host link and rolling on device.
-    spectrum = jnp.fft.fftn(result, axes=(-3, -2, -1))
-    peak = jnp.max(jnp.abs(spectrum), axis=(-3, -2, -1))  # (B, C)
+    # impulse volume through the host link and rolling on device. All
+    # indices are gathered on host into ONE batched scatter so the FFT
+    # pair + scatter run as a single jit program.
+    import numpy as np
+
+    shape = data.shape[2:]
+    b_idx, coords, vals = [], [], []
     for b, (positions, intensity) in enumerate(per_element):
         if not positions or intensity == 0:
             continue
         for pos in positions:
             idx = [int(p * s) % s for p, s in zip(pos, shape)]
             # index in shifted coords -> unshifted: ifftshift mapping
-            ui, uj, uk = ((i + (s - s // 2)) % s for i, s in zip(idx, shape))
-            spectrum = spectrum.at[b, :, ui, uj, uk].add(intensity * peak[b])
+            unshifted = [
+                (i + (s - s // 2)) % s for i, s in zip(idx, shape)
+            ]
+            b_idx.append(b)
+            coords.append(unshifted)
+            vals.append(intensity)
+    return _spike_kernel(
+        data,
+        jnp.asarray(np.asarray(b_idx, np.int32)),
+        jnp.asarray(np.asarray(coords, np.int32).reshape(-1, 3)),
+        jnp.asarray(np.asarray(vals, np.float32)),
+    )
+
+
+import jax as _jax
+
+
+@_jax.jit
+def _spike_kernel(data, b_idx, coords, intensities):
+    result = data.astype(jnp.float32)
+    spectrum = jnp.fft.fftn(result, axes=(-3, -2, -1))
+    peak = jnp.max(jnp.abs(spectrum), axis=(-3, -2, -1))  # (B, C)
+    vals = intensities[:, None] * peak[b_idx]  # (M, C)
+    spectrum = spectrum.at[
+        b_idx, :, coords[:, 0], coords[:, 1], coords[:, 2]
+    ].add(vals.astype(spectrum.dtype))
     out = jnp.fft.ifftn(spectrum, axes=(-3, -2, -1)).real
     return out.astype(data.dtype)

@@ -336,10 +336,18 @@ class Transform:
             if arr.ndim == 3:
                 arr = arr[None]
             return _wrap_single_image(ScalarImage(arr), _unwrap_torch)
+        if hasattr(data, "dataobj") and hasattr(data, "affine"):
+            # duck-typed nibabel spatial image (reference
+            # transform.py:510-665 accepts nib.Nifti1Image inputs)
+            return _wrap_nibabel(data)
+        if hasattr(data, "GetDirection") and hasattr(data, "GetSpacing"):
+            # duck-typed SimpleITK image
+            return _wrap_sitk(data)
         if isinstance(data, dict):
             return _wrap_dict(data)
         raise TypeError(
-            "Expected Subject, Image, array, dict, ImagesBatch, or"
+            "Expected Subject, Image, array, dict, nibabel image, "
+            "SimpleITK image, ImagesBatch, or"
             f" SubjectsBatch, got {type(data).__name__}"
         )
 
@@ -371,6 +379,77 @@ def _unwrap_torch(batch: SubjectsBatch):
     import torch
 
     return torch.as_tensor(np.asarray(batch.unbatch()[0].tio_default_image.data))
+
+
+def _wrap_nibabel(data: Any) -> tuple[SubjectsBatch, Any]:
+    """nib spatial image in, SAME class out (data+affine round-trip)."""
+    arr = np.asanyarray(data.dataobj)
+    if arr.ndim == 3:
+        cijk = arr[None]
+    elif arr.ndim == 4:
+        cijk = np.moveaxis(arr, -1, 0)  # NIfTI stores (I, J, K, C)
+    else:
+        raise ValueError(f"Expected 3D/4D nibabel image, got {arr.ndim}D")
+    affine = np.asarray(data.affine, np.float64)
+    img = ScalarImage(np.ascontiguousarray(cijk), affine=affine)
+    cls = type(data)
+    was_3d = arr.ndim == 3
+
+    def unwrap(batch: SubjectsBatch):
+        out = batch.unbatch()[0].tio_default_image
+        out_arr = np.asarray(out.data)
+        if was_3d and out_arr.shape[0] == 1:
+            disk = out_arr[0]
+        else:
+            disk = np.moveaxis(out_arr, 0, -1)
+        return cls(disk, np.asarray(out.affine.data))
+
+    return SubjectsBatch.from_subjects([Subject(tio_default_image=img)]), unwrap
+
+
+def _wrap_sitk(data: Any) -> tuple[SubjectsBatch, Any]:
+    """SimpleITK image in, SimpleITK image out (LPS<->RAS at the seam,
+    like the reference's read_sitk / Image.save conversion)."""
+    import SimpleITK as sitk  # noqa: N813 - only reachable with sitk inputs
+
+    arr = sitk.GetArrayFromImage(data)  # (K, J, I) or (K, J, I, C)
+    if arr.ndim == 3:
+        cijk = arr.transpose(2, 1, 0)[None]
+    elif arr.ndim == 4:
+        cijk = arr.transpose(3, 2, 1, 0)
+    else:
+        raise ValueError(f"Expected 3D/4D SimpleITK image, got {arr.ndim}D")
+    spacing = np.asarray(data.GetSpacing(), np.float64)
+    direction = np.asarray(data.GetDirection(), np.float64).reshape(3, 3)
+    origin = np.asarray(data.GetOrigin(), np.float64)
+    lps = np.eye(4)
+    lps[:3, :3] = direction * spacing
+    lps[:3, 3] = origin
+    flip = np.diag([-1.0, -1.0, 1.0, 1.0])
+    img = ScalarImage(np.ascontiguousarray(cijk), affine=flip @ lps)
+    was_3d = arr.ndim == 3
+
+    def unwrap(batch: SubjectsBatch):
+        out = batch.unbatch()[0].tio_default_image
+        out_arr = np.asarray(out.data)
+        if was_3d and out_arr.shape[0] == 1:
+            disk = out_arr[0].transpose(2, 1, 0)
+        else:
+            disk = out_arr.transpose(3, 2, 1, 0)
+        result = sitk.GetImageFromArray(
+            np.ascontiguousarray(disk), isVector=False
+        )
+        out_lps = flip @ np.asarray(out.affine.data)
+        out_spacing = np.linalg.norm(out_lps[:3, :3], axis=0)
+        out_spacing[out_spacing == 0] = 1.0
+        result.SetSpacing(tuple(float(s) for s in out_spacing))
+        result.SetDirection(
+            tuple((out_lps[:3, :3] / out_spacing).reshape(-1).tolist())
+        )
+        result.SetOrigin(tuple(out_lps[:3, 3].tolist()))
+        return result
+
+    return SubjectsBatch.from_subjects([Subject(tio_default_image=img)]), unwrap
 
 
 def _wrap_dict(data: dict) -> tuple[SubjectsBatch, Any]:
