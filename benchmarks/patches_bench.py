@@ -57,11 +57,14 @@ def bench_queue() -> float:
     )
     import jax.numpy as jnp
 
-    # warm epoch: compile every Motion/Ghosting executable shape once
-    # (a training run amortizes compiles across epochs; round-1 timed
-    # them inside the first epoch, which is why config 5 read 0.4-1.5)
-    for batch in tio.SubjectsLoader(queue, batch_size=8):
-        float(jnp.sum(jnp.asarray(batch.images["t1"].data)))
+    # warm epochs: compile every Motion/Ghosting executable variant once
+    # (random axis / segment draws hit different mask shapes; a training
+    # run amortizes these compiles across hundreds of epochs — round 1
+    # timed them inside the first epoch, which is why config 5 read
+    # 0.4-1.5)
+    for _ in range(2):
+        for batch in tio.SubjectsLoader(queue, batch_size=8):
+            float(jnp.sum(jnp.asarray(batch.images["t1"].data)))
 
     epochs = 3
     t0 = time.time()

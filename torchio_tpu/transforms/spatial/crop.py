@@ -32,6 +32,14 @@ class Crop(SpatialTransform):
         for _name, img_batch in self._get_images(batch).items():
             data = img_batch.data
             si, sj, sk = data.shape[-3:]
+            for axis, (size, lo, hi) in enumerate(
+                zip((si, sj, sk), (i0, j0, k0), (i1, j1, k1))
+            ):
+                if size - lo - hi < 1:
+                    raise ValueError(
+                        f"Cropping ({lo}, {hi}) removes all {size} voxels"
+                        f" of spatial axis {axis}"
+                    )
             img_batch.data = data[
                 ...,
                 i0 : si - i1 or None,
