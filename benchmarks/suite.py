@@ -31,6 +31,16 @@ from torchio_tpu.data.batch import SubjectsBatch
 B = 4
 ITERS = 3
 
+#: The REAL reference TorchIO on this machine's 1-core CPU (1 torch
+#: thread), measured via tests/_reference_loader.py on the same config
+#: definitions (see BASELINE.md "Round-2 re-baselining").
+REFERENCE_CPU_VPS = {
+    "1": 2.50,
+    "2": 0.195,
+    "3": 0.096,
+    "4": 0.433,
+}
+
 
 def _device_batch(shapes: dict[str, tuple], spacing=(1.0, 1.0, 1.0)) -> SubjectsBatch:
     import jax.numpy as jnp
@@ -92,6 +102,7 @@ def config1() -> dict:
         "metric": "config1 Flip+Noise+Rescale 181x217x181 volumes/sec",
         "value": round(vps, 2),
         "unit": "volumes/sec",
+        "vs_reference_cpu": round(vps / REFERENCE_CPU_VPS["1"], 1),
     }
 
 
@@ -111,6 +122,7 @@ def config2() -> dict:
         "metric": "config2 Blur+BiasField+Gamma 256^3 volumes/sec",
         "value": round(vps, 2),
         "unit": "volumes/sec",
+        "vs_reference_cpu": round(vps / REFERENCE_CPU_VPS["2"], 1),
     }
 
 
@@ -138,6 +150,7 @@ def config3() -> dict:
         "metric": "config3 Affine+Resample-to-1mm 4ch+labels volumes/sec",
         "value": round(vps, 2),
         "unit": "volumes/sec",
+        "vs_reference_cpu": round(vps / REFERENCE_CPU_VPS["3"], 1),
     }
 
 
@@ -170,6 +183,7 @@ def config4() -> dict:
         "metric": "config4 Elastic fwd+inverse 128^3 volumes/sec",
         "value": round(vps, 2),
         "unit": "volumes/sec",
+        "vs_reference_cpu": round(vps / REFERENCE_CPU_VPS["4"], 1),
         "label_consistency_interior": round(consistency, 4),
     }
 
