@@ -209,3 +209,77 @@ class TestShardedPublicAPI:
         batch = self._make_batch().shard_(mesh)
         batch.unshard_()
         assert batch.images["t1"].sharding is None
+
+
+class TestDistributedSubjectSampler:
+    def test_disjoint_full_coverage(self):
+        from torchio_tpu.parallel import DistributedSubjectSampler
+
+        world = 4
+        shards = [
+            list(
+                DistributedSubjectSampler(
+                    10, rank=r, world_size=world, shuffle=False
+                )
+            )
+            for r in range(world)
+        ]
+        # every rank sees ceil(10/4)=3; tail wraps; union covers all
+        assert all(len(s) == 3 for s in shards)
+        seen = set().union(*map(set, shards))
+        assert seen == set(range(10))
+
+    def test_drop_last(self):
+        from torchio_tpu.parallel import DistributedSubjectSampler
+
+        shards = [
+            list(
+                DistributedSubjectSampler(
+                    10, rank=r, world_size=4, shuffle=False, drop_last=True
+                )
+            )
+            for r in range(4)
+        ]
+        assert all(len(s) == 2 for s in shards)
+        assert len(set().union(*map(set, shards))) == 8
+
+    def test_epoch_shuffling_consistent_across_ranks(self):
+        from torchio_tpu.parallel import DistributedSubjectSampler
+
+        def shard(rank, epoch):
+            s = DistributedSubjectSampler(12, rank=rank, world_size=3, seed=5)
+            s.set_epoch(epoch)
+            return list(s)
+
+        # disjoint within one epoch
+        e0 = [shard(r, 0) for r in range(3)]
+        assert len(set().union(*map(set, e0))) == 12
+        # different permutation across epochs, same across reruns
+        assert shard(0, 0) == shard(0, 0)
+        assert shard(0, 0) != shard(0, 1)
+
+    def test_queue_integration(self, rng):
+        from torchio_tpu.parallel import DistributedSubjectSampler
+
+        subjects = []
+        for i in range(6):
+            s = tio.Subject(
+                t1=tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+            )
+            s["sid"] = i
+            subjects.append(s)
+        seen = []
+        for r in range(2):
+            sampler = DistributedSubjectSampler(
+                6, rank=r, world_size=2, shuffle=False
+            )
+            queue = tio.Queue(
+                subjects,
+                patch_sampler=tio.UniformSampler(patch_size=4),
+                patches_per_volume=1,
+                shuffle_subjects=False,
+                subject_sampler=sampler,
+            )
+            seen.append({p.sid for p in queue})
+        assert seen[0] | seen[1] == set(range(6))
+        assert seen[0].isdisjoint(seen[1])

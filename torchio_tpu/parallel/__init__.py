@@ -1,8 +1,10 @@
 from .halo import halo_blur, halo_resample_affine
+from .sampler import DistributedSubjectSampler
 from .mesh import batch_sharding, make_mesh, replicated_sharding, shard_batch
 from .step import make_augment_step, sample_step_params
 
 __all__ = [
+    "DistributedSubjectSampler",
     "batch_sharding",
     "halo_blur",
     "halo_resample_affine",

@@ -41,6 +41,7 @@ def warmup(
     batch_size: int = 1,
     label_keys: Sequence[str] = (),
     image_key: str = "t1",
+    repeats: int = 1,
 ) -> None:
     """Compile ``transform`` for the given shapes on the current device.
 
@@ -53,6 +54,11 @@ def warmup(
         label_keys: Names of LabelMap entries to include (label paths
             compile separate executables).
         image_key: Name of the scalar image entry.
+        repeats: run the pipeline this many times with fresh random
+            params. Transforms whose executable depends on a sampled
+            choice (Ghosting/Spike phase AXIS, OneOf branches, Motion
+            segment counts) compile one variant per draw; a few repeats
+            cover them all.
     """
     state = tio_random.get_rng().bit_generator.state
     try:
@@ -75,9 +81,10 @@ def warmup(
             ib.data = jnp.asarray(np.asarray(ib.data))
         runner = copy.deepcopy(transform)
         _force_apply(runner)
-        result = runner(batch)
-        # force execution (tunneled backends can return early)
-        for ib in result.images.values():
-            float(jnp.sum(jnp.asarray(ib.data)))
+        for _ in range(max(1, repeats)):
+            result = runner(batch)
+            # force execution (tunneled backends can return early)
+            for ib in result.images.values():
+                float(jnp.sum(jnp.asarray(ib.data)))
     finally:
         tio_random.get_rng().bit_generator.state = state
