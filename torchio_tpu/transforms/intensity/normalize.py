@@ -178,17 +178,28 @@ def _percentile_range(tensor, mask, pct_low, pct_high, name) -> tuple[float, flo
                 stacklevel=3,
             )
         else:
+            # ONE host transfer for both scalars: each float() costs a
+            # full device round trip (~35 ms through the tunneled
+            # backend), and stats feed host-recorded params.
             if pct_low == 0.0 and pct_high == 100.0:
                 big = jnp.float32(jnp.inf)
-                low = float(jnp.min(jnp.where(m, data, big)))
-                high = float(jnp.max(jnp.where(m, data, -big)))
-                return low, high
-            masked = jnp.where(m, data, jnp.nan)
-            low = float(jnp.nanquantile(masked, pct_low / 100.0))
-            high = float(jnp.nanquantile(masked, pct_high / 100.0))
+                pair = jnp.stack(
+                    [
+                        jnp.min(jnp.where(m, data, big)),
+                        jnp.max(jnp.where(m, data, -big)),
+                    ]
+                )
+            else:
+                masked = jnp.where(m, data, jnp.nan)
+                pair = jnp.nanquantile(
+                    masked, jnp.asarray([pct_low / 100.0, pct_high / 100.0])
+                )
+            low, high = (float(v) for v in np.asarray(pair))
             return low, high
     if pct_low == 0.0 and pct_high == 100.0:
-        return float(jnp.min(data)), float(jnp.max(data))
+        pair = jnp.stack([jnp.min(data), jnp.max(data)])
+        low, high = (float(v) for v in np.asarray(pair))
+        return low, high
     low = compute_quantile(data, pct_low / 100.0)
     high = compute_quantile(data, pct_high / 100.0)
     return low, high

@@ -43,19 +43,27 @@ class Standardize(IntensityTransform):
             data = as_jnp(img_batch.data[0]).astype(jnp.float32)
             # sample std (ddof=1), matching torch.std's unbiased default
             # in the reference (standardize.py:48-49)
+            # one host transfer for all scalars (each float() is a full
+            # device round trip)
             if mask is not None:
                 m = jnp.broadcast_to(as_jnp(mask), data.shape)
-                count = float(jnp.sum(m))
+                count_d = jnp.sum(m)
+                mean_d = jnp.sum(jnp.where(m, data, 0.0)) / jnp.maximum(
+                    count_d, 1
+                )
+                ss_d = jnp.sum(jnp.where(m, (data - mean_d) ** 2, 0.0))
+                count, mean, ss = (
+                    float(v)
+                    for v in np.asarray(jnp.stack([count_d, mean_d, ss_d]))
+                )
                 if count == 0:
                     raise RuntimeError(
                         f'Standardization mask for "{name}" is empty.'
                     )
-                mean = float(jnp.sum(jnp.where(m, data, 0.0)) / count)
-                ss = float(jnp.sum(jnp.where(m, (data - mean) ** 2, 0.0)))
                 std = (ss / max(count - 1.0, 1.0)) ** 0.5
             else:
-                mean = float(jnp.mean(data))
-                std = float(jnp.std(data, ddof=1))
+                pair = jnp.stack([jnp.mean(data), jnp.std(data, ddof=1)])
+                mean, std = (float(v) for v in np.asarray(pair))
             if std == 0:
                 raise RuntimeError(
                     f'Cannot standardize "{name}": standard deviation is zero.'
