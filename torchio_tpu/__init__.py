@@ -199,6 +199,16 @@ __all__ = [
     "ToReferenceSpace",
     "Transpose",
     "Transform",
+    "TypeAffineMatrix",
+    "TypeDirection",
+    "TypeImageData",
+    "TypeOrientationCodes",
+    "TypeOrigin",
+    "TypePath",
+    "TypeSpacing",
+    "TypeSpatialShape",
+    "TypeTensorShape",
+    "TypeWorldPoints",
     "UniformSampler",
     "WeightedSampler",
     "ZNormalization",
