@@ -16,6 +16,16 @@ from ..data.batch import SubjectsBatch
 from .transform import Transform
 
 
+def _filter_images(images: dict, include, exclude) -> dict:
+    """Apply include/exclude name filters (reference
+    cornucopia_adapter.py:137-144, monai_adapter.py:101-109)."""
+    if include is not None:
+        images = {k: v for k, v in images.items() if k in include}
+    if exclude is not None:
+        images = {k: v for k, v in images.items() if k not in exclude}
+    return images
+
+
 def _require_monai():
     try:
         import monai  # noqa: F401
@@ -55,26 +65,37 @@ class MonaiAdapter(Transform):
         from monai.data import MetaTensor
         from monai.transforms import MapTransform
 
+        from ..data.image import ScalarImage
+
         is_dict_style = isinstance(self.transform, MapTransform)
         subjects = batch.unbatch()
         for subject in subjects:
+            # MONAI transforms apply to scalar intensity images only,
+            # then the include/exclude name scoping (reference
+            # monai_adapter.py:101-109).
+            scalars = {
+                k: v
+                for k, v in subject.images.items()
+                if isinstance(v, ScalarImage)
+            }
+            images = _filter_images(scalars, self.include, self.exclude)
             if is_dict_style:
                 data = {}
-                for name, image in subject.images.items():
+                for name, image in images.items():
                     tensor = torch.as_tensor(np.asarray(image.data))
                     data[name] = MetaTensor(
                         tensor, affine=torch.as_tensor(image.affine.data)
                     )
                 result = self.transform(data)
                 for name, value in result.items():
-                    if name not in subject.images:
+                    if name not in images:
                         continue
                     image = subject.images[name]
                     image.set_data(np.asarray(value))
                     if isinstance(value, MetaTensor) and value.affine is not None:
                         image.affine = np.asarray(value.affine)
             else:
-                for image in subject.images.values():
+                for image in images.values():
                     tensor = torch.as_tensor(np.asarray(image.data))
                     image.set_data(np.asarray(self.transform(tensor)))
         rebuilt = SubjectsBatch.from_subjects(subjects)
@@ -115,14 +136,17 @@ class CornucopiaAdapter(Transform):
 
         subjects = batch.unbatch()
         for subject in subjects:
+            images = _filter_images(
+                dict(subject.images), self.include, self.exclude
+            )
             scalars = [
                 (n, img)
-                for n, img in subject.images.items()
+                for n, img in images.items()
                 if isinstance(img, ScalarImage)
             ]
             labels = [
                 (n, img)
-                for n, img in subject.images.items()
+                for n, img in images.items()
                 if not isinstance(img, ScalarImage)
             ]
             ordered = scalars + labels
@@ -131,7 +155,9 @@ class CornucopiaAdapter(Transform):
             if not isinstance(results, (tuple, list)):
                 results = (results,)
             for (name, img), result in zip(ordered, results):
-                img.set_data(np.asarray(result.detach()))
+                if hasattr(result, "detach"):
+                    result = result.detach()
+                img.set_data(np.asarray(result))
         rebuilt = SubjectsBatch.from_subjects(subjects)
         batch._images = rebuilt._images
         batch._metadata = rebuilt._metadata
