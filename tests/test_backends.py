@@ -128,3 +128,33 @@ def test_register_unregister():
         unregister_backend("magic")
     with pytest.raises(ValueError):
         resolve_backend(BackendRequest(source="MAGIC"))
+
+
+def test_incomplete_backend_rejected_at_resolve():
+    """A matcher returning an object missing protocol methods fails fast
+    with a clear TypeError instead of a masked AttributeError later."""
+    import pytest
+
+    from torchio_tpu.io.backends import (
+        BackendRequest,
+        register_backend,
+        resolve_backend,
+        unregister_backend,
+    )
+
+    class Incomplete:  # no to_array
+        shape = (1, 4, 4, 4)
+        affine = np.eye(4)
+        dtype = np.float32
+
+        def __getitem__(self, slices):
+            return np.zeros((1, 4, 4, 4))[slices]
+
+    register_backend(
+        "incomplete", lambda r: Incomplete() if r.source == "x://y" else None
+    )
+    try:
+        with pytest.raises(TypeError, match="to_array"):
+            resolve_backend(BackendRequest(source="x://y"))
+    finally:
+        unregister_backend("incomplete")

@@ -333,9 +333,24 @@ def registered_backends() -> list[str]:
 
 def resolve_backend(request: BackendRequest) -> ImageDataBackend:
     """Find the first matcher that accepts the request."""
-    for _name, matcher in _MATCHERS:
+    for name, matcher in _MATCHERS:
         backend = matcher(request)
         if backend is not None:
+            # Validate up front: a backend missing a protocol method
+            # would otherwise surface later as an AttributeError inside
+            # a property, which Image.__getattr__ misreports as the
+            # property itself being missing.
+            if not isinstance(backend, ImageDataBackend):
+                missing = [
+                    attr
+                    for attr in ("shape", "affine", "dtype", "__getitem__", "to_array")
+                    if not hasattr(backend, attr)
+                ]
+                raise TypeError(
+                    f"Backend {type(backend).__name__!r} from matcher"
+                    f" {name!r} does not implement ImageDataBackend;"
+                    f" missing: {missing}"
+                )
             return backend
     raise ValueError(f"No backend can read source: {request.source!r}")
 
