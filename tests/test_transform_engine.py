@@ -263,3 +263,42 @@ class TestExternalImagePolymorphism:
         # LPS -> RAS -> LPS round trip preserves geometry
         np.testing.assert_allclose(out._spacing, (2.0, 1.0, 1.5))
         np.testing.assert_allclose(out._origin, (10.0, -4.0, 2.0))
+
+
+class TestOperatorFlattening:
+    """Chained + / | produce flat Compose/OneOf (reference
+    transform.py:173-191)."""
+
+    def test_add_flattens_compose(self):
+        result = tio.Flip(axes=(0,)) + tio.Noise(std=0.1) + tio.BiasField()
+        assert isinstance(result, tio.Compose)
+        assert len(result.transforms) == 3
+
+    def test_add_compose_plus_transform(self):
+        c = tio.Compose([tio.Flip(axes=(0,)), tio.Noise(std=0.1)])
+        result = c + tio.BiasField()
+        assert isinstance(result, tio.Compose)
+        assert len(result.transforms) == 3
+
+    def test_add_non_transform_raises(self):
+        import pytest
+
+        with pytest.raises(TypeError):
+            tio.Flip(axes=(0,)) + 42
+
+    def test_or_flattens_oneof(self):
+        result = tio.Flip(axes=(0,)) | tio.Noise(std=0.1) | tio.BiasField()
+        assert isinstance(result, tio.OneOf)
+        assert len(result.transforms) == 3
+
+    def test_or_non_transform_raises(self):
+        import pytest
+
+        with pytest.raises(TypeError):
+            tio.Flip(axes=(0,)) | "bad"
+
+    def test_operators_produce_working_pipelines(self, subject):
+        out = (tio.Flip(axes=(0,)) + tio.Noise(std=0.01))(subject)
+        assert out.t1.shape == subject.t1.shape
+        out = (tio.Flip(axes=(0,)) | tio.Noise(std=0.01))(subject)
+        assert out.t1.shape == subject.t1.shape

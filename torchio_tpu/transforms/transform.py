@@ -291,18 +291,27 @@ class Transform:
     # --- Operators ---
 
     def __add__(self, other: "Transform"):
+        """``t1 + t2 -> Compose([t1, t2])``, flattening Compose operands
+        so chained ``+`` yields one flat pipeline (reference
+        transform.py:173-181)."""
         from .compose import Compose
 
         if not isinstance(other, Transform):
             return NotImplemented
-        return Compose([self, other])
+        left = self.transforms if isinstance(self, Compose) else [self]
+        right = other.transforms if isinstance(other, Compose) else [other]
+        return Compose([*left, *right])
 
     def __or__(self, other: "Transform"):
+        """``t1 | t2 -> OneOf([t1, t2])``, flattening OneOf operands
+        (reference transform.py:183-191)."""
         from .compose import OneOf
 
         if not isinstance(other, Transform):
             return NotImplemented
-        return OneOf([self, other])
+        left = self.transforms if isinstance(self, OneOf) else [self]
+        right = other.transforms if isinstance(other, OneOf) else [other]
+        return OneOf([*left, *right])
 
     # --- Wrapping ---
 
