@@ -37,7 +37,7 @@ def test_access(subject):
     assert subject.age == 42
     assert subject["age"] == 42
     assert "t2" in subject
-    assert len(subject) == 6
+    assert len(subject) == 5  # spatial entries only; metadata excluded
     with pytest.raises(KeyError):
         subject["nope"]
     with pytest.raises(AttributeError):
@@ -104,3 +104,101 @@ def test_setitem_delitem(subject):
     assert subject.note == "hello"
     del subject["note"]
     assert "note" not in subject
+
+
+class TestMappingSemantics:
+    """Iteration/len/contains cover spatial entries only (reference
+    subject.py:137-154)."""
+
+    def test_iter_excludes_metadata(self, subject):
+        keys = list(subject)
+        assert "t1" in keys
+        assert "landmarks" in keys
+        assert "lesions" in keys
+        assert "age" not in keys
+
+    def test_len_counts_spatial_entries(self, subject):
+        assert len(subject) == 5  # 3 images + 1 points + 1 bboxes
+
+    def test_contains_excludes_metadata(self, subject):
+        assert "t1" in subject
+        assert "landmarks" in subject
+        assert "age" not in subject
+
+    def test_metadata_still_accessible(self, subject):
+        assert subject.age == 42
+        assert subject["age"] == 42
+
+    def test_metadata_only_subject(self):
+        s = Subject(age=45, name="patient_1")
+        assert s.age == 45
+        assert len(s.images) == 0
+        assert len(s) == 0
+
+    def test_points_only_subject(self):
+        s = Subject(landmarks=Points(np.zeros((5, 3), np.float32)))
+        assert len(s.points) == 1
+        assert len(s) == 1
+
+
+class TestSpatialSlicing:
+    def test_slice_with_int(self, subject):
+        sliced = subject[3]
+        assert sliced.t1.shape == (1, 1, 8, 8)
+
+    def test_slice_with_ellipsis(self, subject):
+        sliced = subject[..., 2:6]
+        assert sliced.t1.shape == (1, 8, 8, 4)
+
+    def test_slice_preserves_points(self, subject):
+        sliced = subject[2:6]
+        assert set(sliced.points) == {"landmarks"}
+
+    def test_slice_preserves_bboxes_and_metadata(self, subject):
+        sliced = subject[2:6]
+        assert set(sliced.bounding_boxes) == {"lesions"}
+        assert sliced.age == 42
+
+    def test_slice_preserves_history(self, subject):
+        import torchio_tpu as tio
+
+        transformed = tio.Flip(axes=(0,))(subject)
+        sliced = transformed[2:6]
+        assert [t.name for t in sliced.applied_transforms] == ["Flip"]
+
+    def test_slice_is_new_subject(self, subject):
+        sliced = subject[2:6]
+        assert sliced is not subject
+        assert subject.t1.shape == (1, 8, 8, 8)  # original untouched
+
+    def test_no_images_slice_raises(self):
+        s = Subject(age=1)
+        with pytest.raises(RuntimeError):
+            s[2:4]
+
+
+class TestConsistencyChecks:
+    def test_inconsistent_shapes_raises(self, rng):
+        s = Subject(
+            a=ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32)),
+            b=ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32)),
+        )
+        with pytest.raises(RuntimeError, match="spatial_shape"):
+            s.check_consistent_spatial_shape()
+
+    def test_inconsistent_spacing_raises(self, rng):
+        from torchio_tpu.core.affine import AffineMatrix
+
+        s = Subject(
+            a=ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32)),
+            b=ScalarImage(
+                rng.random((1, 8, 8, 8)).astype(np.float32),
+                affine=AffineMatrix.from_spacing((2.0, 2.0, 2.0)),
+            ),
+        )
+        with pytest.raises(RuntimeError, match="spacing"):
+            s.check_consistent_space()
+
+    def test_single_image_never_inconsistent(self, rng):
+        s = Subject(a=ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32)))
+        s.check_consistent_space()

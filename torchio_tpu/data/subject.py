@@ -100,6 +100,10 @@ class Subject(Invertible):
                 return
         raise KeyError(key)
 
+    # Iteration, length, and membership cover the SPATIAL entries only
+    # (images, points, boxes) — metadata is reachable via attribute/key
+    # access but is not part of the spatial mapping, matching the
+    # reference (subject.py:137-154).
     def __contains__(self, name: object) -> bool:
         return any(
             name in store
@@ -107,7 +111,6 @@ class Subject(Invertible):
                 self._images,
                 self._points,
                 self._bounding_boxes,
-                self._metadata,
             )
         )
 
@@ -115,14 +118,12 @@ class Subject(Invertible):
         yield from self._images
         yield from self._points
         yield from self._bounding_boxes
-        yield from self._metadata
 
     def __len__(self) -> int:
         return (
             len(self._images)
             + len(self._points)
             + len(self._bounding_boxes)
-            + len(self._metadata)
         )
 
     def keys(self):
