@@ -91,3 +91,89 @@ def test_bbox_format_equality():
     assert BoundingBoxFormat("IJK") == BoundingBoxFormat("IJK", "corners")
     assert BoundingBoxFormat("IJK") != BoundingBoxFormat("RAS")
     assert BoundingBoxFormat("IJK", Representation.CENTER_SIZE) == BoundingBoxFormat.IJKWHD
+
+
+class TestPointsBehaviors:
+    """Container behaviors mirrored from the reference's tests/test_points.py."""
+
+    def test_default_affine_is_identity(self):
+        pts = Points(np.zeros((2, 3), np.float32))
+        np.testing.assert_array_equal(pts.affine.data, np.eye(4))
+
+    def test_default_axes_ijk(self):
+        assert Points(np.zeros((1, 3), np.float32)).axes == "IJK"
+
+    def test_empty_points(self):
+        pts = Points(np.zeros((0, 3), np.float32))
+        assert len(pts) == 0
+        assert pts.num_points == 0
+
+    def test_wrong_shape_raises(self):
+        with pytest.raises(ValueError):
+            Points(np.zeros((3,), np.float32))
+
+    def test_wrong_columns_raises(self):
+        with pytest.raises(ValueError):
+            Points(np.zeros((2, 4), np.float32))
+
+    def test_invalid_axes_raises(self):
+        with pytest.raises(ValueError):
+            Points(np.zeros((1, 3), np.float32), axes="XYZ")
+
+    def test_len_and_num_points(self):
+        pts = Points(np.zeros((5, 3), np.float32))
+        assert len(pts) == 5
+        assert pts.num_points == 5
+
+    def test_new_like_preserves_affine_and_axes(self):
+        affine = AffineMatrix.from_spacing((2.0, 2.0, 2.0))
+        pts = Points(np.zeros((2, 3), np.float32), affine=affine, axes="KJI")
+        new = pts.new_like(data=np.ones((2, 3), np.float32))
+        assert new.axes == "KJI"
+        assert new.affine.spacing == pytest.approx((2.0, 2.0, 2.0))
+        np.testing.assert_array_equal(new.data, 1.0)
+
+    def test_same_axes_noop(self):
+        pts = Points(np.array([[1.0, 2.0, 3.0]], np.float32))
+        same = pts.to_axes("IJK")
+        np.testing.assert_array_equal(same.data, pts.data)
+
+    def test_repr_mentions_count(self):
+        r = repr(Points(np.zeros((3, 3), np.float32)))
+        assert "3" in r
+
+    def test_deepcopy_independent(self):
+        import copy
+
+        pts = Points(np.zeros((2, 3), np.float32))
+        dup = copy.deepcopy(pts)
+        dup.data[0, 0] = 99.0
+        assert pts.data[0, 0] == 0.0
+
+
+class TestBoundingBoxesBehaviors:
+    def test_wrong_shape_raises(self):
+        with pytest.raises(ValueError):
+            BoundingBoxes(np.zeros((2, 5), np.float32))
+
+    def test_format_from_string_representation(self):
+        fmt = BoundingBoxFormat("RAS", "center_size")
+        assert fmt.representation == Representation.CENTER_SIZE
+
+    def test_format_invalid_axes_raises(self):
+        with pytest.raises(ValueError):
+            BoundingBoxFormat("XYZ")
+
+    def test_format_hashable(self):
+        assert hash(BoundingBoxFormat.IJKIJK) == hash(
+            BoundingBoxFormat("IJK", Representation.CORNERS)
+        )
+
+    def test_format_inequality(self):
+        assert BoundingBoxFormat.IJKIJK != BoundingBoxFormat.IJKWHD
+        assert BoundingBoxFormat("IJK") != BoundingBoxFormat("RAS")
+
+    def test_predefined_formats(self):
+        assert BoundingBoxFormat.IJKIJK.axes == "IJK"
+        assert BoundingBoxFormat.IJKIJK.representation == Representation.CORNERS
+        assert BoundingBoxFormat.IJKWHD.representation == Representation.CENTER_SIZE
