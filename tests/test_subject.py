@@ -202,3 +202,65 @@ class TestConsistencyChecks:
     def test_single_image_never_inconsistent(self, rng):
         s = Subject(a=ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32)))
         s.check_consistent_space()
+
+
+class TestDictProtocol:
+    def test_keys_items_values_get(self, subject):
+        assert set(subject.keys()) == {"t1", "t2", "seg", "landmarks", "lesions"}
+        assert dict(subject.items())["t1"] is subject.t1
+        assert subject.t1 in subject.values()
+        assert subject.get("t1") is subject.t1
+        assert subject.get("nope", "fallback") == "fallback"
+
+    def test_setitem_routes_to_store(self, subject, rng):
+        subject["extra"] = ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32))
+        assert "extra" in subject.images
+        subject["note"] = "hello"
+        assert subject.metadata["note"] == "hello"
+
+
+class TestProperties:
+    def test_shape_spacing_device(self, subject):
+        assert subject.shape == (1, 8, 8, 8)
+        assert subject.spatial_shape == (8, 8, 8)
+        assert subject.spacing == pytest.approx((1.0, 1.0, 1.0))
+        # host numpy data has no device; after to() it has one
+        assert subject.device is None
+
+    def test_no_images_properties_raise(self):
+        s = Subject(age=1)
+        with pytest.raises(RuntimeError, match="no images"):
+            _ = s.spatial_shape
+
+    def test_all_bounding_boxes_merges_levels(self, subject, rng):
+        subject.images["t1"].bounding_boxes["roi"] = BoundingBoxes(
+            np.array([[0, 0, 0, 1, 1, 1]], np.float32)
+        )
+        merged = subject.all_bounding_boxes()
+        assert set(merged) == {"lesions", ("t1", "roi")}
+
+
+class TestBehavior:
+    def test_load_unload_roundtrip(self, tmp_path, rng):
+        import torchio_tpu as tio
+
+        path = tmp_path / "v.nii.gz"
+        tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32)).save(path)
+        s = Subject(t1=tio.ScalarImage(path))
+        assert not s.t1.is_loaded
+        s.load()
+        assert s.t1.is_loaded
+        s.unload()
+        assert not s.t1.is_loaded
+
+    def test_to_dtype(self, subject):
+        subject.to(dtype=np.float64)
+        assert np.asarray(subject.t1.data).dtype == np.float64
+
+    def test_repr_lists_stores(self, subject):
+        r = repr(subject)
+        assert "t1" in r and "landmarks" in r and "lesions" in r and "age" in r
+
+    def test_repr_html_smoke(self, subject):
+        html = subject._repr_html_()
+        assert "t1" in html

@@ -78,7 +78,7 @@ def executable_lines(path: Path) -> set[int]:
     return lines
 
 
-def report(fail_under: float | None = None) -> int:
+def report(fail_under: float | None = None, show_missing: str | None = None) -> int:
     rows = []
     total_exec = total_hit = 0
     for path in sorted(PACKAGE.rglob("*.py")):
@@ -100,10 +100,35 @@ def report(fail_under: float | None = None) -> int:
     print("-" * (width + 23))
     print(f"{'TOTAL':<{width}}  {total_exec:>6} {total_hit:>6} {total_pct:>6.1f}%")
 
+    if show_missing:
+        for path in sorted(PACKAGE.rglob("*.py")):
+            if show_missing not in str(path):
+                continue
+            exec_lines = executable_lines(path)
+            missing = sorted(exec_lines - _hits.get(str(path), set()))
+            print(f"\n{path.relative_to(REPO)} missing {len(missing)} lines:")
+            print(_compress_ranges(missing))
+
     if fail_under is not None and total_pct < fail_under:
         print(f"\nFAIL: total coverage {total_pct:.1f}% < {fail_under}%")
         return 1
     return 0
+
+
+def _compress_ranges(lines: list[int]) -> str:
+    """[1,2,3,7,9,10] -> '1-3, 7, 9-10'."""
+    if not lines:
+        return "(none)"
+    parts = []
+    start = prev = lines[0]
+    for n in lines[1:] + [None]:
+        if n is not None and n == prev + 1:
+            prev = n
+            continue
+        parts.append(str(start) if start == prev else f"{start}-{prev}")
+        if n is not None:
+            start = prev = n
+    return ", ".join(parts)
 
 
 def main(argv: list[str]) -> int:
@@ -111,6 +136,11 @@ def main(argv: list[str]) -> int:
     if "--fail-under" in argv:
         i = argv.index("--fail-under")
         fail_under = float(argv[i + 1])
+        del argv[i : i + 2]
+    show_missing = None
+    if "--missing" in argv:
+        i = argv.index("--missing")
+        show_missing = argv[i + 1]
         del argv[i : i + 2]
 
     import pytest
@@ -122,7 +152,7 @@ def main(argv: list[str]) -> int:
         stop()
     if code != 0:
         print(f"pytest exited {code}; coverage report follows anyway")
-    rc = report(fail_under)
+    rc = report(fail_under, show_missing)
     return rc or int(code)
 
 
