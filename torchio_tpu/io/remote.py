@@ -13,11 +13,11 @@ import tempfile
 from pathlib import Path
 from typing import Any
 
-_REMOTE_SCHEMES = ("http://", "https://", "s3://", "gs://", "az://", "adl://")
-
-
 def is_remote(source: Any) -> bool:
-    return isinstance(source, str) and source.startswith(_REMOTE_SCHEMES)
+    """Any fsspec-style ``scheme://`` URI counts as remote (reference
+    data/io.py:223-224 — http/s3/gs/az/memory/... all route through
+    fsspec rather than an allowlist)."""
+    return isinstance(source, str) and "://" in source
 
 
 def is_nifti_zarr(source: Any) -> bool:
