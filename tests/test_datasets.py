@@ -1,0 +1,151 @@
+"""Dataset constructors, offline.
+
+Mirrors the reference's approach (tests/test_datasets.py: download
+tests are slow/skipped; logic is tested without network). Network
+fetches are intercepted by monkeypatching the download helpers and
+staging fake files into a temp cache, so URL construction, version
+dispatch, file layout, caching, and error paths all run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+from torchio_tpu import datasets
+
+
+def _stage_nifti(directory, *stems, rng=None):
+    rng = rng or np.random.default_rng(0)
+    directory.mkdir(parents=True, exist_ok=True)
+    for stem in stems:
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        img.save(directory / f"{stem}.nii.gz")
+    return directory
+
+
+@pytest.fixture
+def mni_cache(tmp_path, monkeypatch):
+    """Redirect the MNI cache dir; record download calls and stage the
+    requested files only when the 'download' happens."""
+    calls = []
+    staged_stems: dict[str, tuple[str, ...]] = {}
+
+    monkeypatch.setattr(
+        "torchio_tpu.datasets.mni.get_cache_dir", lambda: tmp_path
+    )
+
+    def fake_download(url, download_root, filename=None, md5=None, **kw):
+        calls.append({"url": url, "root": download_root, "filename": filename})
+        name = str(download_root).rstrip("/").split("/")[-1]
+        _stage_nifti(tmp_path / name, *staged_stems.get(name, ()))
+
+    monkeypatch.setattr(
+        "torchio_tpu.datasets.mni.download_and_extract_archive", fake_download
+    )
+    return calls, staged_stems
+
+
+COLIN_1998 = (
+    "colin27_t1_tal_lin",
+    "colin27_t1_tal_lin_headmask",
+    "colin27_t1_tal_lin_mask",
+)
+
+
+class TestColin27:
+    def test_invalid_version_raises(self):
+        with pytest.raises(ValueError, match="1998 or 2008"):
+            datasets.Colin27(version=2020)
+
+    def test_1998_layout_and_url(self, mni_cache):
+        calls, staged = mni_cache
+        staged["mni_colin27_1998_nifti"] = COLIN_1998
+        subject = datasets.Colin27()
+        assert set(subject.images) == {"t1", "head", "brain"}
+        assert isinstance(subject.t1, tio.ScalarImage)
+        assert isinstance(subject.brain, tio.LabelMap)
+        assert calls[0]["url"] == (
+            "http://packages.bic.mni.mcgill.ca/mni-models/colin27/"
+            "mni_colin27_1998_nifti.zip"
+        )
+
+    def test_2008_layout(self, mni_cache):
+        calls, staged = mni_cache
+        staged["mni_colin27_2008_nifti"] = (
+            "colin27_t1_tal_hires",
+            "colin27_t2_tal_hires",
+            "colin27_pd_tal_hires",
+            "colin27_cls_tal_hires",
+        )
+        subject = datasets.Colin27(version=2008)
+        assert set(subject.images) == {"t1", "t2", "pd", "cls"}
+
+    def test_cached_dir_skips_download(self, mni_cache):
+        calls, staged = mni_cache
+        staged["mni_colin27_1998_nifti"] = COLIN_1998
+        datasets.Colin27()
+        n = len(calls)
+        datasets.Colin27()
+        assert len(calls) == n  # directory exists -> no new fetch
+
+
+class TestPediatric:
+    def test_invalid_age_range_raises(self, mni_cache):
+        with pytest.raises((ValueError, KeyError)):
+            datasets.Pediatric((1.0, 2.0))
+
+
+class TestZonePlate:
+    def test_offline_generation(self):
+        zp = datasets.ZonePlate(size=16)
+        assert zp.image.shape == (1, 16, 16, 16)
+
+    def test_too_small_raises(self):
+        with pytest.raises(ValueError):
+            datasets.ZonePlate(size=2)
+
+    def test_pattern_is_centered(self):
+        zp = datasets.ZonePlate(size=17)
+        data = np.asarray(zp.image.data)[0]
+        # radial symmetry: mirrored values match about the center
+        np.testing.assert_allclose(data, data[::-1, ::-1, ::-1], rtol=1e-5)
+
+
+class TestMedMNIST:
+    @pytest.fixture
+    def staged_npz(self, monkeypatch, tmp_path, rng):
+        import torchio_tpu.datasets.medmnist as mm
+
+        monkeypatch.setattr(mm, "get_cache_dir", lambda: tmp_path)
+
+        def fake_download(url, root, filename=None, md5=None, **kw):
+            root = tmp_path / "MedMNIST"
+            root.mkdir(parents=True, exist_ok=True)
+            vols = rng.random((3, 28, 28, 28)).astype(np.float32)
+            labels = np.array([[0], [1], [2]])
+            np.savez(
+                root / filename,
+                train_images=vols,
+                train_labels=labels,
+                val_images=vols[:1],
+                val_labels=labels[:1],
+                test_images=vols[:1],
+                test_labels=labels[:1],
+            )
+
+        monkeypatch.setattr(mm, "download_url", fake_download)
+
+    def test_invalid_split_raises(self, staged_npz):
+        with pytest.raises(ValueError, match="train/val/test"):
+            datasets.organ_mnist_3d("bogus_split")
+
+    def test_loader_from_staged_npz(self, staged_npz):
+        subjects = datasets.organ_mnist_3d("train")
+        assert len(subjects) == 3
+        assert subjects[0].image.shape == (1, 28, 28, 28)
+        assert int(np.asarray(subjects[2]["labels"])[0]) == 2
+
+    def test_val_split(self, staged_npz):
+        assert len(datasets.nodule_mnist_3d("val")) == 1
