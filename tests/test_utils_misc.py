@@ -237,3 +237,76 @@ class TestWarmup:
         # and the pipeline still works normally afterwards
         out = pipeline(np.zeros((1, 8, 8, 8), np.float32))
         assert np.asarray(out).shape == (1, 8, 8, 8)
+
+
+class TestOptionalImports:
+    def test_installed_module_returned(self):
+        from torchio_tpu.external.imports import get_optional
+
+        np_mod = get_optional("numpy")
+        import numpy
+
+        assert np_mod is numpy
+
+    def test_missing_module_actionable_error(self):
+        import pytest
+
+        from torchio_tpu.external.imports import get_optional
+
+        with pytest.raises(ImportError, match="pip install"):
+            get_optional("definitely_not_a_module_xyz")
+
+    def test_feature_named_in_error(self):
+        import pytest
+
+        from torchio_tpu.external.imports import get_optional
+
+        with pytest.raises(ImportError, match="frobnication"):
+            get_optional("definitely_not_a_module_xyz", "frobnication")
+
+    def test_hint_table_used(self):
+        import pytest
+
+        try:
+            import monai  # noqa: F401
+
+            pytest.skip("monai installed")
+        except ImportError:
+            pass
+        from torchio_tpu.external.imports import get_monai
+
+        with pytest.raises(ImportError, match="pip install monai"):
+            get_monai()
+
+
+class TestLogging:
+    def test_default_silent(self):
+        import logging
+
+        from torchio_tpu.logging import logger
+
+        assert any(
+            isinstance(h, logging.NullHandler) for h in logger.handlers
+        )
+
+    def test_enable_disable_roundtrip(self):
+        import logging
+
+        import torchio_tpu as tio
+        from torchio_tpu.logging import logger
+
+        tio.enable_logging("DEBUG", rich=False)
+        try:
+            assert logger.level == logging.DEBUG
+            assert any(
+                not isinstance(h, logging.NullHandler) for h in logger.handlers
+            )
+        finally:
+            tio.disable_logging()
+
+    def test_enable_rich_falls_back_cleanly(self):
+        import torchio_tpu as tio
+
+        # rich may or may not be installed; either way this must not raise
+        tio.enable_logging("INFO", rich=True)
+        tio.disable_logging()
