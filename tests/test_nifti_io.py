@@ -130,3 +130,138 @@ def test_fortran_order_on_disk(tmp_path):
     payload = np.frombuffer(raw[352:], dtype=np.float32)
     expected = vol[0].reshape(-1, order="F")
     np.testing.assert_array_equal(payload, expected)
+
+
+def _patch_header(path, fmt, offset, *values):
+    import struct
+
+    raw = bytearray(path.read_bytes())
+    struct.pack_into(fmt, raw, offset, *values)
+    path.write_bytes(bytes(raw))
+
+
+def test_qform_fallback_when_no_sform(tmp_path, volume):
+    # sform_code=0 + qform_code=1 with identity quaternion and offsets:
+    # affine must become diag(pixdim) with the qoffset translation.
+    path = tmp_path / "q.nii"
+    write_nifti(path, volume)
+    _patch_header(path, "<2h", 252, 1, 0)          # qform=1, sform=0
+    _patch_header(path, "<6f", 256, 0.0, 0.0, 0.0, 5.0, -7.0, 9.0)
+    _patch_header(path, "<4f", 76, 1.0, 2.0, 3.0, 4.0)  # qfac + pixdims
+    header = read_header(path)
+    expected = np.diag([2.0, 3.0, 4.0, 1.0])
+    expected[:3, 3] = (5.0, -7.0, 9.0)
+    np.testing.assert_allclose(header.affine, expected, atol=1e-6)
+
+
+def test_no_form_codes_fall_back_to_pixdim(tmp_path, volume):
+    path = tmp_path / "p.nii"
+    write_nifti(path, volume)
+    _patch_header(path, "<2h", 252, 0, 0)
+    _patch_header(path, "<4f", 76, 1.0, 2.0, 2.0, 2.0)
+    header = read_header(path)
+    np.testing.assert_allclose(header.affine, np.diag([2.0, 2.0, 2.0, 1.0]))
+
+
+def test_quaternion_rotation_90deg(tmp_path, volume):
+    # b=0, c=0, d=sqrt(0.5): 90-degree rotation about K axis.
+    import math
+
+    path = tmp_path / "r.nii"
+    write_nifti(path, volume)
+    _patch_header(path, "<2h", 252, 1, 0)
+    _patch_header(path, "<6f", 256, 0.0, 0.0, math.sqrt(0.5), 0.0, 0.0, 0.0)
+    _patch_header(path, "<4f", 76, 1.0, 1.0, 1.0, 1.0)
+    header = read_header(path)
+    expected_rot = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+    np.testing.assert_allclose(header.affine[:3, :3], expected_rot, atol=1e-6)
+
+
+def test_big_endian_nifti1(tmp_path):
+    # Handcraft a full big-endian NIfTI-1 file (2x2x2 float32 ramp).
+    import struct
+
+    vol = np.arange(8, dtype=">f4").reshape(2, 2, 2)
+    hdr = bytearray(352)
+    struct.pack_into(">i", hdr, 0, 348)                 # sizeof_hdr
+    struct.pack_into(">8h", hdr, 40, 3, 2, 2, 2, 1, 1, 1, 1)
+    struct.pack_into(">h", hdr, 70, 16)                 # float32
+    struct.pack_into(">8f", hdr, 76, 1, 1, 1, 1, 1, 1, 1, 1)
+    struct.pack_into(">f", hdr, 108, 352.0)             # vox_offset
+    struct.pack_into(">2h", hdr, 252, 0, 1)             # sform=1
+    struct.pack_into(
+        ">12f", hdr, 280, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0
+    )
+    path = tmp_path / "be.nii"
+    path.write_bytes(bytes(hdr) + vol.tobytes(order="F"))
+    data, affine = read_nifti(path)
+    np.testing.assert_array_equal(
+        data[0], np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    )
+    np.testing.assert_allclose(affine, np.eye(4))
+
+
+def test_nifti2_roundtrip(tmp_path):
+    # Handcraft a NIfTI-2 file; parser dispatches on sizeof_hdr=540.
+    import struct
+
+    vol = np.arange(8, dtype="<f4").reshape(2, 2, 2)
+    hdr = bytearray(544)
+    struct.pack_into("<i", hdr, 0, 540)
+    struct.pack_into("<h", hdr, 12, 16)                 # float32
+    struct.pack_into("<8q", hdr, 16, 3, 2, 2, 2, 1, 1, 1, 1)
+    struct.pack_into("<8d", hdr, 104, 1, 1, 1, 1, 1, 1, 1, 1)
+    struct.pack_into("<q", hdr, 168, 544)               # vox_offset
+    struct.pack_into("<2d", hdr, 176, 1.0, 0.0)         # slope/inter
+    struct.pack_into("<2i", hdr, 344, 0, 1)             # sform=1
+    struct.pack_into(
+        "<12d", hdr, 400, 2, 0, 0, 10, 0, 2, 0, 20, 0, 0, 2, 30
+    )
+    path = tmp_path / "v2.nii"
+    path.write_bytes(bytes(hdr) + vol.tobytes(order="F"))
+    header = read_header(path)
+    assert header.version == 2
+    assert header.spatial_shape == (2, 2, 2)
+    data, affine = read_nifti(path)
+    np.testing.assert_array_equal(data[0], vol)
+    expected = np.eye(4)
+    expected[0, 0] = expected[1, 1] = expected[2, 2] = 2.0
+    expected[:3, 3] = (10, 20, 30)
+    np.testing.assert_allclose(affine, expected)
+
+
+def test_5d_vector_layout_folds_channels(tmp_path):
+    # NIfTI vector images: (I, J, K, 1, V) on disk -> (V, I, J, K).
+    import struct
+
+    i = j = k = 2
+    v = 3
+    vol = np.arange(i * j * k * v, dtype="<f4").reshape(i, j, k, 1, v, order="F")
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 5, i, j, k, 1, v, 1, 1)
+    struct.pack_into("<h", hdr, 70, 16)
+    struct.pack_into("<8f", hdr, 76, 1, 1, 1, 1, 1, 1, 1, 1)
+    struct.pack_into("<f", hdr, 108, 352.0)
+    struct.pack_into("<2h", hdr, 252, 0, 1)
+    struct.pack_into("<12f", hdr, 280, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0)
+    path = tmp_path / "vec.nii"
+    path.write_bytes(bytes(hdr) + vol.tobytes(order="F"))
+    data, _ = read_nifti(path)
+    assert data.shape == (v, i, j, k)
+    np.testing.assert_array_equal(data[1], vol[..., 0, 1])
+
+
+def test_truncated_header_raises(tmp_path):
+    path = tmp_path / "tiny.nii"
+    path.write_bytes(b"\x00" * 100)
+    with pytest.raises(ValueError, match="too small"):
+        read_header(path)
+
+
+def test_unsupported_datatype_raises(tmp_path, volume):
+    path = tmp_path / "odd.nii"
+    write_nifti(path, volume)
+    _patch_header(path, "<h", 70, 1)  # DT_BINARY: unsupported
+    with pytest.raises(ValueError, match="datatype"):
+        read_header(path)
