@@ -205,3 +205,53 @@ class TestLogging:
 
         assert logger.level <= 10
         tio.disable_logging()
+
+
+class TestCliEdges:
+    def test_version_flag(self, capsys):
+        import pytest
+
+        with pytest.raises(SystemExit) as exc:
+            cli_main(["--version"])
+        assert exc.value.code == 0
+        assert "torchio-tpu" in capsys.readouterr().out
+
+    def test_version_short_circuits_subcommand(self, capsys):
+        import pytest
+
+        with pytest.raises(SystemExit) as exc:
+            cli_main(["--version", "info", "missing.nii"])
+        assert exc.value.code == 0
+
+    def test_convert_nonexistent_input_fails(self, tmp_path):
+        import pytest
+
+        with pytest.raises((FileNotFoundError, ValueError, RuntimeError)):
+            cli_main(
+                ["convert", str(tmp_path / "no.nii"), str(tmp_path / "o.nrrd")]
+            )
+
+    def test_convert_preserves_dtype(self, tmp_path, rng):
+        import numpy as np
+
+        import torchio_tpu as tio
+
+        src = tmp_path / "i.nii.gz"
+        tio.ScalarImage(
+            rng.integers(0, 100, (1, 4, 4, 4)).astype(np.int16)
+        ).save(src)
+        dst = tmp_path / "o.nrrd"
+        assert cli_main(["convert", str(src), str(dst)]) == 0
+        back = tio.ScalarImage(dst)
+        assert np.asarray(back.data).dtype == np.int16
+
+    def test_animate_gif(self, tmp_path, rng):
+        import numpy as np
+
+        import torchio_tpu as tio
+
+        src = tmp_path / "i.nii.gz"
+        tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32)).save(src)
+        out = tmp_path / "sweep.gif"
+        assert cli_main(["animate", str(src), str(out)]) == 0
+        assert out.stat().st_size > 0

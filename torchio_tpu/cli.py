@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="torchio-tpu",
         description="TPU-native 3D medical image preprocessing toolkit",
     )
+    from . import __version__
+
+    parser.add_argument(
+        "--version", action="version", version=f"torchio-tpu {__version__}"
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("info", help="print image metadata")
