@@ -310,3 +310,145 @@ class TestLogging:
         # rich may or may not be installed; either way this must not raise
         tio.enable_logging("INFO", rich=True)
         tio.disable_logging()
+
+
+class TestDownloadUtils:
+    def test_check_integrity_md5(self, tmp_path):
+        import hashlib
+
+        from torchio_tpu.utils.download import check_integrity
+
+        f = tmp_path / "d.bin"
+        f.write_bytes(b"payload")
+        good = hashlib.md5(b"payload").hexdigest()
+        assert check_integrity(f, good)
+        assert not check_integrity(f, "0" * 32)
+        assert check_integrity(f, None)  # no checksum -> existence only
+        assert not check_integrity(tmp_path / "missing.bin", good)
+
+    def test_download_url_uses_cached_file(self, tmp_path, monkeypatch):
+        import hashlib
+
+        from torchio_tpu.utils import download as dl
+
+        f = tmp_path / "data.bin"
+        f.write_bytes(b"cached")
+        md5 = hashlib.md5(b"cached").hexdigest()
+
+        def boom(*a, **k):
+            raise AssertionError("network touched despite valid cache")
+
+        monkeypatch.setattr(dl.urllib.request, "urlretrieve", boom)
+        out = dl.download_url("https://x/data.bin", tmp_path, md5=md5)
+        assert out == f
+
+    def test_download_url_fake_fetch_and_verify(self, tmp_path, monkeypatch):
+        import hashlib
+
+        from torchio_tpu.utils import download as dl
+
+        def fake_retrieve(url, path):
+            Path(path).write_bytes(b"fresh")
+
+        from pathlib import Path
+
+        monkeypatch.setattr(dl.urllib.request, "urlretrieve", fake_retrieve)
+        md5 = hashlib.md5(b"fresh").hexdigest()
+        out = dl.download_url("https://x/f.bin", tmp_path, md5=md5)
+        assert out.read_bytes() == b"fresh"
+
+    def test_download_url_bad_md5_raises(self, tmp_path, monkeypatch):
+        from pathlib import Path
+
+        import pytest
+
+        from torchio_tpu.utils import download as dl
+
+        monkeypatch.setattr(
+            dl.urllib.request,
+            "urlretrieve",
+            lambda url, path: Path(path).write_bytes(b"corrupted"),
+        )
+        with pytest.raises(RuntimeError, match="corrupted"):
+            dl.download_url("https://x/f.bin", tmp_path, md5="0" * 32)
+
+    def test_https_to_http_retry_warns(self, tmp_path, monkeypatch):
+        import urllib.error
+        from pathlib import Path
+
+        import pytest
+
+        from torchio_tpu.utils import download as dl
+
+        calls = []
+
+        def fake_retrieve(url, path):
+            calls.append(url)
+            if url.startswith("https://"):
+                raise urllib.error.URLError("tls broken")
+            Path(path).write_bytes(b"over-http")
+
+        monkeypatch.setattr(dl.urllib.request, "urlretrieve", fake_retrieve)
+        with pytest.warns(RuntimeWarning, match="http"):
+            out = dl.download_url("https://host/f.bin", tmp_path)
+        assert calls == ["https://host/f.bin", "http://host/f.bin"]
+        assert out.read_bytes() == b"over-http"
+
+    def test_extract_zip(self, tmp_path):
+        import zipfile
+
+        from torchio_tpu.utils.download import extract_archive
+
+        archive = tmp_path / "a.zip"
+        with zipfile.ZipFile(archive, "w") as z:
+            z.writestr("inner/file.txt", "hello")
+        extract_archive(archive, tmp_path / "out")
+        assert (tmp_path / "out" / "inner" / "file.txt").read_text() == "hello"
+
+    def test_extract_zip_traversal_blocked(self, tmp_path):
+        import zipfile
+
+        import pytest
+
+        from torchio_tpu.utils.download import extract_archive
+
+        archive = tmp_path / "evil.zip"
+        with zipfile.ZipFile(archive, "w") as z:
+            z.writestr("../escape.txt", "gotcha")
+        with pytest.raises(RuntimeError, match="escapes"):
+            extract_archive(archive, tmp_path / "out")
+
+    def test_extract_tar_gz(self, tmp_path):
+        import tarfile
+
+        from torchio_tpu.utils.download import extract_archive
+
+        payload = tmp_path / "file.txt"
+        payload.write_text("tar-data")
+        archive = tmp_path / "a.tar.gz"
+        with tarfile.open(archive, "w:gz") as t:
+            t.add(payload, arcname="file.txt")
+        extract_archive(archive, tmp_path / "out")
+        assert (tmp_path / "out" / "file.txt").read_text() == "tar-data"
+
+    def test_extract_plain_gz(self, tmp_path):
+        import gzip
+
+        from torchio_tpu.utils.download import extract_archive
+
+        archive = tmp_path / "v.bin.gz"
+        with gzip.open(archive, "wb") as f:
+            f.write(b"unzipped")
+        out = extract_archive(archive)
+        assert out.name == "v.bin"
+        assert out.read_bytes() == b"unzipped"
+
+    def test_unknown_archive_raises(self, tmp_path):
+        import pytest
+
+        from torchio_tpu.utils.download import extract_archive
+
+        f = tmp_path / "x.rar"
+        f.write_bytes(b"??")
+        with pytest.raises(ValueError, match="Unknown archive"):
+            extract_archive(f)
