@@ -452,3 +452,57 @@ class TestDownloadUtils:
         f.write_bytes(b"??")
         with pytest.raises(ValueError, match="Unknown archive"):
             extract_archive(f)
+
+
+class TestSortFreeQuantiles:
+    """The count-based order-statistic kernel must match jnp.quantile
+    (linear interpolation) exactly across data regimes."""
+
+    @pytest.fixture
+    def cases(self, rng):
+        return [
+            rng.normal(size=50_000).astype(np.float32) * 100 - 3,
+            rng.integers(-50, 50, 50_000).astype(np.float32),  # heavy ties
+            np.array([1.0, 2.0, 3.0], np.float32),
+            np.array([5.0], np.float32),
+            rng.random(1000).astype(np.float32) * 1e30,        # huge range
+            -rng.random(1000).astype(np.float32),              # all negative
+            np.zeros(100, np.float32),                          # constant
+        ]
+
+    def test_matches_jnp_quantile(self, cases):
+        import jax.numpy as jnp
+
+        from torchio_tpu.transforms._statistics import compute_quantile
+
+        for data in cases:
+            for q in (0.0, 0.005, 0.25, 0.5, 0.75, 0.995, 1.0):
+                ours = compute_quantile(data, q)
+                ref = float(jnp.quantile(jnp.asarray(data), q))
+                assert abs(ours - ref) <= max(1e-5 * abs(ref), 1e-6), (
+                    q,
+                    ours,
+                    ref,
+                )
+
+    def test_vector_form_one_call(self, rng):
+        import numpy as np
+
+        from torchio_tpu.transforms._statistics import compute_quantiles
+
+        data = rng.normal(size=10_000).astype(np.float32)
+        qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+        ours = compute_quantiles(data, qs)
+        ref = np.quantile(data, qs)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    def test_nan_ignored(self, rng):
+        from torchio_tpu.transforms._statistics import compute_quantiles
+
+        d = rng.normal(size=10_000).astype(np.float32)
+        masked = np.where(rng.random(10_000) > 0.5, d, np.nan).astype(
+            np.float32
+        )
+        ours = compute_quantiles(masked, [0.1, 0.9])
+        ref = np.nanquantile(masked, [0.1, 0.9])
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)

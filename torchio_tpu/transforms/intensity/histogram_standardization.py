@@ -126,9 +126,11 @@ def _standardize(tensor, landmarks: np.ndarray, cutoff) -> Any:
     data = jnp.asarray(tensor, jnp.float32)
     flat = data.reshape(-1)
     # device-side percentile sweep: only the 13 landmark scalars leave the
-    # device (a host np.percentile would round-trip the whole volume)
+    # device, via the sort-free count-based kernel (_statistics.py)
+    from .._statistics import quantiles_on_device
+
     input_landmarks = np.asarray(
-        jnp.quantile(flat, jnp.asarray(quantiles, jnp.float32)), np.float32
+        quantiles_on_device(flat, quantiles), np.float32
     )
     lm = landmarks.astype(np.float32)
     diff_lm = np.diff(lm)

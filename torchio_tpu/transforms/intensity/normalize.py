@@ -17,7 +17,7 @@ import numpy as np
 
 from ...data.batch import ImagesBatch, SubjectsBatch
 from ...data.image import LabelMap
-from .._statistics import compute_quantile
+from .._statistics import quantiles_on_device
 from .._utils import as_jnp, broadcast_param
 from ..parameter_range import to_range
 from ..transform import IntensityTransform
@@ -191,17 +191,18 @@ def _percentile_range(tensor, mask, pct_low, pct_high, name) -> tuple[float, flo
                 )
             else:
                 masked = jnp.where(m, data, jnp.nan)
-                pair = jnp.nanquantile(
-                    masked, jnp.asarray([pct_low / 100.0, pct_high / 100.0])
+                pair = quantiles_on_device(
+                    masked, [pct_low / 100.0, pct_high / 100.0]
                 )
             low, high = (float(v) for v in np.asarray(pair))
             return low, high
     if pct_low == 0.0 and pct_high == 100.0:
         pair = jnp.stack([jnp.min(data), jnp.max(data)])
-        low, high = (float(v) for v in np.asarray(pair))
-        return low, high
-    low = compute_quantile(data, pct_low / 100.0)
-    high = compute_quantile(data, pct_high / 100.0)
+    else:
+        # one program + one transfer for BOTH percentiles (count-based
+        # order statistics — no sort; see transforms/_statistics.py)
+        pair = quantiles_on_device(data, [pct_low / 100.0, pct_high / 100.0])
+    low, high = (float(v) for v in np.asarray(pair))
     return low, high
 
 
