@@ -1,4 +1,5 @@
 import copy
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -148,3 +149,126 @@ def test_empty_image_errors():
 def test_memory_estimate(rng):
     img = ScalarImage(rng.normal(size=(1, 10, 10, 10)).astype(np.float32))
     assert img.memory == 1000 * 4
+
+
+class TestImageBehaviors:
+    """Container behaviors mirrored from the reference's tests/test_image.py."""
+
+    def test_set_data_keeps_affine(self, rng):
+        import torchio_tpu as tio
+        from torchio_tpu.core.affine import AffineMatrix
+
+        img = tio.ScalarImage(
+            rng.random((1, 4, 4, 4)).astype(np.float32),
+            affine=AffineMatrix.from_spacing((2.0, 2.0, 2.0)),
+        )
+        img.set_data(np.ones((1, 4, 4, 4), np.float32))
+        assert img.spacing == pytest.approx((2.0, 2.0, 2.0))
+        np.testing.assert_array_equal(np.asarray(img.data), 1.0)
+
+    def test_set_data_3d_promoted(self, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        img.set_data(np.zeros((4, 4, 4), np.float32))
+        assert img.shape == (1, 4, 4, 4)
+
+    def test_set_data_wrong_ndim_raises(self, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        with pytest.raises(ValueError, match="3D or 4D"):
+            img.set_data(np.zeros((4, 4), np.float32))
+
+    def test_numpy_and_jax_views(self, rng):
+        import jax
+
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        assert isinstance(img.numpy(), np.ndarray)
+        assert isinstance(img.jax(), jax.Array)
+
+    def test_to_dtype(self, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        img.to(dtype=np.float16)
+        assert np.asarray(img.data).dtype == np.float16
+
+    def test_device_none_on_host(self, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        assert img.device is None
+        img.to("cpu")  # no-op host move works
+        assert img.device is None
+
+    def test_metadata_setitem_contains(self, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        img["te"] = 3.5
+        assert "te" in img
+        assert img.te == 3.5
+        with pytest.raises(AttributeError):
+            _ = img.nonexistent
+
+    def test_loaded_and_lazy_repr(self, tmp_path, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        assert "loaded" in repr(img)
+        img.save(tmp_path / "r.nii.gz")
+        lazy = tio.ScalarImage(tmp_path / "r.nii.gz")
+        assert "lazy" in repr(lazy)
+
+    def test_empty_image_repr(self):
+        import torchio_tpu as tio
+
+        assert "empty" in repr(tio.ScalarImage())
+
+    def test_deepcopy_lazy_stays_lazy(self, tmp_path, rng):
+        import copy
+
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        img.save(tmp_path / "d.nii.gz")
+        lazy = tio.ScalarImage(tmp_path / "d.nii.gz")
+        dup = copy.deepcopy(lazy)
+        assert not lazy.is_loaded
+        assert not dup.is_loaded
+        np.testing.assert_array_equal(np.asarray(dup.data), np.asarray(img.data))
+
+    def test_copy_module_copy(self, rng):
+        import copy
+
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        dup = copy.copy(img)
+        dup.data[0, 0, 0, 0] = 99.0
+        assert np.asarray(img.data)[0, 0, 0, 0] != 99.0
+
+    def test_plot_to_file(self, tmp_path, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        out = tmp_path / "p.png"
+        img.plot(output_path=out, show=False)
+        assert out.stat().st_size > 0
+
+    def test_to_gif(self, tmp_path, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        out = img.to_gif(tmp_path / "s.gif")
+        assert Path(out).stat().st_size > 0
+
+    def test_repr_html(self, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        html = img._repr_html_()
+        assert "6" in html
