@@ -209,3 +209,41 @@ class TestCopyAffineToRef:
         c_ref = ref.affine.apply([[7.5, 7.5, 7.5]])
         c_img = img.affine.apply([[1.5, 1.5, 1.5]])
         np.testing.assert_allclose(c_ref, c_img, atol=1e-9)
+
+
+class TestToReferenceSpaceTransform:
+    """The transform form (not just the from_tensor helper)."""
+
+    def test_non_image_reference_raises(self):
+        with pytest.raises(TypeError, match="Image"):
+            tio.ToReferenceSpace(42)
+
+    def test_center_preserved(self, rng):
+        from torchio_tpu.core.affine import AffineMatrix
+
+        ref = tio.ScalarImage(
+            rng.random((1, 16, 16, 16)).astype(np.float32),
+            affine=AffineMatrix.from_spacing((2.0, 2.0, 2.0)),
+        )
+        # an 8^3 "embedding" of the same subject
+        emb = tio.ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32))
+        out = tio.ToReferenceSpace(ref)(tio.Subject(feat=emb))
+        # physical center must match the reference's
+        def center(img):
+            shape = np.asarray(img.spatial_shape, np.float64)
+            return img.affine.apply(((shape - 1) / 2)[None])[0]
+
+        np.testing.assert_allclose(center(out.feat), center(ref), atol=1e-9)
+        # spacing covers the same FOV with fewer voxels
+        assert out.feat.spacing == pytest.approx((4.0, 4.0, 4.0))
+
+    def test_applies_per_element_in_batch(self, rng):
+        ref = tio.ScalarImage(rng.random((1, 16, 16, 16)).astype(np.float32))
+        subjects = [
+            tio.Subject(feat=tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32)))
+            for _ in range(3)
+        ]
+        batch = tio.SubjectsBatch.from_subjects(subjects)
+        out = tio.ToReferenceSpace(ref)(batch)
+        spacings = {tuple(round(s, 6) for s in img.affine.spacing) for img in out.images["feat"].unbatch()}
+        assert spacings == {(4.0, 4.0, 4.0)}
