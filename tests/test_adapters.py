@@ -101,6 +101,21 @@ class TestCornucopiaAdapter:
         assert isinstance(result, tio.SubjectsBatch)
         np.testing.assert_allclose(np.asarray(result.images["seg"].data), 1.0)
 
+    def test_filter_matching_nothing_is_noop(self):
+        subject = _make_subject()
+        original = np.asarray(subject.t1.data).copy()
+        called = []
+        result = tio.CornucopiaAdapter(
+            lambda *t: called.append(len(t)) or t, include=["no_such_image"]
+        )(subject)
+        assert called == []  # transform never invoked with zero tensors
+        np.testing.assert_array_equal(np.asarray(result.t1.data), original)
+
+    def test_result_count_mismatch_raises(self):
+        subject = _make_subject()  # t1 + seg -> 2 tensors in
+        with pytest.raises(ValueError, match="2 input images"):
+            tio.CornucopiaAdapter(lambda *t: (t[0],))(subject)
+
 
 # ── MONAI stub ───────────────────────────────────────────────────────
 
@@ -165,24 +180,41 @@ class TestMonaiAdapter:
         result = tio.MonaiAdapter(lambda t: t + 5, exclude=["t1"])(subject)
         np.testing.assert_array_equal(np.asarray(result.t1.data), original)
 
-    def test_dict_transform_receives_meta_tensors(self, monai_stub):
+    def test_dict_transform_receives_all_images_and_metadata(self, monai_stub):
+        # Dict-style transforms get EVERY image (their `keys` choose) and
+        # the subject metadata — reference monai_adapter.py:167-186.
         seen = {}
 
         class DictTransform(_MapTransform):
             def __call__(self, data):
                 for name, value in data.items():
                     seen[name] = type(value).__name__
-                return {name: value * 2 for name, value in data.items()}
+                return {
+                    name: value * 2
+                    for name, value in data.items()
+                    if isinstance(value, torch.Tensor)
+                }
 
         subject = _make_subject()
+        subject["site"] = "hospital-A"
         result = tio.MonaiAdapter(DictTransform())(subject)
-        assert set(seen) == {"t1"}  # ScalarImage only
+        assert set(seen) == {"t1", "seg", "site"}
         assert seen["t1"] == "_MetaTensor"
+        assert seen["seg"] == "_MetaTensor"
         np.testing.assert_allclose(
             np.asarray(result.t1.data),
             np.asarray(subject.t1.data) * 2,
             rtol=1e-6,
         )
+
+    def test_dict_transform_untouched_keys_preserved(self, monai_stub):
+        class TouchT1(_MapTransform):
+            def __call__(self, data):
+                return {"t1": data["t1"] + 1}
+
+        subject = _make_subject()
+        result = tio.MonaiAdapter(TouchT1())(subject)
+        np.testing.assert_array_equal(np.asarray(result.seg.data), 0.0)
 
     def test_dict_transform_affine_roundtrip(self, monai_stub):
         class ShiftAffine(_MapTransform):

@@ -146,7 +146,7 @@ class TestSubjectsBatch:
         assert batch.metadata["age"] == [42, 43, 44]
         assert batch.metadata["name"] == ["sub_0", "sub_1", "sub_2"]
         for i, subject in enumerate(batch.unbatch()):
-            assert subject["age"] == 42 + i
+            assert subject.age == 42 + i
 
     def test_unbatch_count_and_type(self):
         restored = SubjectsBatch.from_subjects(self._subjects(4)).unbatch()

@@ -145,7 +145,7 @@ class TestMedMNIST:
         subjects = datasets.organ_mnist_3d("train")
         assert len(subjects) == 3
         assert subjects[0].image.shape == (1, 28, 28, 28)
-        assert int(np.asarray(subjects[2]["labels"])[0]) == 2
+        assert int(np.asarray(subjects[2].labels)[0]) == 2
 
     def test_val_split(self, staged_npz):
         assert len(datasets.nodule_mnist_3d("val")) == 1

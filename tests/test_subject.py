@@ -35,7 +35,7 @@ def test_classification(subject):
 def test_access(subject):
     assert subject.t1 is subject["t1"]
     assert subject.age == 42
-    assert subject["age"] == 42
+    assert subject.metadata["age"] == 42
     assert "t2" in subject
     assert len(subject) == 5  # spatial entries only; metadata excluded
     with pytest.raises(KeyError):
@@ -127,7 +127,9 @@ class TestMappingSemantics:
 
     def test_metadata_still_accessible(self, subject):
         assert subject.age == 42
-        assert subject["age"] == 42
+        assert subject.metadata["age"] == 42
+        with pytest.raises(KeyError):
+            subject["age"]  # mapping view is spatial-only (reference parity)
 
     def test_metadata_only_subject(self):
         s = Subject(age=45, name="patient_1")

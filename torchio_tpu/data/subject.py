@@ -69,12 +69,15 @@ class Subject(Invertible):
         raise AttributeError(f"Subject has no entry {name!r}")
 
     def __getitem__(self, item: Any):
+        # String lookup covers the SPATIAL stores only, consistent with
+        # __iter__/__len__/__contains__ and the reference
+        # (subject.py:129-134); metadata is attribute-style or
+        # ``subject.metadata[...]``.
         if isinstance(item, str):
             for store in (
                 self._images,
                 self._points,
                 self._bounding_boxes,
-                self._metadata,
             ):
                 if item in store:
                     return store[item]

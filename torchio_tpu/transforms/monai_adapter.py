@@ -70,31 +70,38 @@ class MonaiAdapter(Transform):
         is_dict_style = isinstance(self.transform, MapTransform)
         subjects = batch.unbatch()
         for subject in subjects:
-            # MONAI transforms apply to scalar intensity images only,
-            # then the include/exclude name scoping (reference
-            # monai_adapter.py:101-109).
-            scalars = {
-                k: v
-                for k, v in subject.images.items()
-                if isinstance(v, ScalarImage)
-            }
-            images = _filter_images(scalars, self.include, self.exclude)
             if is_dict_style:
-                data = {}
-                for name, image in images.items():
+                # Dict-style (MapTransform): ALL images (the transform's
+                # `keys` decide what it touches — filtering here would
+                # break image/label-coupled spatial transforms) plus
+                # metadata, mirroring the reference's
+                # _apply_dict_transform (monai_adapter.py:167-186).
+                if not subject.images:
+                    continue
+                data: dict[str, Any] = {}
+                for name, image in subject.images.items():
                     tensor = torch.as_tensor(np.asarray(image.data))
                     data[name] = MetaTensor(
                         tensor, affine=torch.as_tensor(image.affine.data)
                     )
+                data.update(subject.metadata)
                 result = self.transform(data)
-                for name, value in result.items():
-                    if name not in images:
+                for name, image in subject.images.items():
+                    value = result.get(name)
+                    if not isinstance(value, torch.Tensor):
                         continue
-                    image = subject.images[name]
                     image.set_data(np.asarray(value))
                     if isinstance(value, MetaTensor) and value.affine is not None:
                         image.affine = np.asarray(value.affine)
             else:
+                # Array-style: ScalarImage only, then include/exclude
+                # (reference monai_adapter.py:101-109).
+                scalars = {
+                    k: v
+                    for k, v in subject.images.items()
+                    if isinstance(v, ScalarImage)
+                }
+                images = _filter_images(scalars, self.include, self.exclude)
                 for image in images.values():
                     tensor = torch.as_tensor(np.asarray(image.data))
                     image.set_data(np.asarray(self.transform(tensor)))
@@ -150,10 +157,17 @@ class CornucopiaAdapter(Transform):
                 if not isinstance(img, ScalarImage)
             ]
             ordered = scalars + labels
+            if not ordered:
+                continue  # filter matched nothing (reference :116-117)
             tensors = [torch.as_tensor(np.asarray(img.data)) for _, img in ordered]
             results = self.transform(*tensors)
             if not isinstance(results, (tuple, list)):
                 results = (results,)
+            if len(results) != len(ordered):
+                raise ValueError(
+                    f"Cornucopia transform returned {len(results)} tensors"
+                    f" for {len(ordered)} input images"
+                )
             for (name, img), result in zip(ordered, results):
                 if hasattr(result, "detach"):
                     result = result.detach()
