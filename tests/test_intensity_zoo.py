@@ -235,3 +235,57 @@ class TestMaskPCA:
         x = rng.normal(size=(2, 4, 4, 4)).astype(np.float32)
         with pytest.raises(ValueError):
             tio.PCA(num_components=3)(x)
+
+
+class TestHistogramLandmarkLoading:
+    """Landmark sources: arrays and .npy / .pt files (reference
+    histogram_standardization.py:237-245)."""
+
+    def _landmarks(self, rng):
+        images = [rng.random((1, 8, 8, 8)).astype(np.float32) for _ in range(3)]
+        return tio.compute_histogram_landmarks(images)
+
+    def test_load_from_npy(self, tmp_path, rng):
+        lm = self._landmarks(rng)
+        path = tmp_path / "lm.npy"
+        np.save(path, lm)
+        t = tio.HistogramStandardization(path)
+        np.testing.assert_allclose(t.landmarks, lm, rtol=1e-6)
+
+    def test_load_from_pt(self, tmp_path, rng):
+        import torch
+
+        lm = self._landmarks(rng)
+        path = tmp_path / "lm.pt"
+        torch.save(torch.as_tensor(lm), path)
+        t = tio.HistogramStandardization(str(path))
+        np.testing.assert_allclose(t.landmarks, lm, rtol=1e-6)
+
+    def test_pt_with_wrong_type_raises(self, tmp_path):
+        import torch
+
+        path = tmp_path / "bad.pt"
+        torch.save({"not": "a tensor"}, path)
+        with pytest.raises((TypeError, Exception)):
+            tio.HistogramStandardization(path)
+
+    def test_unsupported_format_raises(self, tmp_path):
+        path = tmp_path / "lm.csv"
+        path.write_text("1,2,3")
+        with pytest.raises(ValueError, match="Unsupported"):
+            tio.HistogramStandardization(path)
+
+    def test_landmark_count_mismatch_raises(self, rng):
+        t = tio.HistogramStandardization(np.linspace(0, 100, 7, dtype=np.float32))
+        x = rng.random((1, 8, 8, 8)).astype(np.float32)
+        with pytest.raises(ValueError, match="landmarks"):
+            t(x)
+
+    def test_leaves_labels_unchanged(self, rng):
+        lm = self._landmarks(rng)
+        subject = tio.Subject(
+            t1=tio.ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32)),
+            seg=tio.LabelMap(np.ones((1, 8, 8, 8), np.uint8)),
+        )
+        out = tio.HistogramStandardization(lm)(subject)
+        np.testing.assert_array_equal(np.asarray(out.seg.data), 1)

@@ -75,11 +75,22 @@ def compute_histogram_landmarks(
 
 
 def _load_landmarks(source) -> np.ndarray:
+    """Landmarks from an array-like or a ``.npy`` / ``.pt`` / ``.pth``
+    file (reference histogram_standardization.py:237-245)."""
     if isinstance(source, (np.ndarray, list, tuple)) or hasattr(source, "__array__"):
         return np.asarray(source, np.float32)
     path = Path(source)
     if path.suffix == ".npy":
         return np.load(path).astype(np.float32)
+    if path.suffix in (".pt", ".pth"):
+        import torch
+
+        data = torch.load(path, weights_only=True)
+        if not isinstance(data, torch.Tensor):
+            raise TypeError(
+                f"Expected a tensor in {path}, got {type(data).__name__}"
+            )
+        return data.numpy().astype(np.float32)
     raise ValueError(f"Unsupported landmarks source: {source!r}")
 
 
