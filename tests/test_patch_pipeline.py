@@ -376,3 +376,54 @@ class TestDevicePatches:
                 d.metadata["patch_location"].index
                 == h.metadata["patch_location"].index
             )
+
+
+class TestTorchDataLoaderInterop:
+    """collate_subjects works as torch DataLoader collate_fn (the
+    migration path promised in docs/get-started/migration.md)."""
+
+    def test_collate_in_torch_loader(self, rng):
+        torch = pytest.importorskip("torch")
+        from torch.utils.data import DataLoader
+
+        import torchio_tpu as tio
+
+        subjects = [
+            tio.Subject(
+                t1=tio.ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32))
+            )
+            for _ in range(6)
+        ]
+        loader = DataLoader(
+            subjects, batch_size=3, collate_fn=tio.collate_subjects
+        )
+        batches = list(loader)
+        assert len(batches) == 2
+        assert all(isinstance(b, tio.SubjectsBatch) for b in batches)
+        assert batches[0].t1.data.shape == (3, 1, 8, 8, 8)
+
+    def test_queue_through_torch_loader(self, rng):
+        torch = pytest.importorskip("torch")
+        from torch.utils.data import DataLoader
+
+        import torchio_tpu as tio
+
+        subjects = [
+            tio.Subject(
+                t1=tio.ScalarImage(rng.random((1, 16, 16, 16)).astype(np.float32)),
+                seg=tio.LabelMap(
+                    (rng.random((1, 16, 16, 16)) > 0.5).astype(np.uint8)
+                ),
+            )
+            for _ in range(2)
+        ]
+        queue = tio.Queue(
+            subjects,
+            tio.UniformSampler(patch_size=8),
+            max_length=8,
+            patches_per_volume=2,
+            shuffle_subjects=False,
+        )
+        loader = DataLoader(queue, batch_size=2, collate_fn=tio.collate_subjects)
+        batch = next(iter(loader))
+        assert batch.t1.data.shape == (2, 1, 8, 8, 8)

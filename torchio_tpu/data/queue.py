@@ -18,8 +18,16 @@ from typing import Any, Iterator, Sequence
 from .sampler import PatchSampler
 from .subject import Subject
 
+try:  # torch interop: DataLoader dispatches iterable- vs map-style on
+    # isinstance(dataset, torch.utils.data.IterableDataset); inheriting
+    # it (a no-op mixin) lets Queue drop into torch pipelines like the
+    # reference's Queue (queue.py:23, an IterableDataset subclass).
+    from torch.utils.data import IterableDataset as _TorchIterableBase
+except ImportError:  # pragma: no cover - torch absent
+    _TorchIterableBase = object  # type: ignore[assignment,misc]
 
-class Queue:
+
+class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
     """Iterable buffer of patches drawn from a rotating set of subjects.
 
     Args:

@@ -21,6 +21,14 @@ from .. import random as tio_random
 from .patch import PatchLocation
 from .subject import Subject
 
+try:  # torch interop: the random samplers are iterable-style datasets
+    # (reference sampler.py:198-375, IterableDataset subclasses), and
+    # torch's DataLoader dispatches on this isinstance. GridSampler
+    # stays map-style (__len__/__getitem__) and must NOT inherit it.
+    from torch.utils.data import IterableDataset as _TorchIterableBase
+except ImportError:  # pragma: no cover - torch absent
+    _TorchIterableBase = object  # type: ignore[assignment,misc]
+
 
 class PatchSampler:
     """Base: patch extraction via whole-subject spatial slicing."""
@@ -131,7 +139,7 @@ class GridSampler(PatchSampler):
         ]
 
 
-class UniformSampler(PatchSampler):
+class UniformSampler(PatchSampler, _TorchIterableBase):  # type: ignore[valid-type,misc]
     """Random patches with uniform spatial probability (iterable)."""
 
     def __init__(
@@ -216,7 +224,7 @@ def _center_to_corner(center, spatial_shape, patch_size) -> tuple[int, int, int]
     return (out[0], out[1], out[2])
 
 
-class WeightedSampler(PatchSampler):
+class WeightedSampler(PatchSampler, _TorchIterableBase):  # type: ignore[valid-type,misc]
     """Random patches with probability proportional to a map image."""
 
     def __init__(
