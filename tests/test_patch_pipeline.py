@@ -427,3 +427,18 @@ class TestTorchDataLoaderInterop:
         loader = DataLoader(queue, batch_size=2, collate_fn=tio.collate_subjects)
         batch = next(iter(loader))
         assert batch.t1.data.shape == (2, 1, 8, 8, 8)
+
+    def test_grid_sampler_through_torch_loader(self, rng):
+        torch = pytest.importorskip("torch")
+        from torch.utils.data import DataLoader
+
+        import torchio_tpu as tio
+
+        subject = tio.Subject(
+            t1=tio.ScalarImage(rng.random((1, 16, 16, 16)).astype(np.float32))
+        )
+        sampler = tio.GridSampler(subject, patch_size=8)
+        loader = DataLoader(sampler, batch_size=4, collate_fn=tio.collate_subjects)
+        batches = list(loader)
+        assert sum(b.batch_size for b in batches) == len(sampler)
+        assert batches[0].t1.data.shape == (4, 1, 8, 8, 8)
