@@ -176,3 +176,47 @@ def test_someof_without_replacement_unique(subject):
     out = t(subject)
     names = [tr.name for tr in out.applied_transforms]
     assert len(names) == len(set(names)) == 3
+
+
+def test_empty_compose_is_identity(subject):
+    out = tio.Compose([])(subject)
+    np.testing.assert_array_equal(np.asarray(out.t1.data), np.asarray(subject.t1.data))
+
+
+def test_compose_mapping_values_used(subject):
+    pipeline = tio.Compose({"flip": tio.Flip(axes=(0,)), "noise": tio.Noise(std=0.01)})
+    out = pipeline(subject)
+    assert [t.name for t in out.applied_transforms] == ["Flip", "Noise"]
+
+
+def test_someof_with_replacement(subject):
+    tio.seed(3)
+    out = tio.SomeOf(
+        [tio.Gamma(log_gamma=0.1)], num_transforms=3, replace=True
+    )(subject)
+    # same transform can repeat: history shows 3 Gamma applications
+    assert [t.name for t in out.applied_transforms] == ["Gamma"] * 3
+
+
+def test_someof_p_zero_noop(subject):
+    out = tio.SomeOf([tio.Noise(std=1.0)], num_transforms=1, p=0.0)(subject)
+    np.testing.assert_array_equal(np.asarray(out.t1.data), np.asarray(subject.t1.data))
+
+
+def test_someof_per_element_batch(make_batch):
+    tio.seed(5)
+    batch = make_batch(4)
+    out = tio.SomeOf(
+        [tio.Gamma(log_gamma=(0.0, 0.3)), tio.Noise(std=(0.0, 0.1))],
+        num_transforms=(0, 2),
+    )(batch)
+    subjects = out.unbatch()
+    assert len(subjects) == 4  # re-stacked with per-element histories
+
+
+def test_oneof_shape_changing_transform_errors_cleanly(make_batch):
+    tio.seed(0)
+    batch = make_batch(3)
+    # Crop changes shape per element -> cannot re-stack
+    with pytest.raises(RuntimeError, match="re-stacked"):
+        tio.OneOf([tio.Crop(cropping=1), tio.Crop(cropping=2)])(batch)
