@@ -22,3 +22,36 @@ def test_profile_restores_forward(rng):
     with profiling.profile():
         pass
     assert tio.Transform.forward is original
+
+
+def test_report_format_and_totals(rng):
+    import torchio_tpu as tio
+    from torchio_tpu import profiling
+
+    subject = tio.Subject(
+        t1=tio.ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32))
+    )
+    with profiling.profile() as prof:
+        tio.Gamma(log_gamma=0.1)(subject)
+        tio.Gamma(log_gamma=0.1)(subject)
+        tio.Flip(axes=(0,))(subject)
+    report = prof.report()
+    assert "Gamma" in report and "Flip" in report
+    assert "calls" in report.splitlines()[0]
+    assert prof.total("Gamma") > 0.0
+    assert prof.total("NeverRan") == 0.0
+    # Gamma ran twice
+    assert len(prof.records["Gamma"]) == 2
+
+
+def test_trace_context_writes_profile(tmp_path, rng):
+    import torchio_tpu as tio
+    from torchio_tpu import profiling
+
+    subject = tio.Subject(
+        t1=tio.ScalarImage(rng.random((1, 8, 8, 8)).astype(np.float32))
+    )
+    with profiling.trace(str(tmp_path)):
+        tio.Flip(axes=(0,))(subject)
+    # the jax profiler drops a plugins/profile dir with trace artifacts
+    assert any(tmp_path.rglob("*")), "trace produced no artifacts"
