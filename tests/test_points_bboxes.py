@@ -177,3 +177,61 @@ class TestBoundingBoxesBehaviors:
         assert BoundingBoxFormat.IJKIJK.axes == "IJK"
         assert BoundingBoxFormat.IJKIJK.representation == Representation.CORNERS
         assert BoundingBoxFormat.IJKWHD.representation == Representation.CENTER_SIZE
+
+
+class TestBoundingBoxesContainer:
+    def test_properties_and_len(self):
+        boxes = BoundingBoxes(
+            np.array([[0, 0, 0, 2, 2, 2], [1, 1, 1, 3, 3, 3]], np.float32),
+            labels=[1, 2],
+        )
+        assert boxes.num_boxes == 2
+        assert len(boxes) == 2
+        assert boxes.device == "cpu"
+        np.testing.assert_array_equal(boxes.labels, [1, 2])
+        assert boxes.to() is boxes  # host metadata, no-op
+
+    def test_repr(self):
+        boxes = BoundingBoxes(np.zeros((1, 6), np.float32))
+        r = repr(boxes)
+        assert "num_boxes=1" in r and "IJK" in r
+        fmt_r = repr(BoundingBoxFormat.IJKWHD)
+        assert "center_size" in fmt_r
+
+    def test_format_eq_non_format(self):
+        assert BoundingBoxFormat.IJKIJK != "IJKIJK"
+
+    def test_new_like_preserves_format_and_metadata(self):
+        boxes = BoundingBoxes(
+            np.zeros((1, 6), np.float32),
+            format=BoundingBoxFormat.IJKWHD,
+            metadata={"source": "detector-v2"},
+        )
+        new = boxes.new_like(data=np.ones((2, 6), np.float32))
+        assert new.format == BoundingBoxFormat.IJKWHD
+        assert new.metadata == {"source": "detector-v2"}
+        assert new.num_boxes == 2
+
+    def test_deepcopy_independent(self):
+        import copy
+
+        boxes = BoundingBoxes(np.zeros((1, 6), np.float32), labels=[7])
+        dup = copy.deepcopy(boxes)
+        dup.data[0, 0] = 5.0
+        assert boxes.data[0, 0] == 0.0
+        np.testing.assert_array_equal(dup.labels, [7])
+
+    def test_same_format_conversion_is_copy(self):
+        boxes = BoundingBoxes(np.array([[0, 0, 0, 2, 2, 2]], np.float32))
+        same = boxes.to_format(BoundingBoxFormat.IJKIJK)
+        assert same is not boxes
+        np.testing.assert_array_equal(same.data, boxes.data)
+
+    def test_anatomical_to_voxel_roundtrip(self):
+        affine = AffineMatrix.from_spacing((2.0, 2.0, 2.0))
+        boxes = BoundingBoxes(
+            np.array([[1, 2, 3, 5, 6, 7]], np.float32), affine=affine
+        )
+        ras = boxes.to_format(BoundingBoxFormat("RAS"))
+        back = ras.to_format(BoundingBoxFormat.IJKIJK)
+        np.testing.assert_allclose(back.data, boxes.data, atol=1e-5)
