@@ -235,3 +235,35 @@ class TestBoundingBoxesContainer:
         ras = boxes.to_format(BoundingBoxFormat("RAS"))
         back = ras.to_format(BoundingBoxFormat.IJKIJK)
         np.testing.assert_allclose(back.data, boxes.data, atol=1e-5)
+
+
+class TestPointsConversionEdges:
+    def test_device_and_to_noop(self):
+        pts = Points(np.zeros((1, 3), np.float32))
+        assert pts.device == "cpu"
+        assert pts.to("anything") is pts
+
+    def test_metadata_property(self):
+        pts = Points(np.zeros((1, 3), np.float32), metadata={"set": "AC-PC"})
+        assert pts.metadata == {"set": "AC-PC"}
+
+    def test_non_ijk_voxel_to_anatomical(self):
+        # KJI voxel points -> RAS world: permute to IJK first, then affine
+        affine = AffineMatrix.from_spacing((2.0, 3.0, 4.0))
+        pts = Points(np.array([[7.0, 5.0, 3.0]], np.float32), axes="KJI", affine=affine)
+        ras = pts.to_axes("RAS")
+        # KJI (7,5,3) == IJK (3,5,7) -> world (6, 15, 28)
+        np.testing.assert_allclose(ras.data, [[6.0, 15.0, 28.0]], atol=1e-5)
+
+    def test_anatomical_to_non_ijk_voxel(self):
+        affine = AffineMatrix.from_spacing((2.0, 3.0, 4.0))
+        pts = Points(np.array([[6.0, 15.0, 28.0]], np.float32), axes="RAS", affine=affine)
+        kji = pts.to_axes("KJI")
+        np.testing.assert_allclose(kji.data, [[7.0, 5.0, 3.0]], atol=1e-5)
+
+    def test_anatomical_to_different_anatomical_through_world(self):
+        affine = AffineMatrix()  # identity: world axes are RAS
+        pts = Points(np.array([[1.0, 2.0, 3.0]], np.float32), axes="LPI", affine=affine)
+        ijk = pts.to_axes("IJK")
+        # LPI -> RAS flips all three signs; identity affine -> voxel == world
+        np.testing.assert_allclose(ijk.data, [[-1.0, -2.0, -3.0]], atol=1e-6)
