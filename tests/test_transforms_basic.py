@@ -195,3 +195,40 @@ class TestLambdaTo:
     def test_to_dtype(self, subject):
         out = tio.To(dtype=np.float32)(subject)
         assert len(out.applied_transforms) == 1
+
+
+class TestFlipEdges:
+    def test_invalid_int_axis_raises(self, subject):
+        with pytest.raises(ValueError, match="0, 1, or 2"):
+            tio.Flip(axes=(5,))(subject)
+
+    def test_unknown_anatomical_label_raises(self, subject):
+        with pytest.raises(ValueError, match="anatomical"):
+            tio.Flip(axes=("X",))(subject)
+
+    def test_full_anatomical_names(self, subject):
+        out_full = tio.Flip(axes=("Left",))(subject)
+        out_letter = tio.Flip(axes=("L",))(subject)
+        np.testing.assert_array_equal(
+            np.asarray(out_full.t1.data), np.asarray(out_letter.t1.data)
+        )
+
+    def test_axis_wrong_type_raises(self, subject):
+        with pytest.raises(TypeError, match="int or str"):
+            tio.Flip(axes=(1.5,))(subject)
+
+    def test_invalid_probability_raises(self):
+        with pytest.raises(ValueError, match="flip_probability"):
+            tio.Flip(axes=(0,), flip_probability=1.5)
+
+    def test_per_instance_inverse_roundtrip(self, rng):
+        tio.seed(11)
+        subjects = [
+            tio.Subject(t1=tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32)))
+            for _ in range(4)
+        ]
+        batch = tio.SubjectsBatch.from_subjects(subjects)
+        original = np.asarray(batch.t1.data).copy()
+        flipped = tio.Flip(axes=(0, 1, 2), flip_probability=0.5, per_instance=True)(batch)
+        restored = flipped.apply_inverse_transform(warn=False)
+        np.testing.assert_array_equal(np.asarray(restored.t1.data), original)
