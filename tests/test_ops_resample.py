@@ -308,3 +308,63 @@ class TestFusedResample:
                 resample(data, grid.materialize(), mode="linear", fill=0.0)
             )
             np.testing.assert_allclose(fused, dense, rtol=1e-4, atol=1e-5)
+
+
+class TestSeparableDispatch:
+    """Axis-aligned maps route to the three-matmul separable kernel and
+    match the gather kernel exactly (see _resample_element_separable)."""
+
+    def test_diagonal_map_detection(self):
+        from torchio_tpu.ops.resample import _diagonal_map
+
+        m = np.diag([2.0, 0.5, 1.0, 1.0])
+        m[:3, 3] = (1.0, -2.0, 3.0)
+        scales, offsets = _diagonal_map(m)
+        np.testing.assert_array_equal(scales, [2.0, 0.5, 1.0])
+        np.testing.assert_array_equal(offsets, [1.0, -2.0, 3.0])
+        rotated = np.eye(4)
+        rotated[0, 1] = 1e-9  # ANY off-diagonal disables the fast path
+        assert _diagonal_map(rotated) is None
+
+    @pytest.mark.parametrize("mode", ["linear", "nearest"])
+    @pytest.mark.parametrize("fill", [0.0, 4.5])
+    def test_matches_gather_kernel(self, rng, mode, fill):
+        import jax.numpy as jnp
+
+        from torchio_tpu.ops.resample import (
+            _resample_element_fused,
+            _resample_element_separable,
+        )
+
+        vol = rng.normal(size=(2, 10, 12, 8)).astype(np.float32)
+        scales, offsets = (1.7, 0.6, 1.25), (-0.8, 2.2, 0.4)
+        m = np.eye(4)
+        m[0, 0], m[1, 1], m[2, 2] = scales
+        m[:3, 3] = offsets
+        out_sp = (7, 15, 9)
+        fill_row = jnp.asarray(np.float32(fill)).reshape(-1)
+        ref = _resample_element_fused(
+            jnp.asarray(vol), jnp.asarray(m, jnp.float32), None,
+            fill_row, out_sp, mode, fill != 0.0, False,
+        )
+        sep = _resample_element_separable(
+            jnp.asarray(vol), jnp.asarray(scales, jnp.float32),
+            jnp.asarray(offsets, jnp.float32), fill_row,
+            out_sp, mode, fill != 0.0,
+        )
+        np.testing.assert_allclose(np.asarray(sep), np.asarray(ref), atol=1e-5)
+
+    def test_resample_to_spacing_through_public_api(self, rng):
+        # tio.Resample(target spacing) has a diagonal map -> separable path
+        import torchio_tpu as tio
+        from torchio_tpu.core.affine import AffineMatrix
+
+        subject = tio.Subject(
+            t1=tio.ScalarImage(
+                rng.random((1, 12, 12, 6)).astype(np.float32),
+                affine=AffineMatrix.from_spacing((1.0, 1.0, 2.0)),
+            )
+        )
+        out = tio.Resample(target=1.0)(subject)
+        assert out.t1.spacing == pytest.approx((1.0, 1.0, 1.0))
+        assert out.t1.shape == (1, 12, 12, 12)

@@ -222,6 +222,90 @@ def _resample_element_fused(
     return out.reshape(c, *out_spatial)
 
 
+def _axis_weights(n_out: int, n_in: int, scale, offset, mode: str):
+    """Per-axis interpolation matrix + in-bounds mask for a 1-D affine
+    map ``in = scale * out + offset``.
+
+    Returns ``W`` of shape (n_out, n_in) reproducing the gather kernel's
+    per-axis corner weights (zero rows outside the volume, matching
+    zero-pad semantics), and ``mask`` (n_out,), the LINEAR in-bounds
+    weight used for fill (always linear, even in nearest mode — same as
+    :func:`_resample_one`'s mask pass).
+    """
+    coords = scale * jnp.arange(n_out, dtype=jnp.float32) + offset
+    if n_in == 1:
+        # grid_sample(align_corners=True) with size 1: every coordinate
+        # maps to index 0 with full weight, never out of bounds.
+        coords = jnp.zeros_like(coords)
+    columns = jnp.arange(n_in, dtype=jnp.int32)[None, :]
+    x0 = jnp.floor(coords).astype(jnp.int32)
+    f = coords - x0
+    inb0 = ((x0 >= 0) & (x0 < n_in)).astype(jnp.float32)
+    inb1 = ((x0 + 1 >= 0) & (x0 + 1 < n_in)).astype(jnp.float32)
+    mask = (1.0 - f) * inb0 + f * inb1
+    if mode == "nearest":
+        r = jnp.round(coords).astype(jnp.int32)
+        valid = ((r >= 0) & (r < n_in)).astype(jnp.float32)
+        w = (jnp.clip(r, 0, n_in - 1)[:, None] == columns).astype(jnp.float32)
+        return w * valid[:, None], mask
+    w = ((1.0 - f) * inb0)[:, None] * (
+        jnp.clip(x0, 0, n_in - 1)[:, None] == columns
+    ) + (f * inb1)[:, None] * (
+        jnp.clip(x0 + 1, 0, n_in - 1)[:, None] == columns
+    )
+    return w.astype(jnp.float32), mask
+
+
+@partial(jax.jit, static_argnames=("out_spatial", "mode", "apply_fill"))
+def _resample_element_separable(
+    data, scales, offsets, fill_row,
+    out_spatial: tuple[int, int, int], mode: str, apply_fill: bool,
+):
+    """Axis-aligned resample of one element as three MXU matmuls.
+
+    When the output->input map is DIAGONAL (pure per-axis scale +
+    translation: ``Resample`` to a target spacing, ``Resize``,
+    ``Anisotropy`` — no rotation/shear/elastic), the trilinear weight
+    w_i*w_j*w_k factorizes, so the whole resample is three tiny
+    (n_out, n_in) interpolation matmuls instead of a 10 ns-per-index
+    3-D gather: ~4 GFLOP at 256^3 (microseconds of MXU time,
+    bandwidth-bound in practice) vs ~1.2 s for the 16.7M-index take.
+    Weights, masks, and fill semantics are identical to
+    :func:`_resample_one` — exact f32 contractions keep it within
+    rounding of the gather path.
+    """
+    c, si, sj, sk = data.shape
+    io, jo, ko = out_spatial
+    vol = data.astype(jnp.float32)
+    wi, mi = _axis_weights(io, si, scales[0], offsets[0], mode)
+    wj, mj = _axis_weights(jo, sj, scales[1], offsets[1], mode)
+    wk, mk = _axis_weights(ko, sk, scales[2], offsets[2], mode)
+    hi = jax.lax.Precision.HIGHEST
+    out = jnp.einsum("oi,cijk->cojk", wi, vol, precision=hi)
+    out = jnp.einsum("pj,cojk->copk", wj, out, precision=hi)
+    out = jnp.einsum("qk,copk->copq", wk, out, precision=hi)
+    if not apply_fill:
+        return out
+    if mode == "nearest":
+        # rebuild the LINEAR masks (nearest W returns its own mask slot)
+        _, mi = _axis_weights(io, si, scales[0], offsets[0], "linear")
+        _, mj = _axis_weights(jo, sj, scales[1], offsets[1], "linear")
+        _, mk = _axis_weights(ko, sk, scales[2], offsets[2], "linear")
+    mask = mi[:, None, None] * mj[None, :, None] * mk[None, None, :]
+    fill_col = jnp.asarray(fill_row, jnp.float32).reshape(-1, 1, 1, 1)
+    return jnp.where(mask[None] > 0.5, out, fill_col)
+
+
+def _diagonal_map(matrix) -> tuple[np.ndarray, np.ndarray] | None:
+    """(scales, offsets) if the 4x4 output->input map is exactly
+    diagonal in its 3x3 part, else None."""
+    m = np.asarray(matrix, np.float64)
+    rot = m[:3, :3]
+    if np.any(rot - np.diag(np.diag(rot)) != 0.0):
+        return None
+    return np.diag(rot).copy(), m[:3, 3].copy()
+
+
 def resample_fused(
     data,
     matrices,
@@ -266,13 +350,27 @@ def resample_fused(
     )
     outs = []
     for bi in range(b):
-        m = jnp.asarray(np.asarray(matrices[bi], np.float64), jnp.float32)
         cp = control_points[bi]
-        cp = None if cp is None else jnp.asarray(
-            np.asarray(cp, np.float64), jnp.float32
-        )
         fill_row = jnp.asarray(
             fill_arr[bi] if fill_arr.ndim == 2 else fill_arr, jnp.float32
+        )
+        diag = None if cp is not None else _diagonal_map(matrices[bi])
+        if diag is not None:
+            # axis-aligned: three per-axis matmuls beat the 3-D gather
+            # by orders of magnitude (see _resample_element_separable)
+            scales, offsets = diag
+            outs.append(
+                _resample_element_separable(
+                    data[bi],
+                    jnp.asarray(scales, jnp.float32),
+                    jnp.asarray(offsets, jnp.float32),
+                    fill_row, out_spatial, mode, apply_fill,
+                )
+            )
+            continue
+        m = jnp.asarray(np.asarray(matrices[bi], np.float64), jnp.float32)
+        cp = None if cp is None else jnp.asarray(
+            np.asarray(cp, np.float64), jnp.float32
         )
         outs.append(
             _resample_element_fused(
