@@ -283,3 +283,42 @@ class TestDistributedSubjectSampler:
             seen.append({p.sid for p in queue})
         assert seen[0] | seen[1] == set(range(6))
         assert seen[0].isdisjoint(seen[1])
+
+
+class TestShardedSeparableResample:
+    """The separable (axis-aligned) resample path under sharding: the
+    per-axis interpolation matmuls shard over the mesh like any matmul,
+    so a sharded tio.Resample must match the single-device result."""
+
+    def _make_batch(self, b=8):
+        rng = np.random.default_rng(9)
+        from torchio_tpu.core.affine import AffineMatrix
+
+        subjects = [
+            tio.Subject(
+                t1=tio.ScalarImage(
+                    rng.random((1, 10, 12, 6)).astype(np.float32),
+                    affine=AffineMatrix.from_spacing((1.0, 1.0, 2.0)),
+                )
+            )
+            for _ in range(b)
+        ]
+        from torchio_tpu.data.batch import SubjectsBatch
+
+        batch = SubjectsBatch.from_subjects(subjects)
+        for ib in batch.images.values():
+            ib.data = jnp.asarray(ib.data)
+        return batch
+
+    def test_sharded_resample_matches_single_device(self, mesh):
+        tio.seed(1)
+        ref = tio.Resample(target=1.0)(self._make_batch())
+        ref_data = np.asarray(ref.images["t1"].data)
+
+        tio.seed(1)
+        batch = self._make_batch().shard_(mesh)
+        out = tio.Resample(target=1.0)(batch)
+        assert np.asarray(out.images["t1"].data).shape == ref_data.shape
+        np.testing.assert_allclose(
+            np.asarray(out.images["t1"].data), ref_data, rtol=1e-5, atol=1e-6
+        )
