@@ -306,6 +306,136 @@ def _diagonal_map(matrix) -> tuple[np.ndarray, np.ndarray] | None:
     return np.diag(rot).copy(), m[:3, 3].copy()
 
 
+def _plane_map(matrix) -> tuple[int, np.ndarray, np.ndarray, float, float] | None:
+    """Decompose a map that mixes only TWO axes (single-plane rotation:
+    axial/coronal/sagittal tilt — the common clinical case).
+
+    Returns ``(axis, a2, b2, scale_u, offset_u)`` where ``axis`` is the
+    UNMIXED spatial axis (its row and column off-diagonals are exactly
+    zero), ``a2``/``b2`` the 2x2+offset map of the two mixed axes (in
+    their original order), and ``scale_u``/``offset_u`` the 1-D affine
+    of the unmixed axis. None when no such axis exists (full 3-D
+    rotation) — the caller falls back to the 3-D gather.
+    """
+    m = np.asarray(matrix, np.float64)
+    r = m[:3, :3]
+    for axis in (2, 1, 0):  # prefer K: no transpose needed
+        others = [i for i in (0, 1, 2) if i != axis]
+        if (
+            r[axis, others[0]] == 0.0
+            and r[axis, others[1]] == 0.0
+            and r[others[0], axis] == 0.0
+            and r[others[1], axis] == 0.0
+        ):
+            a2 = r[np.ix_(others, others)].copy()
+            b2 = m[others, 3].copy()
+            return axis, a2, b2, float(r[axis, axis]), float(m[axis, 3])
+    return None
+
+
+@partial(jax.jit, static_argnames=("out_spatial", "mode", "apply_fill"))
+def _resample_element_plane(
+    data, a2, b2, scale_u, offset_u, fill_row,
+    out_spatial: tuple[int, int, int], mode: str, apply_fill: bool,
+):
+    """Single-plane-rotation resample: 2-D gather + one axis matmul.
+
+    ``data`` is (C, I, J, K) with K the UNMIXED axis (callers transpose
+    first). The K interpolation is an `_axis_weights` matmul; the (I, J)
+    plane needs a genuine gather, but only over Io*Jo indices — 256x
+    fewer than the dense 3-D grid at 256^3 — using the same padded
+    corner-block trick as :func:`_resample_one` (4 corners in 2-D).
+    Weight/mask/fill semantics match the 3-D kernel exactly.
+    """
+    c, si, sj, sk = data.shape
+    io, jo, ko = out_spatial
+    vol = data.astype(jnp.float32)
+
+    # 1. unmixed-axis interpolation as a matmul: (C, I, J, K) -> (C, I, J, Ko)
+    wk, mk = _axis_weights(ko, sk, scale_u, offset_u, mode)
+    if mode == "nearest":
+        _, mk = _axis_weights(ko, sk, scale_u, offset_u, "linear")
+    hi = jax.lax.Precision.HIGHEST
+    vol = jnp.einsum("qk,cijk->cijq", wk, vol, precision=hi)
+
+    # 2. in-plane coordinates for the Io x Jo output grid
+    oi = jnp.arange(io, dtype=jnp.float32)
+    oj = jnp.arange(jo, dtype=jnp.float32)
+    ci = a2[0, 0] * oi[:, None] + a2[0, 1] * oj[None, :] + b2[0]
+    cj = a2[1, 0] * oi[:, None] + a2[1, 1] * oj[None, :] + b2[1]
+    if si == 1:
+        ci = jnp.zeros_like(ci)
+    if sj == 1:
+        cj = jnp.zeros_like(cj)
+    ci, cj = ci.reshape(-1), cj.reshape(-1)  # (M2,) with M2 = Io*Jo
+
+    flat = vol.reshape(c, si, sj, ko)
+    if mode == "nearest":
+        ri = jnp.round(ci).astype(jnp.int32)
+        rj = jnp.round(cj).astype(jnp.int32)
+        valid = (ri >= 0) & (ri < si) & (rj >= 0) & (rj < sj)
+        idx = jnp.clip(ri, 0, si - 1) * sj + jnp.clip(rj, 0, sj - 1)
+        planes = flat.transpose(0, 3, 1, 2).reshape(c * ko, si * sj)
+        acc = jnp.take(planes, idx, axis=1) * valid[None, :].astype(jnp.float32)
+    else:
+        sip, sjp = si + 1, sj + 1
+        vp = jnp.pad(
+            flat.transpose(0, 3, 1, 2).reshape(c * ko, si, sj),
+            ((0, 0), (1, 1), (1, 1)),
+        )
+        block = jnp.stack(
+            [
+                vp[:, di : di + sip, dj : dj + sjp]
+                for di in (0, 1)
+                for dj in (0, 1)
+            ],
+            axis=-1,
+        ).reshape(c * ko, sip * sjp, 4)
+        i0 = jnp.floor(ci).astype(jnp.int32)
+        j0 = jnp.floor(cj).astype(jnp.int32)
+        fi, fj = ci - i0, cj - j0
+        wi = ((1.0 - fi) * ((i0 >= 0) & (i0 < si)),
+              fi * ((i0 + 1 >= 0) & (i0 + 1 < si)))
+        wj = ((1.0 - fj) * ((j0 >= 0) & (j0 < sj)),
+              fj * ((j0 + 1 >= 0) & (j0 + 1 < sj)))
+        weights = jnp.stack(
+            [wi[di] * wj[dj] for di in (0, 1) for dj in (0, 1)], axis=-1
+        )  # (M2, 4)
+        idx = (jnp.clip(i0, -1, si - 1) + 1) * sjp + (jnp.clip(j0, -1, sj - 1) + 1)
+        corners = jnp.take(block, idx, axis=1)  # (C*Ko, M2, 4)
+        acc = jnp.sum(corners * weights[None], axis=-1)
+
+    out = (
+        acc.reshape(c, ko, io, jo).transpose(0, 2, 3, 1)
+    )  # (C, Io, Jo, Ko)
+    if not apply_fill:
+        return out
+
+    # bilinear in-plane mask (always linear, like the 3-D kernel) x k-mask
+    i0 = jnp.floor(ci).astype(jnp.int32)
+    j0 = jnp.floor(cj).astype(jnp.int32)
+    fi, fj = ci - i0, cj - j0
+    mask2 = jnp.zeros(ci.shape, jnp.float32)
+    for di in (0, 1):
+        wi_ = fi if di else 1.0 - fi
+        vi = (i0 + di >= 0) & (i0 + di < si)
+        for dj in (0, 1):
+            wj_ = fj if dj else 1.0 - fj
+            vj = (j0 + dj >= 0) & (j0 + dj < sj)
+            mask2 = mask2 + wi_ * wj_ * (vi & vj).astype(jnp.float32)
+    mask = mask2.reshape(io, jo)[:, :, None] * mk[None, None, :]
+    fill_col = jnp.asarray(fill_row, jnp.float32).reshape(-1, 1, 1, 1)
+    return jnp.where(mask[None] > 0.5, out, fill_col)
+
+
+# axis -> (transpose bringing that axis last, inverse transpose)
+_PLANE_PERMS = {
+    2: ((0, 1, 2, 3), (0, 1, 2, 3)),           # K already last
+    1: ((0, 1, 3, 2), (0, 1, 3, 2)),           # swap J <-> K
+    0: ((0, 2, 3, 1), (0, 3, 1, 2)),           # I to last
+}
+
+
 def resample_fused(
     data,
     matrices,
@@ -367,6 +497,21 @@ def resample_fused(
                     fill_row, out_spatial, mode, apply_fill,
                 )
             )
+            continue
+        plane = None if cp is not None else _plane_map(matrices[bi])
+        if plane is not None:
+            # single-plane rotation: Io*Jo-index 2-D gather + one matmul
+            axis, a2, b2, scale_u, offset_u = plane
+            fwd, inv = _PLANE_PERMS[axis]
+            out_t = tuple(out_spatial[p - 1] for p in fwd[1:])
+            result = _resample_element_plane(
+                jnp.transpose(data[bi], fwd),
+                jnp.asarray(a2, jnp.float32),
+                jnp.asarray(b2, jnp.float32),
+                jnp.float32(scale_u), jnp.float32(offset_u),
+                fill_row, out_t, mode, apply_fill,
+            )
+            outs.append(jnp.transpose(result, inv))
             continue
         m = jnp.asarray(np.asarray(matrices[bi], np.float64), jnp.float32)
         cp = None if cp is None else jnp.asarray(
