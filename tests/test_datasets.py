@@ -149,3 +149,83 @@ class TestMedMNIST:
 
     def test_val_split(self, staged_npz):
         assert len(datasets.nodule_mnist_3d("val")) == 1
+
+
+class TestITKSNAP:
+    def test_construction_from_staged_cache(self, monkeypatch, tmp_path, rng):
+        import torchio_tpu.datasets.itk_snap as mod
+
+        monkeypatch.setattr(mod, "get_cache_dir", lambda: tmp_path)
+        # stage the extracted layout so no download triggers
+        _stage_nifti(tmp_path / "t1t2" / "t1t2", "t1", "t2")
+        subject = datasets.T1T2()
+        assert set(subject.images) == {"t1", "t2"}
+
+    def test_label_classification(self, monkeypatch, tmp_path, rng):
+        import torchio_tpu.datasets.itk_snap as mod
+
+        monkeypatch.setattr(mod, "get_cache_dir", lambda: tmp_path)
+        _stage_nifti(tmp_path / "bav" / "bav", "bav01", "bav01_seg")
+        subject = datasets.AorticValve()
+        assert isinstance(subject.image, tio.ScalarImage)
+        assert isinstance(subject.seg, tio.LabelMap)
+
+    def test_download_url_when_missing(self, monkeypatch, tmp_path):
+        import torchio_tpu.datasets.itk_snap as mod
+
+        monkeypatch.setattr(mod, "get_cache_dir", lambda: tmp_path)
+        calls = []
+
+        def fake(url, download_root, filename=None, **kw):
+            calls.append(url)
+            _stage_nifti(tmp_path / "t1t2" / "t1t2", "t1", "t2")
+
+        monkeypatch.setattr(mod, "download_and_extract_archive", fake)
+        datasets.T1T2()
+        assert calls and calls[0].endswith("10794/t1t2.zip")
+
+
+class TestIXI:
+    def test_missing_without_download_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="download=True"):
+            datasets.ixi(root=tmp_path)
+
+    def test_pairs_only_complete_subjects(self, tmp_path, rng):
+        # IXI012 has both modalities; IXI013 only T1 -> excluded
+        t1 = tmp_path / "T1"
+        t2 = tmp_path / "T2"
+        for d, stems in (
+            (t1, ("IXI012-HH-1211-T1", "IXI013-HH-1212-T1")),
+            (t2, ("IXI012-HH-1211-T2",)),
+        ):
+            _stage_nifti(d, *stems)
+        subjects = datasets.ixi(root=tmp_path, modalities=("T1", "T2"))
+        assert len(subjects) == 1
+        assert set(subjects[0].images) == {"t1", "t2"}
+        assert subjects[0].subject_id.startswith("IXI012")
+
+    def test_single_modality(self, tmp_path, rng):
+        _stage_nifti(tmp_path / "T1", "IXI050-Guys-0711-T1")
+        subjects = datasets.ixi(root=tmp_path)
+        assert len(subjects) == 1
+
+
+class TestSlicer:
+    def test_unknown_name_raises(self):
+        with pytest.raises(ValueError, match="name must be one of"):
+            datasets.Slicer("NotASample")
+
+    def test_construction(self, monkeypatch, tmp_path, rng):
+        import torchio_tpu.datasets.slicer as mod
+
+        monkeypatch.setattr(mod, "get_cache_dir", lambda: tmp_path)
+
+        def fake_download(url, root, filename=None, **kw):
+            img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+            root = tmp_path / "slicer"
+            root.mkdir(parents=True, exist_ok=True)
+            img.save(root / filename)
+
+        monkeypatch.setattr(mod, "download_url", fake_download)
+        subject = datasets.Slicer("MRHead")
+        assert len(subject.images) == 1
