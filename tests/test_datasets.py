@@ -229,3 +229,42 @@ class TestSlicer:
         monkeypatch.setattr(mod, "download_url", fake_download)
         subject = datasets.Slicer("MRHead")
         assert len(subject.images) == 1
+
+
+class TestFPG:
+    def test_construction_with_staged_files(self, monkeypatch, tmp_path, rng):
+        import h5py
+
+        import torchio_tpu.datasets.fpg as mod
+        from torchio_tpu.io.matrix import write_matrix
+
+        monkeypatch.setattr(mod, "get_cache_dir", lambda: tmp_path)
+        root = tmp_path / "fpg"
+        root.mkdir()
+        urls = []
+
+        def fake_download(url, rootdir, filename=None, **kw):
+            urls.append(url)
+            path = root / filename
+            if filename.endswith(".nii.gz"):
+                tio.ScalarImage(
+                    rng.random((1, 4, 4, 4)).astype(np.float32)
+                ).save(path)
+            elif filename.endswith(".tfm"):
+                write_matrix(np.eye(4), path)
+            elif filename.endswith(".h5"):
+                with h5py.File(path, "w") as f:
+                    g = f.create_group("TransformGroup").create_group("1")
+                    g["TransformParameters"] = np.concatenate(
+                        [np.eye(3).ravel(), np.zeros(3)]
+                    )
+                    g["TransformFixedParameters"] = np.zeros(3)
+
+        monkeypatch.setattr(mod, "download_url", fake_download)
+        subject = datasets.FPG()
+        assert set(subject.images) == {"t1", "seg"}
+        assert isinstance(subject.seg, tio.LabelMap)
+        # registration matrices attach to t1 as metadata
+        assert subject.t1.rigid_matrix.shape == (4, 4)
+        assert subject.t1.affine_matrix.shape == (4, 4)
+        assert any("t1_to_mni.tfm" in u for u in urls)
