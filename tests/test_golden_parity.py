@@ -725,3 +725,46 @@ def test_masked_znorm_golden(volume):
     np.testing.assert_allclose(
         np.asarray(out_mine.data), out_ref.data.numpy(), atol=1e-4, rtol=0
     )
+
+
+# ── Goldens for the specialized resample dispatch paths ──────────────
+# (separable diagonal and single-plane kernels must match the reference
+# grid_sample exactly like the general gather path does)
+
+
+def test_scales_only_affine_golden(volume):
+    # diagonal map -> _resample_element_separable
+    make = lambda m: m.Affine(  # noqa: E731
+        scales=(1.2, 1.2, 0.85, 0.85, 1.0, 1.0), degrees=0.0,
+        translation=(1.5, 1.5),
+    )
+    _run_pair(make, volume, 1e-3)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_single_plane_rotation_golden(volume, axis):
+    # rotation about exactly one axis -> _resample_element_plane
+    degrees = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    degrees[2 * axis] = degrees[2 * axis + 1] = 12.0
+    make = lambda m: m.Affine(  # noqa: E731
+        degrees=tuple(degrees), translation=(1.0, 1.0)
+    )
+    _run_pair(make, volume, 1e-3)
+
+
+def test_resample_to_spacing_golden(volume):
+    import torch
+
+    aff = np.diag([1.0, 1.0, 2.0, 1.0])
+    s_ref = ref.Subject(
+        t1=ref.ScalarImage(torch.as_tensor(volume.copy()), affine=aff)
+    )
+    s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy(), affine=aff))
+    o_ref = ref.Resample(target=1.0)(s_ref)
+    o_mine = tio.Resample(target=1.0)(s_mine)
+    np.testing.assert_allclose(
+        np.asarray(o_mine.images["t1"].data),
+        o_ref.t1.data.numpy(),
+        atol=1e-3,
+        rtol=0,
+    )
