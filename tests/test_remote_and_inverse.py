@@ -248,3 +248,72 @@ class TestRemoteMemoryFS:
             assert local.read_bytes() == b"not-really-nifti"
         finally:
             fs.rm("/raw.nii.gz")
+
+
+class TestZarrBackendWithStub:
+    """ZarrBackend logic exercised through a minimal in-memory zarr
+    stub (the wheel is absent here; only `zarr.open` and array duck
+    typing are touched)."""
+
+    @pytest.fixture
+    def zarr_stub(self, monkeypatch):
+        import sys
+        import types
+
+        class FakeArray:
+            def __init__(self, arr, attrs=None):
+                self._arr = arr
+                self.shape = arr.shape
+                self.dtype = arr.dtype
+                self.attrs = attrs or {}
+
+            def __getitem__(self, key):
+                return self._arr[key]
+
+            def __array__(self, dtype=None):
+                return np.asarray(self._arr, dtype)
+
+        mod = types.ModuleType("zarr")
+        stores = {}
+        mod._stores = stores
+        mod.open = lambda source, mode="r": stores[source]
+        mod.FakeArray = FakeArray
+        monkeypatch.setitem(sys.modules, "zarr", mod)
+        return mod
+
+    def test_3d_store(self, zarr_stub, rng):
+        from torchio_tpu.io.remote import ZarrBackend
+
+        arr = rng.random((6, 7, 8)).astype(np.float32)
+        affine = np.diag([2.0, 2.0, 2.0, 1.0])
+        zarr_stub._stores["store3d"] = zarr_stub.FakeArray(
+            arr, attrs={"affine": affine.tolist()}
+        )
+        backend = ZarrBackend("store3d")
+        assert backend.shape == (1, 6, 7, 8)
+        np.testing.assert_array_equal(backend.affine, affine)
+        np.testing.assert_array_equal(backend.to_array(), arr[None])
+        region = backend[
+            (slice(None), slice(1, 3), slice(2, 5), slice(0, 4))
+        ]
+        np.testing.assert_array_equal(region, arr[None][:, 1:3, 2:5, 0:4])
+
+    def test_4d_channel_store(self, zarr_stub, rng):
+        from torchio_tpu.io.remote import ZarrBackend
+
+        arr = rng.random((2, 6, 7, 8)).astype(np.float32)
+        zarr_stub._stores["store4d"] = zarr_stub.FakeArray(arr)
+        backend = ZarrBackend("store4d")
+        assert backend.shape == (2, 6, 7, 8)
+        np.testing.assert_array_equal(backend.affine, np.eye(4))
+        np.testing.assert_array_equal(backend.to_array(), arr)
+
+    def test_missing_zarr_has_actionable_error(self):
+        import sys
+
+        if "zarr" in sys.modules:
+            pytest.skip("zarr importable here")
+        from torchio_tpu.io.remote import ZarrBackend
+
+        with pytest.raises(ImportError, match="zarr"):
+            ZarrBackend("anything")
