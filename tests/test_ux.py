@@ -255,3 +255,63 @@ class TestCliEdges:
         out = tmp_path / "sweep.gif"
         assert cli_main(["animate", str(src), str(out)]) == 0
         assert out.stat().st_size > 0
+
+
+class TestVisualizationEdges:
+    def test_voxel_units_ticks(self, tmp_path, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        out = tmp_path / "vox.png"
+        img.plot(output_path=out, show=False, units="voxel", crosshair=True)
+        assert out.stat().st_size > 0
+
+    def test_no_units(self, tmp_path, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        out = tmp_path / "nounits.png"
+        img.plot(output_path=out, show=False, units=None)
+        assert out.stat().st_size > 0
+
+    def test_neurological_convention(self, tmp_path, rng):
+        import torchio_tpu as tio
+
+        img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        out = tmp_path / "neuro.png"
+        img.plot(output_path=out, show=False, radiological=False)
+        assert out.stat().st_size > 0
+
+    def test_plot_empty_subject_raises(self):
+        import pytest
+
+        import torchio_tpu as tio
+        from torchio_tpu.visualization import plot_subject
+
+        with pytest.raises(RuntimeError, match="no images"):
+            plot_subject(tio.Subject(age=1), show=False)
+
+    def test_label_map_gets_label_colormap(self, tmp_path, rng):
+        import torchio_tpu as tio
+
+        seg = tio.LabelMap(rng.integers(0, 4, (1, 6, 6, 6)).astype(np.uint8))
+        out = tmp_path / "seg.png"
+        seg.plot(output_path=out, show=False)
+        assert out.stat().st_size > 0
+
+    def test_make_video_needs_ffmpeg_or_works(self, tmp_path, rng):
+        import shutil
+
+        import pytest
+
+        import torchio_tpu as tio
+        from torchio_tpu.visualization import make_video
+
+        img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        out = tmp_path / "v.mp4"
+        if shutil.which("ffmpeg") is None:
+            with pytest.raises(RuntimeError, match="ffmpeg"):
+                make_video(img, out)
+        else:
+            make_video(img, out)
+            assert out.stat().st_size > 0
