@@ -315,3 +315,51 @@ class TestVisualizationEdges:
         else:
             make_video(img, out)
             assert out.stat().st_size > 0
+
+
+class TestCliMore:
+    def test_transform_with_seed_and_string_arg(self, nii, tmp_path):
+        path, data = nii
+        out = tmp_path / "n1.nii.gz"
+        out2 = tmp_path / "n2.nii.gz"
+        args = ["transform", "Noise", str(path), None, "std=0.5", "--seed", "5"]
+        assert cli_main([*args[:3], str(out), *args[4:]]) == 0
+        assert cli_main([*args[:3], str(out2), *args[4:]]) == 0
+        a, _ = tio.read_nifti(out)
+        b, _ = tio.read_nifti(out2)
+        np.testing.assert_array_equal(a, b)  # seeded -> reproducible
+        assert not np.allclose(a, data)
+
+    def test_transform_non_literal_value_passes_through(self, nii, tmp_path):
+        path, _ = nii
+        out = tmp_path / "m.nii.gz"
+        # masking_method=none is not a python literal; passes as string?
+        # use Flip axes=0 plus a string include
+        assert (
+            cli_main(
+                ["transform", "Flip", str(path), str(out), "axes=0"]
+            )
+            == 0
+        )
+
+    def test_cache_clean(self, tmp_path, monkeypatch, capsys):
+        import torchio_tpu.utils.download as dl
+
+        monkeypatch.setattr(dl, "get_cache_dir", lambda: tmp_path / "cache")
+        (tmp_path / "cache").mkdir()
+        (tmp_path / "cache" / "junk.bin").write_bytes(b"x")
+        assert cli_main(["cache", "clean"]) == 0
+        assert "removed" in capsys.readouterr().out
+        assert not (tmp_path / "cache").exists()
+        assert cli_main(["cache", "clean"]) == 0
+        assert "nothing to remove" in capsys.readouterr().out
+
+    def test_animate_mp4_when_ffmpeg(self, nii, tmp_path):
+        import shutil
+
+        path, _ = nii
+        out = tmp_path / "sweep.mp4"
+        if shutil.which("ffmpeg") is None:
+            pytest.skip("no ffmpeg")
+        assert cli_main(["animate", str(path), str(out)]) == 0
+        assert out.stat().st_size > 0
