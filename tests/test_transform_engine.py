@@ -302,3 +302,56 @@ class TestOperatorFlattening:
         assert out.t1.shape == subject.t1.shape
         out = (tio.Flip(axes=(0,)) | tio.Noise(std=0.01))(subject)
         assert out.t1.shape == subject.t1.shape
+
+
+class TestWrapEdges:
+    def test_5d_array_raises(self, rng):
+        import pytest
+
+        with pytest.raises(ValueError, match="3D or 4D"):
+            tio.Flip(axes=(0,))(rng.random((1, 1, 4, 4, 4, 4)).astype(np.float32))
+
+    def test_torch_3d_promoted(self, rng):
+        torch = pytest.importorskip("torch")
+
+        out = tio.Flip(axes=(0,))(torch.zeros(4, 4, 4))
+        assert out.shape == (4, 4, 4) or out.shape == (1, 4, 4, 4)
+
+    def test_dict_with_torch_values(self, rng):
+        torch = pytest.importorskip("torch")
+
+        data = {"image": torch.rand(1, 4, 4, 4), "id": "s1"}
+        out = tio.Flip(axes=(0,))(data)
+        assert isinstance(out, dict)
+        assert out["id"] == "s1"
+
+    def test_jax_array_in_jax_out(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        arr = jnp.asarray(rng.random((1, 4, 4, 4)).astype(np.float32))
+        out = tio.Flip(axes=(0,))(arr)
+        assert isinstance(out, jax.Array)
+
+
+class TestHydraValues:
+    def test_tuple_and_array_values_serialize(self):
+        t = tio.Affine(scales=(0.9, 1.1), degrees=(1.0, 2.0, 3.0))
+        cfg = t.to_hydra()
+        assert cfg["_target_"].endswith("Affine")
+        import json
+
+        json.dumps(cfg)  # everything JSON-clean
+
+    def test_base_apply_transform_raises(self):
+        import pytest
+
+        t = tio.Transform()
+        with pytest.raises(NotImplementedError):
+            t.apply_transform(None, {})
+
+    def test_non_invertible_inverse_raises(self):
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="not invertible"):
+            tio.Lambda(lambda x: x).inverse({})

@@ -481,7 +481,9 @@ def _unwrap_dict(batch: SubjectsBatch, keys: list[str]) -> dict[str, Any]:
     sub = batch.unbatch()[0]
     out: dict[str, Any] = {}
     for k in keys:
-        entry = sub.get(k)
+        # Subject.get covers spatial stores only; dict metadata keys
+        # (MONAI-style ids etc.) live in the metadata store.
+        entry = sub.get(k, sub.metadata.get(k))
         out[k] = entry.data if isinstance(entry, Image) else entry
     return out
 
