@@ -268,3 +268,36 @@ class TestFPG:
         assert subject.t1.rigid_matrix.shape == (4, 4)
         assert subject.t1.affine_matrix.shape == (4, 4)
         assert any("t1_to_mni.tfm" in u for u in urls)
+
+
+class TestPediatricAndSheep:
+    def test_pediatric_layout_and_url(self, mni_cache):
+        calls, staged = mni_cache
+        staged["nihpd_asym_04.5-08.5_nifti"] = (
+            "nihpd_asym_04.5-08.5_t1w",
+            "nihpd_asym_04.5-08.5_t2w",
+            "nihpd_asym_04.5-08.5_pdw",
+            "nihpd_asym_04.5-08.5_mask",
+        )
+        subject = datasets.Pediatric((4.5, 8.5))
+        assert set(subject.images) == {"t1", "t2", "pd", "mask"}
+        assert isinstance(subject.mask, tio.LabelMap)
+        assert calls[0]["url"].endswith("nihpd/obj1/nihpd_asym_04.5-08.5_nifti.zip")
+
+    def test_pediatric_symmetric_name(self, mni_cache):
+        calls, staged = mni_cache
+        staged["nihpd_sym_07.0-11.0_nifti"] = (
+            "nihpd_sym_07.0-11.0_t1w",
+            "nihpd_sym_07.0-11.0_t2w",
+            "nihpd_sym_07.0-11.0_pdw",
+            "nihpd_sym_07.0-11.0_mask",
+        )
+        subject = datasets.Pediatric((7, 11), symmetric=True)
+        assert "sym" in subject.name
+
+    def test_sheep_finds_any_nifti(self, mni_cache):
+        calls, staged = mni_cache
+        staged["NIFTI_ovine_auxiliary_masks"] = ("ovine_model_01",)
+        subject = datasets.Sheep()
+        assert set(subject.images) == {"t1"}
+        assert calls[0]["url"].endswith("sheep/NIFTI_ovine_auxiliary_masks.zip")
