@@ -317,3 +317,44 @@ class TestZarrBackendWithStub:
 
         with pytest.raises(ImportError, match="zarr"):
             ZarrBackend("anything")
+
+
+class TestResolveSource:
+    def test_path_passthrough(self, tmp_path):
+        from pathlib import Path
+
+        from torchio_tpu.io.remote import resolve_source
+
+        p = tmp_path / "x.nii"
+        assert resolve_source(p) is p
+        assert resolve_source(str(p)) == Path(p)
+
+    def test_openfile_materialized(self, tmp_path):
+        import fsspec
+
+        from torchio_tpu.io.remote import resolve_source
+
+        src = tmp_path / "payload.nii.gz"
+        src.write_bytes(b"openfile-bytes")
+        of = fsspec.open(str(src), "rb")
+        local = resolve_source(of, suffix=".nii.gz")
+        assert local.read_bytes() == b"openfile-bytes"
+        assert str(local).endswith(".nii.gz")
+
+    def test_unsupported_type_raises(self):
+        import pytest
+
+        from torchio_tpu.io.remote import resolve_source
+
+        with pytest.raises(TypeError, match="Cannot resolve"):
+            resolve_source(12345)
+
+    def test_nifti_zarr_detection(self):
+        from torchio_tpu.io.remote import is_nifti_zarr, is_remote_nifti_zarr
+
+        assert is_nifti_zarr("brain.nii.zarr")
+        assert is_nifti_zarr("s3://b/brain.ome.zarr")
+        assert not is_nifti_zarr("brain.nii.gz")
+        assert not is_nifti_zarr(42)
+        assert is_remote_nifti_zarr("https://x/b.nii.zarr")
+        assert not is_remote_nifti_zarr("/local/b.nii.zarr")
