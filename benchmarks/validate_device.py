@@ -39,6 +39,17 @@ def main() -> None:
         ("motion", lambda: tio.Motion(degrees=(5.0, 5.0), translation=(3.0, 3.0), num_transforms=1)),
         ("bias+noise", lambda: tio.Compose([tio.BiasField(std=0.4), tio.Noise(std=0.05)])),
         ("rescale", lambda: tio.RescaleIntensity(out_min=0.0, out_max=1.0)),
+        # late-round-2 kernels:
+        ("separable", lambda: tio.Affine(
+            scales=(1.2, 1.2, 0.8, 0.8, 1.0, 1.0), degrees=0.0,
+            translation=(1.0, 1.0),
+        )),
+        ("plane", lambda: tio.Affine(
+            degrees=(0.0, 0.0, 0.0, 0.0, 11.0, 11.0), translation=(1.0, 1.0),
+        )),
+        ("quantiles", lambda: tio.RescaleIntensity(
+            out_min=0.0, out_max=1.0, percentile_low=0.5, percentile_high=99.5,
+        )),
     ]
     tol = 1e-4  # well under the 1e-3 accuracy gate
     failures = 0
