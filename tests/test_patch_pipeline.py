@@ -442,3 +442,62 @@ class TestTorchDataLoaderInterop:
         batches = list(loader)
         assert sum(b.batch_size for b in batches) == len(sampler)
         assert batches[0].t1.data.shape == (4, 1, 8, 8, 8)
+
+
+class TestExtractPatchesEdges:
+    def test_corner_at_volume_edge(self, rng):
+        import jax.numpy as jnp
+
+        from torchio_tpu.ops.patches import extract_patches
+
+        vol = jnp.asarray(rng.random((1, 8, 8, 8)).astype(np.float32))
+        corners = jnp.asarray([[4, 4, 4], [0, 0, 0]], jnp.int32)
+        out = extract_patches(vol, corners, (4, 4, 4))
+        assert out.shape == (2, 1, 4, 4, 4)
+        np.testing.assert_array_equal(
+            np.asarray(out[0]), np.asarray(vol[:, 4:8, 4:8, 4:8])
+        )
+
+    def test_single_corner(self, rng):
+        import jax.numpy as jnp
+
+        from torchio_tpu.ops.patches import extract_patches
+
+        vol = jnp.asarray(rng.random((2, 6, 6, 6)).astype(np.float32))
+        out = extract_patches(vol, jnp.asarray([[1, 2, 3]], jnp.int32), (2, 2, 2))
+        np.testing.assert_array_equal(
+            np.asarray(out[0]), np.asarray(vol[:, 1:3, 2:4, 3:5])
+        )
+
+
+class TestRingBufferEdges:
+    def test_sample_before_fill_uses_filled_region(self, rng):
+        import jax.numpy as jnp
+
+        from torchio_tpu.ops.patches import RingPatchBuffer
+
+        buf = RingPatchBuffer(capacity=8, patch_shape=(1, 2, 2, 2))
+        patches = jnp.asarray(
+            np.arange(2 * 1 * 2 * 2 * 2, dtype=np.float32).reshape(2, 1, 2, 2, 2)
+        )
+        buf.push(patches)
+        assert buf.filled == 2
+        sampled = buf.sample(4, seed=0)
+        assert sampled.shape == (4, 1, 2, 2, 2)
+        # every sampled patch equals one of the two pushed patches
+        flat = np.asarray(sampled).reshape(4, -1)
+        pool = np.asarray(patches).reshape(2, -1)
+        for row in flat:
+            assert any(np.array_equal(row, p) for p in pool)
+
+    def test_wraparound_overwrites_oldest(self, rng):
+        import jax.numpy as jnp
+
+        from torchio_tpu.ops.patches import RingPatchBuffer
+
+        buf = RingPatchBuffer(capacity=3, patch_shape=(1, 1, 1, 1))
+        for v in range(5):
+            buf.push(jnp.full((1, 1, 1, 1, 1), float(v)))
+        assert buf.filled == 3
+        values = {float(np.asarray(buf._buffer[i]).ravel()[0]) for i in range(3)}
+        assert values == {2.0, 3.0, 4.0}
