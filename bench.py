@@ -88,6 +88,23 @@ def main() -> None:
         run_once()
     elapsed = (time.time() - t0) / ITERS
     vps = B / elapsed
+
+    # Same pipeline with the library-default exact-f32 gather rows, so
+    # the headline can't be read as the default configuration's number
+    # (the f16 rows are an opt-in, ~5e-4 max error, inside the 1e-3
+    # driver gate).
+    from torchio_tpu import config as tio_config
+
+    tio_config.use_gather16 = False
+    try:
+        run_once()  # warm the exact-f32 executables
+        t0 = time.time()
+        for _ in range(ITERS):
+            run_once()
+        vps_exact = B / ((time.time() - t0) / ITERS)
+    finally:
+        tio_config.use_gather16 = None
+
     print(
         json.dumps(
             {
@@ -98,6 +115,10 @@ def main() -> None:
                 "baseline": "reference TorchIO on 1-core CPU, 0.0262 vol/s"
                 " (benchmarks/baseline_reference_cpu.py)",
                 "vs_round1_proxy": round(vps / CPU_PROXY_VOLUMES_PER_SEC, 1),
+                "value_exact_f32": round(vps_exact, 2),
+                "vs_baseline_exact_f32": round(
+                    vps_exact / CPU_BASELINE_VOLUMES_PER_SEC, 1
+                ),
             }
         )
     )

@@ -357,36 +357,46 @@ StudiesBatch = SubjectsBatch
 def _slice_params(
     params: dict[str, Any], index: int, batched_keys: list[str]
 ) -> dict[str, Any]:
-    """Extract one element's values from a per-instance params dict."""
-    out: dict[str, Any] = {}
-    for key, value in params.items():
-        if key in _BATCH_META_KEYS:
-            continue
-        if key in batched_keys and isinstance(value, list):
-            out[key] = value[index]
-        else:
-            out[key] = value
-    return out
+    """One element's view of a per-instance params dict.
+
+    Keys named in ``batched_keys`` hold one list entry per element and
+    are indexed; everything else is shared verbatim. The bookkeeping
+    keys (``_BATCH_META_KEYS``) never survive into a per-subject record.
+    """
+    per_element = {k for k in batched_keys if isinstance(params.get(k), list)}
+    return {
+        key: value[index] if key in per_element else value
+        for key, value in params.items()
+        if key not in _BATCH_META_KEYS
+    }
+
+
+def _trace_for_element(trace: Any, index: int) -> Any | None:
+    """The element's version of one history record.
+
+    Batch-shared records (no ``_batched_keys`` tag) pass through as-is.
+    Per-instance records come back with their params sliced to the
+    element; ``None`` means the record's keep-mask gated this element
+    out and the record should be dropped from that subject's history.
+    """
+    params = getattr(trace, "params", None)
+    if not isinstance(params, dict) or "_batched_keys" not in params:
+        return trace
+    recorded_for = params.get("_batch_size")
+    if recorded_for is not None and index not in range(recorded_for):
+        raise IndexError(
+            f"Element {index} is outside the batch of size {recorded_for}"
+            " this per-instance transform was recorded for"
+        )
+    keep = params.get("_keep")
+    if keep is not None and not keep[index]:
+        return None
+    element_params = _slice_params(params, index, params["_batched_keys"])
+    return dataclasses.replace(trace, params=element_params)
 
 
 def _slice_history(history: list[Any], index: int) -> list[Any]:
-    """Per-subject history: copy shared traces, slice batched ones,
-    drop traces gated out for this element."""
-    sliced: list[Any] = []
-    for trace in history:
-        params = getattr(trace, "params", None)
-        if not isinstance(params, dict) or "_batched_keys" not in params:
-            sliced.append(trace)
-            continue
-        expected = params.get("_batch_size")
-        if expected is not None and not 0 <= index < expected:
-            raise IndexError(
-                f"Cannot extract per-instance history for element {index}:"
-                f" transform was recorded for batch size {expected}"
-            )
-        keep = params.get("_keep")
-        if keep is not None and not keep[index]:
-            continue
-        new_params = _slice_params(params, index, params["_batched_keys"])
-        sliced.append(dataclasses.replace(trace, params=new_params))
-    return sliced
+    """Per-subject history for batch element ``index`` (see
+    :func:`_trace_for_element` for the per-record rules)."""
+    views = (_trace_for_element(trace, index) for trace in history)
+    return [view for view in views if view is not None]

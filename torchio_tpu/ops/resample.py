@@ -153,13 +153,27 @@ def _resample_one(
         # (matches reference _prepare_fill_value returning None).
         return acc
 
-    # In-bounds weight mask == bilinear grid_sample of a ones-volume
-    # (always bilinear, matching the reference even for nearest mode).
+    mask = _inbounds_weight(ci, cj, ck, (si, sj, sk))
+    fill_col = jnp.asarray(fill_row, jnp.float32).reshape(-1, 1)
+    return jnp.where(mask[None, :] > 0.5, acc, fill_col)
+
+
+def _inbounds_weight(ci, cj, ck, spatial):
+    """In-bounds weight mask == bilinear grid_sample of a ones-volume
+    (always bilinear, matching the reference even in nearest mode).
+    Size-1 axes never go out of bounds (align_corners semantics)."""
+    si, sj, sk = spatial
+    if si == 1:
+        ci = jnp.zeros_like(ci)
+    if sj == 1:
+        cj = jnp.zeros_like(cj)
+    if sk == 1:
+        ck = jnp.zeros_like(ck)
     i0 = jnp.floor(ci).astype(jnp.int32)
     j0 = jnp.floor(cj).astype(jnp.int32)
     k0 = jnp.floor(ck).astype(jnp.int32)
     fi, fj, fk = ci - i0, cj - j0, ck - k0
-    mask = jnp.zeros((m,), jnp.float32)
+    mask = jnp.zeros(ci.shape, jnp.float32)
     for di in (0, 1):
         wi = fi if di else 1.0 - fi
         vi = (i0 + di >= 0) & (i0 + di < si)
@@ -170,8 +184,7 @@ def _resample_one(
                 wk = fk if dk else 1.0 - fk
                 vk = (k0 + dk >= 0) & (k0 + dk < sk)
                 mask = mask + wi * wj * wk * (vi & vj & vk).astype(jnp.float32)
-    fill_col = jnp.asarray(fill_row, jnp.float32).reshape(-1, 1)
-    return jnp.where(mask[None, :] > 0.5, acc, fill_col)
+    return mask
 
 
 @partial(jax.jit, static_argnames=("out_spatial", "mode", "apply_fill"))

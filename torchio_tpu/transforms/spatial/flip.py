@@ -18,14 +18,30 @@ from ...data.batch import ImagesBatch, SubjectsBatch
 from .._utils import as_jnp
 from ..transform import SpatialTransform
 
-_LABEL_PAIR = {
-    "L": ("L", "R"),
-    "R": ("L", "R"),
-    "A": ("A", "P"),
-    "P": ("A", "P"),
-    "I": ("I", "S"),
-    "S": ("I", "S"),
-}
+#: The three anatomical axis families; a label belongs to the family
+#: containing its first letter (``'Left'`` → ``'LR'``, ``'p'`` → ``'AP'``).
+_AXIS_FAMILIES = ("LR", "AP", "IS")
+
+
+def _axis_from_label(label: str, orientation: tuple[str, str, str] | None) -> int:
+    """Voxel axis carrying the anatomical direction named by ``label``.
+
+    A valid orientation code ('RAS', 'LPI', ...) names each family
+    exactly once, so exactly one voxel dimension matches.
+    """
+    family = next(
+        (codes for codes in _AXIS_FAMILIES if label[:1].upper() in codes), None
+    )
+    if family is None:
+        raise ValueError(
+            f"Unknown anatomical label {label!r}; use L, R, A, P, I, S"
+            " or full names like 'Left'"
+        )
+    if orientation is None:
+        raise ValueError(
+            f"Cannot resolve anatomical axis {label!r} without image orientation"
+        )
+    return next(d for d, code in enumerate(orientation) if code in family)
 
 
 def _resolve_axes(
@@ -33,33 +49,18 @@ def _resolve_axes(
     orientation: tuple[str, str, str] | None = None,
 ) -> tuple[int, ...]:
     """ints and/or anatomical labels -> sorted unique spatial axes."""
-    if isinstance(axes, (int, str)):
-        axes = (axes,)
-    out: list[int] = []
-    for axis in axes:
-        if isinstance(axis, (int, np.integer)):
-            if axis not in (0, 1, 2):
-                raise ValueError(f"Axis must be 0, 1, or 2; got {axis}")
-            out.append(int(axis))
-        elif isinstance(axis, str):
-            letter = axis[0].upper()
-            if letter not in _LABEL_PAIR:
-                raise ValueError(
-                    f"Unknown anatomical label {axis!r}; use L, R, A, P, I, S"
-                    " or full names like 'Left'"
-                )
-            if orientation is None:
-                raise ValueError(
-                    f"Cannot resolve anatomical axis {axis!r} without image orientation"
-                )
-            pair = _LABEL_PAIR[letter]
-            for dim, code in enumerate(orientation):
-                if code in pair:
-                    out.append(dim)
-                    break
+    specs = (axes,) if isinstance(axes, (int, str)) else axes
+    resolved: set[int] = set()
+    for spec in specs:
+        if isinstance(spec, (int, np.integer)):
+            if spec not in (0, 1, 2):
+                raise ValueError(f"Axis must be 0, 1, or 2; got {spec}")
+            resolved.add(int(spec))
+        elif isinstance(spec, str):
+            resolved.add(_axis_from_label(spec, orientation))
         else:
-            raise TypeError(f"Axis must be int or str, got {type(axis).__name__}")
-    return tuple(sorted(set(out)))
+            raise TypeError(f"Axis must be int or str, got {type(spec).__name__}")
+    return tuple(sorted(resolved))
 
 
 def _flip_per_element(data, axes_per_element: list[list[int]]):

@@ -45,7 +45,7 @@ from ...core.affine import AffineMatrix
 from ...data.batch import ImagesBatch, SubjectsBatch
 from ...data.image import Image, LabelMap, ScalarImage
 from ...ops.gaussian import gaussian_blur
-from ...ops.resample import build_coords, resample, upsample_field
+from ...ops.resample import _diagonal_map, build_coords, resample, upsample_field
 from .._utils import as_jnp, unique_labels
 from ..parameter_range import Choice, _ParameterRange, _is_distribution
 from ..transform import SpatialTransform
@@ -493,12 +493,26 @@ def _build_grid(
     )
 
 
-def _dispatch_resample(data, grid, plans, *, mode: str, fill):
-    """Route to the right kernel: B-spline orders 2-7, the Pallas tiled
+def _spatial_shard_axis(sharding):
+    """The mesh axis name partitioning J, or None (incl. non-Named shardings)."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        return None
+    padded = tuple(spec) + (None,) * (5 - len(spec))
+    return padded[3]
+
+
+def _dispatch_resample(data, grid, plans, *, mode: str, fill, sharding=None):
+    """Route to the right kernel: B-spline orders 2-7, the halo-exchange
+    shard_map kernel for spatially-sharded batches, the Pallas tiled
     kernel on TPU backends, or the XLA gather fallback.
 
     ``plans`` is one :class:`_GridPlan` (shared grid) or a list of them
-    (per-sample grids, aligned with the batch).
+    (per-sample grids, aligned with the batch). ``sharding`` is the
+    batch's enforced mesh placement (``ImagesBatch.sharding``); when it
+    partitions the J axis and the map is not axis-aligned, the resample
+    runs as a halo-exchange ``shard_map`` program so the full volume is
+    never all-gathered onto one chip (SURVEY.md §5.7).
     """
     order = _INTERPOLATION_TO_ORDER.get(mode, 1)
     if order >= 2:
@@ -507,6 +521,41 @@ def _dispatch_resample(data, grid, plans, *, mode: str, fill):
         return bspline_resample(
             as_jnp(data), _materialize_grid(grid), order=order, fill=fill
         )
+
+    if (
+        sharding is not None
+        and _is_lazy_grid(grid)
+        and mode in ("linear", "nearest")
+        and _spatial_shard_axis(sharding) is not None
+    ):
+        grids = grid if isinstance(grid, list) else [grid] * data.shape[0]
+        same_space = grids[0].out_shape == tuple(data.shape[-3:])
+        # axis-aligned maps already shard cleanly through the separable
+        # matmul kernels (small weight matrices, no volume all-gather);
+        # everything else routes to the halo program
+        axis_aligned = all(
+            g.control_points is None and _diagonal_map(g.matrix) is not None
+            for g in grids
+        )
+        if same_space and not axis_aligned:
+            from ...parallel.halo import HaloUnsupported, halo_resample_spec
+
+            try:
+                return halo_resample_spec(
+                    as_jnp(data),
+                    [g.matrix for g in grids],
+                    [g.control_points for g in grids],
+                    sharding=sharding,
+                    mode=mode,
+                    fill=fill,
+                )
+            except HaloUnsupported as reason:
+                warnings.warn(
+                    f"Spatially-sharded resample fell back to the"
+                    f" all-gather path: {reason}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     from ...config import pallas_resample_enabled
 
@@ -1044,6 +1093,7 @@ def _apply_spatial_to_batch(
                     one_hot_label_interpolation
                 ),
                 default_pad_label=default_pad_label,
+                sharding=img_batch.sharding,
             )
         else:
             _require_supported_order(interpolation)
@@ -1056,7 +1106,8 @@ def _apply_spatial_to_batch(
             if antialias and not is_label:
                 data = _antialias(data, input_affine, output_affine)
             sampled = _dispatch_resample(
-                data, grid, plans, mode=interpolation, fill=fill
+                data, grid, plans, mode=interpolation, fill=fill,
+                sharding=img_batch.sharding,
             )
             # the reference restores the input dtype after sampling
             # (integer labels stay integer; reference spatial.py:1731)
@@ -1096,6 +1147,7 @@ def _resample_label_partial_volume(
     antialias: bool,
     one_hot_label_interpolation: str,
     default_pad_label: float,
+    sharding=None,
 ):
     """Partial-volume label resampling (one-hot + argmax), reference
     ``spatial.py:1275-1389``."""
@@ -1105,7 +1157,8 @@ def _resample_label_partial_volume(
         if antialias:
             smoothed = _antialias(smoothed, input_affine, output_affine)
         sampled = _dispatch_resample(
-            smoothed, grid, plans, mode=one_hot_label_interpolation, fill=0.0
+            smoothed, grid, plans, mode=one_hot_label_interpolation, fill=0.0,
+            sharding=sharding,
         )
         if jnp.issubdtype(data_j.dtype, jnp.floating):
             return sampled.astype(data_j.dtype)
@@ -1117,7 +1170,8 @@ def _resample_label_partial_volume(
     if antialias:
         one_hot = _antialias(one_hot, input_affine, output_affine)
     sampled = _dispatch_resample(
-        one_hot, grid, plans, mode=one_hot_label_interpolation, fill=0.0
+        one_hot, grid, plans, mode=one_hot_label_interpolation, fill=0.0,
+        sharding=sharding,
     )
     winners = jnp.argmax(sampled, axis=1)
     resampled = jnp.asarray(labels)[winners]
