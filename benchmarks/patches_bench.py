@@ -111,3 +111,39 @@ if __name__ == "__main__":
             }
         )
     )
+
+
+def bench_queue_device() -> float:
+    """Config 5 through the production ring-buffer path
+    (Queue.device_batches): patches live in the donated HBM pool and
+    batches are gathered device-side — no host Subject buffer."""
+    tio.seed(0)
+    subjects = make_subjects(4, device=True)
+    augment = tio.Compose(
+        [
+            tio.Motion(degrees=5, translation=3, num_transforms=1, p=0.5),
+            tio.Ghosting(intensity=(0.3, 0.7), p=0.5),
+        ]
+    )
+    queue = tio.Queue(
+        subjects,
+        patch_sampler=tio.LabelSampler(patch_size=64, label_name="seg"),
+        max_length=64,
+        patches_per_volume=8,
+        num_workers=2,
+        transform=augment,
+    )
+    import jax.numpy as jnp
+
+    for _ in range(2):  # warm epochs (see bench_queue)
+        for batch in queue.device_batches(batch_size=8):
+            float(jnp.sum(batch.images["t1"].data))
+
+    epochs = 3
+    t0 = time.time()
+    count = 0
+    for _ in range(epochs):
+        for batch in queue.device_batches(batch_size=8):
+            float(jnp.sum(batch.images["t1"].data))
+            count += batch.batch_size
+    return count / (time.time() - t0)

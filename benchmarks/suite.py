@@ -196,12 +196,18 @@ def config4() -> dict:
 
 
 def config5() -> dict:
-    from benchmarks.patches_bench import bench_aggregator, bench_queue
+    from benchmarks.patches_bench import (
+        bench_aggregator,
+        bench_queue,
+        bench_queue_device,
+    )
 
     return {
-        "metric": "config5 Queue+LabelSampler 64^3 patches/sec",
-        "value": round(bench_queue(), 2),
+        "metric": "config5 Queue+LabelSampler 64^3 patches/sec"
+        " (device ring-buffer path)",
+        "value": round(bench_queue_device(), 2),
         "unit": "patches/sec",
+        "loader_path_patches_per_sec": round(bench_queue(), 2),
         "aggregator_patches_per_sec": round(bench_aggregator(), 2),
     }
 

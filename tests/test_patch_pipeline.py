@@ -1,5 +1,7 @@
 """Patch pipeline: samplers, queue, aggregator, loaders."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -501,3 +503,119 @@ class TestRingBufferEdges:
         assert buf.filled == 3
         values = {float(np.asarray(buf._buffer[i]).ravel()[0]) for i in range(3)}
         assert values == {2.0, 3.0, 4.0}
+
+
+class TestDeviceBatches:
+    """Queue.device_batches: the ring-buffered on-device patch pipeline
+    (VERDICT r2 item 2 — the BASELINE north star as the default device
+    path, not a side demo)."""
+
+    def _subjects(self, n=4, shape=(12, 12, 12), with_label=True):
+        import torchio_tpu as tio
+
+        rng = np.random.default_rng(21)
+        subjects = []
+        for i in range(n):
+            base = rng.random((1, *shape)).astype(np.float32)
+            kwargs = {"t1": tio.ScalarImage(jnp.asarray(base))}
+            if with_label:
+                seg = (base > 0.5).astype(np.int32)
+                kwargs["seg"] = tio.LabelMap(jnp.asarray(seg))
+            s = tio.Subject(**kwargs)
+            s["sid"] = i
+            subjects.append(s)
+        return subjects
+
+    def _queue(self, subjects, **kwargs):
+        import torchio_tpu as tio
+
+        defaults = dict(
+            patch_sampler=tio.UniformSampler(patch_size=6),
+            max_length=16,
+            patches_per_volume=4,
+            shuffle_subjects=False,
+        )
+        defaults.update(kwargs)
+        return tio.Queue(subjects, **defaults)
+
+    def test_yields_device_batches_with_aligned_images(self):
+        queue = self._queue(self._subjects())
+        batches = list(queue.device_batches(batch_size=4))
+        # 4 subjects x 4 patches / batch 4 = 4 batches
+        assert len(batches) == 4
+        for batch in batches:
+            t1 = batch.images["t1"]
+            seg = batch.images["seg"]
+            assert isinstance(t1.data, jax.Array)
+            assert t1.data.shape == (4, 1, 6, 6, 6)
+            assert seg.data.shape == (4, 1, 6, 6, 6)
+            # alignment: seg was built as (t1 > 0.5), and both images of
+            # one patch come from the SAME ring slot
+            np.testing.assert_array_equal(
+                np.asarray(seg.data),
+                (np.asarray(t1.data) > 0.5).astype(np.int32),
+            )
+            # metadata rides along
+            assert len(batch.metadata["patch_location"]) == 4
+            assert all(m in range(4) for m in batch.metadata["sid"])
+
+    def test_patch_affines_shifted_by_corner(self):
+        queue = self._queue(self._subjects(n=1, with_label=False))
+        (batch,) = list(queue.device_batches(batch_size=4))
+        for aff, loc in zip(
+            batch.images["t1"].affines, batch.metadata["patch_location"]
+        ):
+            np.testing.assert_allclose(
+                np.asarray(aff.data)[:3, 3], np.asarray(loc.index, np.float64)
+            )
+
+    def test_no_patch_voxels_leave_device(self):
+        """A full epoch under a strict device->host transfer guard: only
+        the samplers' explicitly-allowed tiny index/total pulls may
+        cross; patch voxels never do."""
+        import torchio_tpu as tio
+
+        subjects = self._subjects(n=2)
+        queue = self._queue(
+            subjects,
+            patch_sampler=tio.LabelSampler(patch_size=6, label_name="seg"),
+        )
+        with jax.transfer_guard_device_to_host("disallow"):
+            batches = list(queue.device_batches(batch_size=4))
+        assert len(batches) == 2
+        for batch in batches:
+            assert isinstance(batch.images["t1"].data, jax.Array)
+
+    def test_ring_buffer_is_the_store(self, monkeypatch):
+        """The pool really is the donated HBM ring buffer."""
+        from torchio_tpu.ops import patches as patches_mod
+
+        pushes = []
+        real_push = patches_mod.RingPatchBuffer.push
+
+        def spy(self, value):
+            pushes.append(int(value.shape[0]))
+            return real_push(self, value)
+
+        monkeypatch.setattr(patches_mod.RingPatchBuffer, "push", spy)
+        queue = self._queue(self._subjects(n=2, with_label=False))
+        list(queue.device_batches(batch_size=4))
+        assert pushes == [4, 4]  # one push per subject, all patches at once
+
+    def test_threaded_prefetch(self):
+        queue = self._queue(self._subjects(n=4), num_workers=2)
+        batches = list(queue.device_batches(batch_size=4))
+        assert len(batches) == 4
+
+    def test_multiple_epochs_and_small_totals(self):
+        queue = self._queue(
+            self._subjects(n=1, with_label=False), patches_per_volume=2
+        )
+        batches = list(queue.device_batches(batch_size=4, epochs=2))
+        # 2 patches/epoch < batch 4 -> one batch per epoch (with replacement)
+        assert len(batches) == 2
+
+    def test_batch_size_validation(self):
+        queue = self._queue(self._subjects(n=1))
+        with pytest.raises(ValueError, match="batch_size"):
+            next(queue.device_batches(batch_size=0))

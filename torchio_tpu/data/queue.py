@@ -173,6 +173,137 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
             patches.append(Subject(**kwargs))
         return patches
 
+    def device_batches(
+        self, batch_size: int, *, epochs: int = 1
+    ) -> Iterator[Any]:
+        """Device-resident training batches through an HBM ring buffer.
+
+        The production path of the BASELINE north star (reference Queue
+        buffers host Subjects and shuffles them in Python,
+        ``/root/reference/src/torchio/data/queue.py:145-155``): here
+        every patch voxel stays on device end-to-end — one jit call
+        slices ALL of a subject's patches
+        (:func:`torchio_tpu.ops.patches.extract_patches`), a donated HBM
+        ring pool (:class:`torchio_tpu.ops.patches.RingPatchBuffer`,
+        capacity ``max_length``) holds and shuffles them in place, and
+        each batch is gathered device-side at host-drawn indices (the
+        only host work is the tiny index draw and affine bookkeeping).
+
+        Yields :class:`~torchio_tpu.data.batch.SubjectsBatch` objects
+        whose image data are ``(batch_size, C, *patch_size)`` device
+        arrays; per-patch affines and ``patch_location`` metadata ride
+        along. Per epoch, ``patches_per_epoch // batch_size`` batches
+        are yielded (at least one), paced as subjects stream in so the
+        pool keeps refreshing.
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .. import random as tio_random
+        from ..core.affine import AffineMatrix
+        from ..ops.patches import RingPatchBuffer, extract_patches
+        from .batch import ImagesBatch, SubjectsBatch
+
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        patch_size = tuple(int(p) for p in self.patch_sampler.patch_size)
+        capacity = max(self.max_length, batch_size)
+        buffers: dict[str, RingPatchBuffer] = {}
+        image_classes: dict[str, type] = {}
+        meta_ring: list[Any] = [None] * capacity
+        cursor = 0
+        filled = 0
+
+        n_subjects = self.num_subjects
+        total_batches = max(1, self.patches_per_epoch // batch_size)
+
+        def push_subject(subject: Subject) -> int:
+            nonlocal cursor, filled
+            locations = self.patch_sampler.sample_locations(
+                subject, self.patches_per_volume
+            )
+            if not locations:
+                return 0
+            corners = np.asarray([loc.index for loc in locations], np.int32)
+            for name, img in subject.images.items():
+                data = jnp.asarray(img.data)
+                if name not in buffers:
+                    buffers[name] = RingPatchBuffer(
+                        capacity, (data.shape[0], *patch_size), data.dtype
+                    )
+                    image_classes[name] = type(img)
+                buffers[name].push(extract_patches(data, corners, patch_size))
+            for loc in locations:
+                affines = {}
+                for name, img in subject.images.items():
+                    aff = np.array(img.affine.data)
+                    corner = np.asarray(loc.index, np.float64)
+                    aff[:3, 3] = aff[:3, :3] @ corner + aff[:3, 3]
+                    affines[name] = aff
+                meta_ring[cursor] = (affines, loc, dict(subject.metadata))
+                cursor = (cursor + 1) % capacity
+                filled = min(filled + 1, capacity)
+            return len(locations)
+
+        def draw_batch() -> Any:
+            rng = tio_random.get_rng()
+            idx = rng.integers(0, filled, size=batch_size)
+            idx_dev = jnp.asarray(idx, jnp.int32)
+            images = {}
+            for name, buffer in buffers.items():
+                data = buffer.gather(idx_dev)
+                affines = [
+                    AffineMatrix(meta_ring[i][0][name]) for i in idx
+                ]
+                images[name] = ImagesBatch(
+                    data, affines, image_class=image_classes[name]
+                )
+            metadata: dict[str, list[Any]] = {
+                "patch_location": [meta_ring[i][1] for i in idx]
+            }
+            for key in meta_ring[idx[0]][2]:
+                metadata[key] = [meta_ring[i][2].get(key) for i in idx]
+            return SubjectsBatch(images, metadata=metadata)
+
+        for _epoch in range(epochs):
+            yielded = 0
+            seen = 0
+            if self.num_workers > 0:
+                prepared: Iterator[Subject] = self._prefetched_subjects()
+            else:
+                prepared = (
+                    self._prepare(s) for s in self._make_subject_iter()
+                )
+            for subject in prepared:
+                push_subject(subject)
+                seen += 1
+                target = total_batches * seen // n_subjects
+                while yielded < target and filled:
+                    yield draw_batch()
+                    yielded += 1
+            while yielded < total_batches and filled:
+                yield draw_batch()
+                yielded += 1
+
+    def _prefetched_subjects(self) -> Iterator[Subject]:
+        """Subjects loaded+transformed by the worker pool, first one
+        synchronous (compile warm-up — see :meth:`_iter_threaded`)."""
+        subject_iter = self._make_subject_iter()
+        first = next(subject_iter, None)
+        if first is None:
+            return
+        yield self._prepare(first)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures: deque[Future] = deque()
+            for raw in subject_iter:
+                futures.append(pool.submit(self._prepare, raw))
+                while len(futures) > self.num_workers + 2:
+                    yield futures.popleft().result()
+                while futures and futures[0].done():
+                    yield futures.popleft().result()
+            while futures:
+                yield futures.popleft().result()
+
     def _make_subject_iter(self) -> Iterator[Subject]:
         if self.subject_sampler is not None:
             return (self.subjects[i] for i in self.subject_sampler)

@@ -257,11 +257,14 @@ class WeightedSampler(PatchSampler, _TorchIterableBase):  # type: ignore[valid-t
         if isinstance(cdf, jax.Array):
             import jax.numpy as jnp
 
-            idxs = np.asarray(
-                jnp.searchsorted(
-                    cdf, jnp.asarray(draws, jnp.float32), side="right"
+            # deliberate tiny pull: n int32 corner draws, not voxels —
+            # exempt from the device_batches no-device-to-host guard
+            with jax.transfer_guard_device_to_host("allow"):
+                idxs = np.asarray(
+                    jnp.searchsorted(
+                        cdf, jnp.asarray(draws, jnp.float32), side="right"
+                    )
                 )
-            )
         else:
             idxs = np.searchsorted(cdf, draws, side="right")
         idxs = np.minimum(idxs, int(np.prod(shape)) - 1)
@@ -292,7 +295,9 @@ class WeightedSampler(PatchSampler, _TorchIterableBase):  # type: ignore[valid-t
 
             prob = self._device_probability_map_for(subject)
             cdf = jnp.cumsum(prob.reshape(-1))
-            total = float(cdf[-1])
+            # deliberate scalar pull (distribution total), not voxels
+            with jax.transfer_guard_device_to_host("allow"):
+                total = float(cdf[-1])
             shape = tuple(int(s) for s in prob.shape)
         else:
             prob = self._build_probability_map_for(subject)

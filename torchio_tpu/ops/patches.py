@@ -125,3 +125,14 @@ class RingPatchBuffer:
         return _ring_sample_kernel(
             self._buffer, jnp.int32(seed), int(n), jnp.int32(self._filled)
         )
+
+    def gather(self, indices) -> jax.Array:
+        """(n, *patch_shape) rows at ``indices`` (device-side take).
+
+        Used by :meth:`torchio_tpu.data.queue.Queue.device_batches` to
+        draw the SAME slots from the per-image buffers of a multi-image
+        subject, keeping images of one patch aligned in a batch.
+        """
+        if self._filled == 0:
+            raise RuntimeError("RingPatchBuffer is empty")
+        return jnp.take(self._buffer, jnp.asarray(indices, jnp.int32), axis=0)
