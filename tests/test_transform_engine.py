@@ -355,3 +355,86 @@ class TestHydraValues:
 
         with pytest.raises(NotImplementedError, match="not invertible"):
             tio.Lambda(lambda x: x).inverse({})
+
+
+class TestDeferredParams:
+    """Statistics params are recorded device-side and resolved to plain
+    JSON values only after the output compute dispatches (the config-1
+    host-round-trip fix)."""
+
+    def _subject(self, rng):
+        data = rng.random((1, 8, 8, 8)).astype(np.float32)
+        import jax.numpy as jnp
+
+        return tio.Subject(t1=tio.ScalarImage(jnp.asarray(data)))
+
+    def test_history_holds_plain_floats(self, rng):
+        import json
+
+        out = tio.RescaleIntensity(
+            out_min=0.0, out_max=1.0, percentile_low=0.5, percentile_high=99.5
+        )(self._subject(rng))
+        (trace,) = out.applied_transforms
+        low, high = trace.params["in_ranges"]["t1"]
+        assert isinstance(low, float) and isinstance(high, float)
+        json.dumps(trace.params)  # the JSON contract survives deferral
+
+        out2 = tio.Standardize()(self._subject(rng))
+        (trace2,) = out2.applied_transforms
+        mean, std = trace2.params["stats"]["t1"]
+        assert isinstance(mean, float) and isinstance(std, float)
+        json.dumps(trace2.params)
+
+    def test_make_params_defers_the_pull(self, rng):
+        from torchio_tpu.transforms.transform import DeferredParam
+        from torchio_tpu.data.batch import SubjectsBatch
+
+        batch = SubjectsBatch.from_subjects([self._subject(rng)])
+        t = tio.RescaleIntensity(out_min=0.0, out_max=1.0)
+        params = t.make_params(batch)
+        assert isinstance(params["in_ranges"]["t1"], DeferredParam)
+        s = tio.Standardize()
+        assert isinstance(
+            s.make_params(batch)["stats"]["t1"], DeferredParam
+        )
+
+    def test_values_match_eager_computation(self, rng):
+        data = rng.random((1, 8, 8, 8)).astype(np.float32)
+        import jax.numpy as jnp
+
+        subject = tio.Subject(t1=tio.ScalarImage(jnp.asarray(data)))
+        out = tio.Standardize()(subject)
+        (trace,) = out.applied_transforms
+        mean, std = trace.params["stats"]["t1"]
+        np.testing.assert_allclose(mean, data.mean(), rtol=1e-5)
+        np.testing.assert_allclose(std, data.std(ddof=1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.t1.data),
+            (data - data.mean()) / data.std(ddof=1),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
+    def test_zero_range_still_warns(self):
+        import jax.numpy as jnp
+
+        flat = tio.Subject(
+            t1=tio.ScalarImage(jnp.full((1, 4, 4, 4), 3.0, jnp.float32))
+        )
+        out = tio.RescaleIntensity(out_min=0.0, out_max=1.0)(flat)
+        # pure statistics resolve lazily: the warning fires when the
+        # recorded range is first read, not on the hot path
+        with pytest.warns(RuntimeWarning, match="input range is zero"):
+            low, high = out.applied_transforms[0].params["in_ranges"]["t1"]
+        assert low == high == 3.0
+        # zero-range rescale is a no-op, matching the eager path
+        np.testing.assert_array_equal(np.asarray(out.t1.data), 3.0)
+
+    def test_zero_std_still_raises(self):
+        import jax.numpy as jnp
+
+        flat = tio.Subject(
+            t1=tio.ScalarImage(jnp.full((1, 4, 4, 4), 3.0, jnp.float32))
+        )
+        with pytest.raises(RuntimeError, match="standard deviation"):
+            tio.Standardize()(flat)

@@ -12,7 +12,6 @@ the structure transforms operate on — the hot path.
 from __future__ import annotations
 
 import copy as _copy
-import dataclasses
 from typing import Any
 
 import jax
@@ -379,7 +378,10 @@ def _trace_for_element(trace: Any, index: int) -> Any | None:
     element; ``None`` means the record's keep-mask gated this element
     out and the record should be dropped from that subject's history.
     """
-    params = getattr(trace, "params", None)
+    # peek without resolving: batch-shared records pass through with any
+    # deferred statistics intact (they resolve on first user access)
+    peek = trace.raw_params() if hasattr(trace, "raw_params") else None
+    params = peek if peek is not None else getattr(trace, "params", None)
     if not isinstance(params, dict) or "_batched_keys" not in params:
         return trace
     recorded_for = params.get("_batch_size")
@@ -392,7 +394,7 @@ def _trace_for_element(trace: Any, index: int) -> Any | None:
     if keep is not None and not keep[index]:
         return None
     element_params = _slice_params(params, index, params["_batched_keys"])
-    return dataclasses.replace(trace, params=element_params)
+    return trace.replace_params(element_params)
 
 
 def _slice_history(history: list[Any], index: int) -> list[Any]:

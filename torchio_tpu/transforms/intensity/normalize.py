@@ -20,7 +20,7 @@ from ...data.image import LabelMap
 from .._statistics import quantiles_on_device
 from .._utils import as_jnp, broadcast_param
 from ..parameter_range import to_range
-from ..transform import IntensityTransform
+from ..transform import DeferredParam, IntensityTransform
 
 
 class Normalize(IntensityTransform):
@@ -93,13 +93,34 @@ class Normalize(IntensityTransform):
         self, batch: SubjectsBatch, params: dict[str, Any]
     ) -> SubjectsBatch:
         for name, img_batch in self._get_images(batch).items():
+            deferred = None
             if "in_min" in params:
                 in_min, in_max = params["in_min"], params["in_max"]
             else:
                 in_ranges = params.get("in_ranges", {})
                 if name not in in_ranges:
                     continue
-                in_min, in_max = in_ranges[name]
+                bounds = in_ranges[name]
+                if isinstance(bounds, DeferredParam):
+                    # stats are still on device (no host pull yet):
+                    # consume the 0-d arrays inside the traced compute;
+                    # the zero-range guard becomes a where-select and
+                    # its warning fires at resolution (post-dispatch)
+                    deferred = bounds.device
+                    in_min, in_max = deferred[0], deferred[1]
+                else:
+                    in_min, in_max = bounds
+            data = as_jnp(img_batch.data).astype(jnp.float32)
+            out_min = broadcast_param(params["out_min"], data)
+            out_max = broadcast_param(params["out_max"], data)
+            out_range = out_max - out_min
+            if deferred is not None:
+                in_range = in_max - in_min
+                safe = jnp.where(in_range == 0, 1.0, in_range)
+                clipped = jnp.clip(data, in_min, in_max)
+                scaled = (clipped - in_min) / safe * out_range + out_min
+                img_batch.data = jnp.where(in_range == 0, data, scaled)
+                continue
             in_range = in_max - in_min
             if in_range == 0:
                 warnings.warn(
@@ -108,10 +129,6 @@ class Normalize(IntensityTransform):
                     stacklevel=2,
                 )
                 continue
-            data = as_jnp(img_batch.data).astype(jnp.float32)
-            out_min = broadcast_param(params["out_min"], data)
-            out_max = broadcast_param(params["out_max"], data)
-            out_range = out_max - out_min
             data = jnp.clip(data, in_min, in_max)
             img_batch.data = (data - in_min) / in_range * out_range + out_min
         return batch
@@ -159,17 +176,23 @@ def resolve_mask(masking_method, img_batch: ImagesBatch, batch: SubjectsBatch):
     )
 
 
-def _percentile_range(tensor, mask, pct_low, pct_high, name) -> tuple[float, float]:
-    """(low, high) intensity percentiles, computed ON DEVICE.
+def _percentile_range(tensor, mask, pct_low, pct_high, name) -> DeferredParam:
+    """Deferred (low, high) intensity percentiles, computed ON DEVICE.
 
     The naive route (``np.asarray`` then numpy percentile) round-trips
-    the whole volume through the host; here only two scalars leave the
-    device. pct (0, 100) short-circuits to min/max (no sort).
+    the whole volume through the host. Here the pair stays on device and
+    is recorded as a :class:`DeferredParam`: the compute consumes the
+    0-d arrays directly, and the ONE scalar transfer happens after the
+    output dispatch (``Transform.forward``) — zero blocking round trips
+    on the hot path. pct (0, 100) short-circuits to min/max (no sort).
     """
     data = as_jnp(tensor).astype(jnp.float32).reshape(-1)
+    pair = None
     if mask is not None:
         m = jnp.broadcast_to(as_jnp(mask).reshape(np.shape(mask)), np.shape(tensor))
         m = m.reshape(-1)
+        # deliberate blocking pull (masked configs only): the empty-mask
+        # fallback changes which program runs, so it cannot be deferred
         if not bool(jnp.any(m)):
             warnings.warn(
                 f'Cannot compute percentiles for "{name}": mask is empty.'
@@ -177,33 +200,38 @@ def _percentile_range(tensor, mask, pct_low, pct_high, name) -> tuple[float, flo
                 RuntimeWarning,
                 stacklevel=3,
             )
+        elif pct_low == 0.0 and pct_high == 100.0:
+            big = jnp.float32(jnp.inf)
+            pair = jnp.stack(
+                [
+                    jnp.min(jnp.where(m, data, big)),
+                    jnp.max(jnp.where(m, data, -big)),
+                ]
+            )
         else:
-            # ONE host transfer for both scalars: each float() costs a
-            # full device round trip (~35 ms through the tunneled
-            # backend), and stats feed host-recorded params.
-            if pct_low == 0.0 and pct_high == 100.0:
-                big = jnp.float32(jnp.inf)
-                pair = jnp.stack(
-                    [
-                        jnp.min(jnp.where(m, data, big)),
-                        jnp.max(jnp.where(m, data, -big)),
-                    ]
-                )
-            else:
-                masked = jnp.where(m, data, jnp.nan)
-                pair = quantiles_on_device(
-                    masked, [pct_low / 100.0, pct_high / 100.0]
-                )
-            low, high = (float(v) for v in np.asarray(pair))
-            return low, high
-    if pct_low == 0.0 and pct_high == 100.0:
-        pair = jnp.stack([jnp.min(data), jnp.max(data)])
-    else:
-        # one program + one transfer for BOTH percentiles (count-based
-        # order statistics — no sort; see transforms/_statistics.py)
-        pair = quantiles_on_device(data, [pct_low / 100.0, pct_high / 100.0])
-    low, high = (float(v) for v in np.asarray(pair))
-    return low, high
+            masked = jnp.where(m, data, jnp.nan)
+            pair = quantiles_on_device(
+                masked, [pct_low / 100.0, pct_high / 100.0]
+            )
+    if pair is None:
+        if pct_low == 0.0 and pct_high == 100.0:
+            pair = jnp.stack([jnp.min(data), jnp.max(data)])
+        else:
+            # one program for BOTH percentiles (count-based order
+            # statistics — no sort; see transforms/_statistics.py)
+            pair = quantiles_on_device(data, [pct_low / 100.0, pct_high / 100.0])
+
+    def finalize(host: np.ndarray) -> tuple[float, float]:
+        low, high = float(host[0]), float(host[1])
+        if high - low == 0:
+            warnings.warn(
+                f'Cannot rescale "{name}": input range is zero.',
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return (low, high)
+
+    return DeferredParam(pair, finalize)
 
 
 class _RescaleInverse(IntensityTransform):

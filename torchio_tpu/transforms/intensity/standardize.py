@@ -15,7 +15,7 @@ import numpy as np
 
 from ...data.batch import SubjectsBatch
 from .._utils import as_jnp
-from ..transform import IntensityTransform
+from ..transform import DeferredParam, IntensityTransform
 from .normalize import resolve_mask
 
 
@@ -36,39 +36,44 @@ class Standardize(IntensityTransform):
         self.masking_method = masking_method
 
     def make_params(self, batch: SubjectsBatch) -> dict[str, Any]:
-        stats: dict[str, tuple[float, float]] = {}
+        stats: dict[str, Any] = {}
         for name, img_batch in self._get_images(batch).items():
             mask = resolve_mask(self.masking_method, img_batch, batch)
-            # device-side reductions: only the two scalars cross to host
+            # device-side reductions; the scalars stay on device as a
+            # DeferredParam — the one host transfer happens after the
+            # output compute is dispatched (Transform.forward), so the
+            # hot path has zero blocking round trips
             data = as_jnp(img_batch.data[0]).astype(jnp.float32)
             # sample std (ddof=1), matching torch.std's unbiased default
             # in the reference (standardize.py:48-49)
-            # one host transfer for all scalars (each float() is a full
-            # device round trip)
             if mask is not None:
                 m = jnp.broadcast_to(as_jnp(mask), data.shape)
-                count_d = jnp.sum(m)
+                count_d = jnp.sum(m).astype(jnp.float32)
                 mean_d = jnp.sum(jnp.where(m, data, 0.0)) / jnp.maximum(
                     count_d, 1
                 )
                 ss_d = jnp.sum(jnp.where(m, (data - mean_d) ** 2, 0.0))
-                count, mean, ss = (
-                    float(v)
-                    for v in np.asarray(jnp.stack([count_d, mean_d, ss_d]))
+                std_d = jnp.sqrt(ss_d / jnp.maximum(count_d - 1.0, 1.0))
+                triple = jnp.stack([mean_d, std_d, count_d])
+            else:
+                triple = jnp.stack(
+                    [jnp.mean(data), jnp.std(data, ddof=1), jnp.float32(1.0)]
                 )
+
+            def finalize(host: np.ndarray, name: str = name) -> tuple[float, float]:
+                mean, std, count = (float(v) for v in host)
                 if count == 0:
                     raise RuntimeError(
                         f'Standardization mask for "{name}" is empty.'
                     )
-                std = (ss / max(count - 1.0, 1.0)) ** 0.5
-            else:
-                pair = jnp.stack([jnp.mean(data), jnp.std(data, ddof=1)])
-                mean, std = (float(v) for v in np.asarray(pair))
-            if std == 0:
-                raise RuntimeError(
-                    f'Cannot standardize "{name}": standard deviation is zero.'
-                )
-            stats[name] = (mean, std)
+                if std == 0:
+                    raise RuntimeError(
+                        f'Cannot standardize "{name}": standard deviation'
+                        " is zero."
+                    )
+                return (mean, std)
+
+            stats[name] = DeferredParam(triple, finalize, eager=True)
         return {"stats": stats}
 
     def apply_transform(
@@ -77,7 +82,11 @@ class Standardize(IntensityTransform):
         for name, img_batch in self._get_images(batch).items():
             if name not in params["stats"]:
                 continue
-            mean, std = params["stats"][name]
+            recorded = params["stats"][name]
+            if isinstance(recorded, DeferredParam):
+                mean, std = recorded.device[0], recorded.device[1]
+            else:
+                mean, std = recorded
             data = as_jnp(img_batch.data).astype(jnp.float32)
             img_batch.data = (data - mean) / std
         return batch

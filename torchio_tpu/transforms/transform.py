@@ -21,7 +21,6 @@ from __future__ import annotations
 import copy as _copy
 import inspect
 import warnings
-from dataclasses import dataclass, field
 from typing import Any
 
 import jax
@@ -33,14 +32,154 @@ from ..data.image import Image, ScalarImage
 from ..data.subject import Subject
 
 
-@dataclass
 class AppliedTransform:
-    """History record of one transform application (JSON-serializable)."""
+    """History record of one transform application (JSON-serializable).
 
-    name: str
-    params: dict[str, Any] = field(default_factory=dict)
-    include: list[str] | None = None
-    exclude: list[str] | None = None
+    ``params`` may initially hold :class:`DeferredParam` device
+    statistics; they resolve (one host transfer, cached) on first
+    access, so a training loop that never inspects history pays zero
+    blocking pulls on the hot path. Everything a consumer sees is plain
+    JSON values — the reference's host-float contract
+    (``/root/reference/src/torchio/transforms/transform.py:354-359``).
+    """
+
+    __slots__ = ("name", "_params", "include", "exclude")
+
+    def __init__(
+        self,
+        name: str,
+        params: dict[str, Any] | None = None,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+    ) -> None:
+        self.name = name
+        self._params = {} if params is None else params
+        self.include = include
+        self.exclude = exclude
+
+    @property
+    def params(self) -> dict[str, Any]:
+        if _has_deferred(self._params):
+            self._params = resolve_deferred_params(self._params)
+        return self._params
+
+    @params.setter
+    def params(self, value: dict[str, Any]) -> None:
+        self._params = value
+
+    def raw_params(self) -> dict[str, Any]:
+        """The params dict WITHOUT resolving deferred statistics."""
+        return self._params
+
+    def replace_params(self, params: dict[str, Any]) -> "AppliedTransform":
+        return AppliedTransform(
+            name=self.name,
+            params=params,
+            include=self.include,
+            exclude=self.exclude,
+        )
+
+    def __eq__(self, other: Any) -> bool:
+        if not isinstance(other, AppliedTransform):
+            return NotImplemented
+        return (
+            self.name == other.name
+            and self.params == other.params
+            and self.include == other.include
+            and self.exclude == other.exclude
+        )
+
+    def __repr__(self) -> str:
+        return (
+            f"AppliedTransform(name={self.name!r}, params={self._params!r},"
+            f" include={self.include!r}, exclude={self.exclude!r})"
+        )
+
+
+class DeferredParam:
+    """A history param computed on device, recorded without a blocking
+    host pull.
+
+    Statistics-recording transforms (RescaleIntensity, Standardize)
+    derive params from the data itself; pulling each one eagerly costs a
+    full host round trip BEFORE the output compute can even dispatch
+    (~35 ms each through a tunneled backend — the config-1 bottleneck).
+    Instead ``make_params`` stores the device scalar(s) here,
+    ``apply_transform`` consumes :attr:`device` inside traced compute,
+    and :meth:`Transform.forward` resolves every deferred param AFTER
+    the output has been dispatched — the one transfer overlaps device
+    execution, and the recorded history still holds plain JSON values
+    (the reference's host-float contract, transform.py:354-359).
+
+    Args:
+        device: the jax array holding the statistic(s).
+        convert: host-side ``np.ndarray -> JSON value`` finalizer; may
+            raise/warn (deferred validation surfaces on resolution).
+            Defaults to ``tolist``.
+        eager: resolve at the end of ``forward`` (post-dispatch, so the
+            transfer still overlaps the output compute) instead of
+            lazily on first history access. Use for transforms whose
+            finalizer VALIDATES (e.g. Standardize's zero-std error must
+            surface from the call that caused it); pure statistics
+            (Normalize's percentile range) stay fully lazy — zero pulls
+            when history is never read.
+    """
+
+    __slots__ = ("device", "_convert", "_resolved", "eager")
+
+    _UNRESOLVED = object()
+
+    def __init__(self, device: Any, convert: Any = None, *, eager: bool = False) -> None:
+        self.device = device
+        self._convert = convert
+        self._resolved: Any = DeferredParam._UNRESOLVED
+        self.eager = eager
+
+    def resolve(self) -> Any:
+        if self._resolved is DeferredParam._UNRESOLVED:
+            host = np.asarray(self.device)
+            self._resolved = (
+                self._convert(host) if self._convert is not None else host.tolist()
+            )
+        return self._resolved
+
+    def __deepcopy__(self, memo: dict) -> "DeferredParam":
+        # the device buffer is immutable; share it (deepcopying a jax
+        # Array from a history record must never pull it to host)
+        return self
+
+
+def resolve_deferred_params(value: Any) -> Any:
+    """Replace every :class:`DeferredParam` in a params pytree with its
+    resolved JSON value (no-op when none are present)."""
+    if isinstance(value, DeferredParam):
+        return value.resolve()
+    if isinstance(value, dict):
+        return {k: resolve_deferred_params(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return type(value)(resolve_deferred_params(v) for v in value)
+    return value
+
+
+def _has_deferred(value: Any) -> bool:
+    if isinstance(value, DeferredParam):
+        return True
+    if isinstance(value, dict):
+        return any(_has_deferred(v) for v in value.values())
+    if isinstance(value, (list, tuple)):
+        return any(_has_deferred(v) for v in value)
+    return False
+
+
+def _resolve_eager_deferred(value: Any) -> Any:
+    """Resolve only the eager (validating) deferred params in place."""
+    if isinstance(value, DeferredParam):
+        return value.resolve() if value.eager else value
+    if isinstance(value, dict):
+        return {k: _resolve_eager_deferred(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return type(value)(_resolve_eager_deferred(v) for v in value)
+    return value
 
 
 #: Class-name -> class registry for history replay and inversion.
@@ -110,6 +249,11 @@ class Transform:
             return unwrap(batch)
         params = self.make_params(batch)
         batch = self.apply_transform(batch, params)
+        if _has_deferred(params):
+            # validating stats (eager=True) resolve now — the output
+            # compute is already dispatched, so the pull overlaps device
+            # execution; pure stats stay deferred until history access
+            params = _resolve_eager_deferred(params)
         if self._records_history and not _all_elements_gated_out(params):
             trace = AppliedTransform(
                 name=type(self).__name__,
