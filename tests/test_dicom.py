@@ -60,3 +60,269 @@ def test_convert_dicom_to_nifti(tmp_path):
     back = tio.ScalarImage(out_path)
     np.testing.assert_allclose(np.asarray(back.data), np.asarray(img.data), rtol=1e-6)
     np.testing.assert_allclose(back.affine.data, img.affine.data, atol=1e-4)
+
+
+class TestDicomWriting:
+    """Native DICOM writing + compressed round trips (VERDICT r2 item 6:
+    the reference writes DICOM through SimpleITK,
+    /root/reference/src/torchio/data/image.py:699-753)."""
+
+    def _volume(self, shape=(1, 7, 6, 5), dtype=np.int16, seed=3):
+        rng = np.random.default_rng(seed)
+        data = rng.integers(-500, 1500, shape).astype(dtype)
+        affine = np.array(
+            [
+                [0.0, -0.8, 0.0, 10.0],
+                [0.9, 0.0, 0.0, -20.0],
+                [0.0, 0.0, 1.2, 5.0],
+                [0.0, 0.0, 0.0, 1.0],
+            ]
+        )
+        return data, affine
+
+    def test_series_round_trip_uncompressed(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_dir, write_dicom_series
+
+        data, affine = self._volume()
+        write_dicom_series(tmp_path / "series", data, affine)
+        back, back_affine = read_dicom_dir(tmp_path / "series")
+        np.testing.assert_array_equal(back, data)
+        np.testing.assert_allclose(back_affine, affine, atol=1e-6)
+
+    def test_series_round_trip_rle(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_dir, write_dicom_series
+
+        data, affine = self._volume()
+        write_dicom_series(tmp_path / "rle", data, affine, compression="rle")
+        back, back_affine = read_dicom_dir(tmp_path / "rle")
+        np.testing.assert_array_equal(back, data)  # RLE is lossless
+        np.testing.assert_allclose(back_affine, affine, atol=1e-6)
+
+    def test_multiframe_file_round_trip(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_file, write_dicom
+
+        data, affine = self._volume()
+        for compression in (None, "rle"):
+            path = tmp_path / f"vol_{compression}.dcm"
+            write_dicom(path, data, affine, compression=compression)
+            back, back_affine = read_dicom_file(path)
+            np.testing.assert_array_equal(back, data)
+            np.testing.assert_allclose(back_affine, affine, atol=1e-6)
+
+    def test_float_volume_quantized_round_trip(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_dir, write_dicom_series
+
+        rng = np.random.default_rng(0)
+        data = rng.random((1, 6, 6, 4)).astype(np.float32) * 3.5 - 1.0
+        write_dicom_series(tmp_path / "f32", data, np.eye(4))
+        back, _ = read_dicom_dir(tmp_path / "f32")
+        # 16-bit quantization over the value range
+        tol = (data.max() - data.min()) / 65535.0
+        np.testing.assert_allclose(back, data, atol=tol * 1.01)
+
+    def test_fixture_reencoded_compressed_round_trip(self, tmp_path):
+        """The in-repo clinical fixture re-encoded RLE-compressed reads
+        back identically (the VERDICT done-criterion)."""
+        from torchio_tpu.io.dicom import read_dicom_dir, write_dicom_series
+
+        data, affine = read_dicom_dir(FIXTURE)
+        write_dicom_series(
+            tmp_path / "reenc", data, affine, compression="rle"
+        )
+        back, back_affine = read_dicom_dir(tmp_path / "reenc")
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(data))
+        np.testing.assert_allclose(back_affine, affine, atol=1e-4)
+
+    def test_write_image_routes_dcm(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_file
+        from torchio_tpu.io.write import write_image
+
+        data, affine = self._volume()
+        write_image(tmp_path / "out.dcm", data, affine)
+        back, _ = read_dicom_file(tmp_path / "out.dcm")
+        np.testing.assert_array_equal(back, data)
+
+    def test_multichannel_rejected(self, tmp_path):
+        from torchio_tpu.io.dicom import write_dicom
+
+        with pytest.raises(ValueError, match="single-channel"):
+            write_dicom(tmp_path / "x.dcm", np.zeros((2, 4, 4, 2), np.int16))
+
+
+class TestCompressedSyntaxes:
+    """Decoding of compressed/big-endian transfer syntaxes."""
+
+    def _encapsulated_file(self, tmp_path, syntax, frame_bytes, rows, cols,
+                           bits=16, signed=0):
+        """Hand-build a single-frame encapsulated DICOM file."""
+        import struct
+
+        from torchio_tpu.io.dicom import _el, _encapsulate
+
+        meta_body = b"".join([
+            _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
+            _el(0x0002, 0x0002, b"UI", b"1.2.840.10008.5.1.4.1.1.7"),
+            _el(0x0002, 0x0003, b"UI", b"2.25.1"),
+            _el(0x0002, 0x0010, b"UI", syntax.encode()),
+        ])
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        pixel = (
+            struct.pack("<HH", 0x7FE0, 0x0010)
+            + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + _encapsulate([frame_bytes])
+        )
+        elements = b"".join([
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+            _el(0x0028, 0x0030, b"DS", b"1\\1"),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", bits)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", signed)),
+        ])
+        path = tmp_path / "enc.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + elements + pixel)
+        return path
+
+    def test_jpeg_baseline(self, tmp_path):
+        import io
+
+        from PIL import Image as PILImage
+
+        from torchio_tpu.io.dicom import JPEG_BASELINE, read_dicom_file
+
+        rng = np.random.default_rng(1)
+        # smooth image so lossy JPEG stays close
+        base = rng.integers(100, 120, (8, 8)).astype(np.uint8)
+        buf = io.BytesIO()
+        PILImage.fromarray(base, "L").save(buf, "JPEG", quality=100)
+        path = self._encapsulated_file(
+            tmp_path, JPEG_BASELINE, buf.getvalue(), 8, 8, bits=8
+        )
+        data, _ = read_dicom_file(path)
+        assert data.shape == (1, 8, 8, 1)
+        # lossy codec: close but not exact
+        np.testing.assert_allclose(
+            data[0, :, :, 0], base.T, atol=4
+        )
+
+    def test_jpeg2000_lossless_16bit(self, tmp_path):
+        import io
+
+        from PIL import Image as PILImage
+
+        from torchio_tpu.io.dicom import J2K_LOSSLESS, read_dicom_file
+
+        rng = np.random.default_rng(2)
+        base = rng.integers(0, 4000, (6, 10)).astype(np.uint16)
+        buf = io.BytesIO()
+        PILImage.fromarray(base, "I;16").save(
+            buf, "JPEG2000", irreversible=False
+        )
+        path = self._encapsulated_file(
+            tmp_path, J2K_LOSSLESS, buf.getvalue(), 6, 10, bits=16
+        )
+        data, _ = read_dicom_file(path)
+        np.testing.assert_array_equal(data[0, :, :, 0], base.T)
+
+    def test_explicit_big_endian(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import EXPLICIT_BIG, _el, read_dicom_file
+
+        rng = np.random.default_rng(4)
+        pixels = rng.integers(0, 3000, (5, 4)).astype(np.uint16)  # rows, cols
+
+        def el_be(group, element, vr, value):
+            if len(value) % 2:
+                value += b"\x00"
+            head = struct.pack(">HH", group, element) + vr
+            if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+                return head + b"\x00\x00" + struct.pack(">I", len(value)) + value
+            return head + struct.pack(">H", len(value)) + value
+
+        meta_body = b"".join([
+            _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
+            _el(0x0002, 0x0010, b"UI", EXPLICIT_BIG.encode()),
+        ])
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        elements = b"".join([
+            el_be(0x0028, 0x0010, b"US", struct.pack(">H", 5)),
+            el_be(0x0028, 0x0011, b"US", struct.pack(">H", 4)),
+            el_be(0x0028, 0x0030, b"DS", b"1\\1"),
+            el_be(0x0028, 0x0100, b"US", struct.pack(">H", 16)),
+            el_be(0x0028, 0x0103, b"US", struct.pack(">H", 0)),
+            el_be(
+                0x7FE0, 0x0010, b"OW",
+                pixels.astype(">u2").tobytes(),
+            ),
+        ])
+        path = tmp_path / "be.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + elements)
+        data, _ = read_dicom_file(path)
+        np.testing.assert_array_equal(data[0, :, :, 0], pixels.T)
+
+    def test_packbits_round_trip(self):
+        from torchio_tpu.io.dicom import _packbits_decode, _packbits_encode
+
+        rng = np.random.default_rng(7)
+        for payload in [
+            bytes(rng.integers(0, 256, 1000, np.uint8)),  # noisy
+            b"\x00" * 500 + b"\x07" * 300 + bytes(range(100)),  # runs
+            b"",
+            b"\x42",
+        ]:
+            encoded = _packbits_encode(payload)
+            assert _packbits_decode(encoded, len(payload)) == payload
+
+    def test_unsupported_syntax_raises(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import _el
+
+        meta_body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80")
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        path = tmp_path / "jls.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta)
+        from torchio_tpu.io.dicom import DicomSlice
+
+        with pytest.raises(ValueError, match="transfer syntax"):
+            DicomSlice(path)
+
+
+class TestDicomCli:
+    """`torchio convert` is DICOM-bidirectional (VERDICT r2 item 6)."""
+
+    def test_convert_dicom_dir_to_nifti_and_back(self, tmp_path):
+        from torchio_tpu.cli import main
+
+        nii = tmp_path / "vol.nii.gz"
+        assert main(["convert", str(FIXTURE), str(nii)]) == 0
+        assert nii.exists()
+
+        series = tmp_path / "series"
+        series.mkdir()
+        assert main(["convert", str(nii), str(series)]) == 0
+        from torchio_tpu.io.dicom import read_dicom_dir
+
+        back, _ = read_dicom_dir(series)
+        orig, _ = read_dicom_dir(FIXTURE)
+        tol = max(float(np.ptp(orig)) / 65535.0, 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(back, np.float64), np.asarray(orig, np.float64),
+            atol=tol * 1.01,
+        )
+
+    def test_convert_to_single_dcm(self, tmp_path):
+        from torchio_tpu.cli import main
+        from torchio_tpu.io.dicom import read_dicom_file
+
+        out = tmp_path / "vol.dcm"
+        assert main(["convert", str(FIXTURE), str(out)]) == 0
+        data, _ = read_dicom_file(out)
+        orig, _ = read_dicom_dir_data()
+        assert data.shape == orig.shape
+
+def read_dicom_dir_data():
+    from torchio_tpu.io.dicom import read_dicom_dir
+
+    return read_dicom_dir(FIXTURE)

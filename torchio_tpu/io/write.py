@@ -45,6 +45,12 @@ def write_nifti_zarr(path, data, affine=None, *, chunks=None) -> None:
     store.attrs["affine"] = affine.tolist()
 
 
+def _write_dcm(path, data, affine=None) -> None:
+    from .dicom import write_dicom
+
+    write_dicom(path, data, affine)
+
+
 _WRITERS = {
     ".nii": write_nifti,
     ".nii.gz": write_nifti,
@@ -53,6 +59,7 @@ _WRITERS = {
     ".mha": write_meta_image,
     ".mhd": write_meta_image,
     ".nii.zarr": write_nifti_zarr,
+    ".dcm": _write_dcm,
 }
 
 
@@ -61,13 +68,25 @@ def supported_write_suffixes() -> tuple[str, ...]:
 
 
 def write_image(path, data, affine=None) -> None:
-    """Write (C, I, J, K) data + RAS affine, format chosen by suffix."""
-    name = str(path).lower().rstrip("/")
+    """Write (C, I, J, K) data + RAS affine, format chosen by suffix.
+
+    A directory target (existing directory, or a path ending in a
+    separator) writes a one-file-per-slice DICOM series — the native
+    counterpart of the reference's SimpleITK series writing.
+    """
+    raw = str(path)
+    name = raw.lower().rstrip("/")
     for suffix in sorted(_WRITERS, key=len, reverse=True):
         if name.endswith(suffix):
             _WRITERS[suffix](Path(path), data, affine)
             return
+    if raw.endswith(("/", "\\")) or Path(path).is_dir():
+        from .dicom import write_dicom_series
+
+        write_dicom_series(Path(path), data, affine)
+        return
     raise ValueError(
         f"Unsupported output format for {path!r}; supported suffixes:"
-        f" {', '.join(supported_write_suffixes())}"
+        f" {', '.join(supported_write_suffixes())} (or a directory for a"
+        " DICOM series)"
     )
