@@ -13,6 +13,7 @@ the proxy-relative number is reported alongside for continuity.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -37,13 +38,13 @@ WARMUP = 1
 ITERS = 3
 
 
-def make_batch() -> SubjectsBatch:
+def make_batch(batch_size: int = B) -> SubjectsBatch:
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     subjects = [
         tio.Subject(t1=tio.ScalarImage(rng.random((1, S, S, S), np.float32)))
-        for _ in range(B)
+        for _ in range(batch_size)
     ]
     batch = SubjectsBatch.from_subjects(subjects)
     # place on device up front (the loader normally does this)
@@ -52,13 +53,11 @@ def make_batch() -> SubjectsBatch:
     return batch
 
 
-def main() -> None:
-    tio.seed(0)
+def make_pipeline():
     # The unified Spatial applies affine + elastic through ONE sampling
-    # grid (the reference's headline design, and exactly what the CPU
-    # baseline proxy measures: one combined grid_sample pass). Composing
-    # separate Affine + ElasticDeformation transforms would resample twice.
-    pipeline = tio.Compose(
+    # grid (the reference's headline design). Composing separate
+    # Affine + ElasticDeformation transforms would resample twice.
+    return tio.Compose(
         [
             tio.Spatial(
                 scales=(0.9, 1.1),
@@ -71,6 +70,68 @@ def main() -> None:
         ],
         copy=False,
     )
+
+
+def main_mesh() -> None:
+    """``bench.py --mesh``: the sharded public Compose across ALL visible
+    devices (data-parallel batch axis), reporting aggregate and per-chip
+    volumes/sec plus scaling efficiency vs a single-chip run measured in
+    the same process. On a 1-chip host this degenerates to the headline
+    number. Ready so a multi-chip hardware window produces a real
+    measurement immediately (VERDICT r2 item 7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchio_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    n = len(devices)
+
+    def measure(batch, pipeline) -> float:
+        def run_once() -> float:
+            out = pipeline(batch)
+            return float(jnp.sum(out.images["t1"].data))
+
+        for _ in range(WARMUP):
+            run_once()
+        t0 = time.time()
+        for _ in range(ITERS):
+            run_once()
+        return batch.batch_size / ((time.time() - t0) / ITERS)
+
+    tio.seed(0)
+    single_vps = measure(make_batch(B), make_pipeline())
+
+    if n == 1:
+        aggregate = single_vps
+        efficiency = 1.0
+    else:
+        mesh = make_mesh(devices, space=1)
+        tio.seed(0)
+        batch = make_batch(B * n).shard_(mesh)
+        aggregate = measure(batch, make_pipeline())
+        efficiency = aggregate / (single_vps * n)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"256^3 volumes/sec over {n}-device mesh"
+                " (Affine+Elastic+BiasField+Noise Compose)",
+                "value": round(aggregate, 2),
+                "unit": "volumes/sec",
+                "vs_baseline": round(aggregate / CPU_BASELINE_VOLUMES_PER_SEC, 1),
+                "n_devices": n,
+                "per_chip_volumes_per_sec": round(aggregate / n, 2),
+                "single_chip_volumes_per_sec": round(single_vps, 2),
+                "scaling_efficiency": round(efficiency, 3),
+            }
+        )
+    )
+
+
+def main() -> None:
+    tio.seed(0)
+    pipeline = make_pipeline()
     batch = make_batch()
 
     import jax.numpy as jnp
@@ -125,4 +186,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--mesh" in sys.argv[1:]:
+        main_mesh()
+    else:
+        main()

@@ -466,3 +466,29 @@ def test_dryrun_private_api_pin():
         " __graft_entry__.dryrun_multichip (and tests/conftest.py notes)"
     )
     assert isinstance(xla_bridge._backends, dict)
+
+
+def test_bench_mesh_smoke(monkeypatch, capsys):
+    """bench.py --mesh runs the sharded public Compose over every visible
+    device and reports aggregate + per-chip throughput (VERDICT r2
+    item 7: the multi-chip bench mode exists before hardware does)."""
+    import importlib.util
+    import json as _json
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    monkeypatch.setattr(bench, "S", 12)
+    monkeypatch.setattr(bench, "B", 2)
+    monkeypatch.setattr(bench, "WARMUP", 1)
+    monkeypatch.setattr(bench, "ITERS", 1)
+    bench.main_mesh()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    report = _json.loads(line)
+    assert report["n_devices"] == 8
+    assert report["value"] > 0
+    assert report["per_chip_volumes_per_sec"] > 0
+    assert "scaling_efficiency" in report

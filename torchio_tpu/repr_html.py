@@ -1,6 +1,9 @@
-"""Jupyter HTML cards with base64-embedded preview plots.
+"""Jupyter HTML representations with base64-embedded preview plots.
 
-Parity reference: ``/root/reference/src/torchio/repr_html.py``.
+Parity reference: ``/root/reference/src/torchio/repr_html.py:58-232``
+(styled metadata tables per image, sectioned subject view — Images /
+Points / Bounding Boxes / Metadata — and inline preview renders via the
+Agg canvas).
 """
 
 from __future__ import annotations
@@ -9,26 +12,65 @@ import base64
 import html
 import io
 
+#: Scoped CSS so the cards look consistent in any notebook theme.
+_STYLE = """\
+<style scoped>
+.tio-card {
+  border: 1px solid #ddd; border-radius: 8px; padding: 8px; margin: 4px;
+  display: inline-block; font-family: sans-serif; vertical-align: top;
+}
+.tio-card b { font-size: 14px; }
+.tio-kv td:first-child { padding: 0 8px; color: #666; }
+.tio-kv td:last-child { padding: 0 8px; }
+.tio-section {
+  font-family: sans-serif; font-size: 13px; font-weight: bold;
+  margin: 8px 0 2px 4px;
+}
+.tio-grid {
+  border-collapse: collapse; font-family: monospace; font-size: 11px;
+  margin: 4px;
+}
+.tio-grid th, .tio-grid td {
+  text-align: left; padding: 3px 10px; border: 1px solid #ccc;
+}
+</style>"""
 
-def _preview_png(image) -> str | None:
+
+def _render_png(render) -> str | None:
+    """Render a matplotlib figure factory to base64 PNG via the Agg
+    canvas (never changes the global backend)."""
     try:
-        from .visualization import plot_image
+        import matplotlib.pyplot as plt
+        from matplotlib.backends.backend_agg import FigureCanvasAgg
 
-        fig = plot_image(image, show=False)
+        fig = render()
+        if fig is None:
+            return None
+        FigureCanvasAgg(fig)
         buffer = io.BytesIO()
         fig.savefig(buffer, format="png", dpi=72, bbox_inches="tight")
-        import matplotlib.pyplot as plt
-
         plt.close(fig)
         return base64.b64encode(buffer.getvalue()).decode()
     except Exception:
         return None
 
 
+def _preview_png(image) -> str | None:
+    try:
+        from .visualization import plot_image
+    except ImportError:  # pragma: no cover - matplotlib always present
+        return None
+    return _render_png(lambda: plot_image(image, show=False))
+
+
+def _count(word: str, n: int) -> str:
+    return f"1 {word}" if n == 1 else f"{n} {word}{'es' if word.endswith('x') else 's'}"
+
+
 def _card(title: str, rows: list[tuple[str, str]], png: str | None) -> str:
     row_html = "".join(
-        f"<tr><td style='padding:0 8px;color:#666'>{html.escape(k)}</td>"
-        f"<td style='padding:0 8px'><code>{html.escape(v)}</code></td></tr>"
+        f"<tr><td>{html.escape(k)}</td>"
+        f"<td><code>{html.escape(v)}</code></td></tr>"
         for k, v in rows
     )
     img_html = (
@@ -37,9 +79,9 @@ def _card(title: str, rows: list[tuple[str, str]], png: str | None) -> str:
         else ""
     )
     return (
-        "<div style='border:1px solid #ddd;border-radius:8px;padding:8px;"
-        "margin:4px;display:inline-block;font-family:sans-serif'>"
-        f"<b>{html.escape(title)}</b><table>{row_html}</table>{img_html}</div>"
+        f"{_STYLE}<div class='tio-card'>"
+        f"<b>{html.escape(title)}</b>"
+        f"<table class='tio-kv'>{row_html}</table>{img_html}</div>"
     )
 
 
@@ -54,13 +96,25 @@ def _human_bytes(n: float) -> str:
 def image_repr_html(image, *, name: str | None = None) -> str:
     rows = []
     try:
-        rows.append(("shape", str(image.shape)))
-        rows.append(("spacing", ", ".join(f"{s:.2f}" for s in image.spacing)))
+        rows.append(("channels", str(image.num_channels)))
+        rows.append(("spatial shape", str(tuple(image.spatial_shape))))
+        rows.append(
+            ("spacing", ", ".join(f"{s:.2f}" for s in image.spacing) + " mm")
+        )
+        origin = image.affine.origin
+        rows.append(
+            ("origin", ", ".join(f"{v:.1f}" for v in origin) + " mm")
+        )
         rows.append(("orientation", "".join(image.orientation) + "+"))
+        try:
+            angles = image.affine.euler_angles
+            rows.append(
+                ("euler angles", ", ".join(f"{a:.1f}°" for a in angles))
+            )
+        except Exception:
+            pass
         rows.append(("dtype", str(image.dtype)))
         rows.append(("status", "loaded" if image.is_loaded else "lazy"))
-        origin = image.affine.origin
-        rows.append(("origin", ", ".join(f"{v:.1f}" for v in origin)))
         import numpy as _np
 
         nbytes = float(
@@ -69,10 +123,10 @@ def image_repr_html(image, *, name: str | None = None) -> str:
         rows.append(("memory", _human_bytes(nbytes)))
         if image.path is not None:
             rows.append(("path", str(image.path)))
-        if getattr(image, "points", None):
-            rows.append(("points", ", ".join(image.points)))
-        if getattr(image, "bounding_boxes", None):
-            rows.append(("bounding boxes", ", ".join(image.bounding_boxes)))
+        for pts_name, pts in getattr(image, "points", {}).items():
+            rows.append((f"points '{pts_name}'", _count("point", pts.num_points)))
+        for box_name, boxes in getattr(image, "bounding_boxes", {}).items():
+            rows.append((f"bboxes '{box_name}'", _count("box", boxes.num_boxes)))
         if image.applied_transforms:
             rows.append(
                 ("history", " → ".join(t.name for t in image.applied_transforms))
@@ -84,27 +138,89 @@ def image_repr_html(image, *, name: str | None = None) -> str:
     return _card(title, rows, png)
 
 
-def subject_repr_html(subject) -> str:
-    cards = [
-        image_repr_html(img, name=name) for name, img in subject.images.items()
+def _grid(section: str, header: list[str], body: list[list[str]]) -> str:
+    head = "".join(f"<th>{html.escape(h)}</th>" for h in header)
+    rows = "".join(
+        "<tr>" + "".join(f"<td>{html.escape(c)}</td>" for c in row) + "</tr>"
+        for row in body
+    )
+    return (
+        f"<div class='tio-section'>{html.escape(section)}</div>"
+        f"<table class='tio-grid'><tr>{head}</tr>{rows}</table>"
+    )
+
+
+def _images_section(subject) -> str:
+    body = []
+    for name, image in subject.images.items():
+        try:
+            shape = str(tuple(image.shape))
+            spacing = ", ".join(f"{s:.2f}" for s in image.spacing)
+            orientation = "".join(image.orientation) + "+"
+        except Exception:  # pragma: no cover - unreadable header
+            shape = spacing = orientation = "?"
+        body.append(
+            [name, type(image).__name__, shape, spacing, orientation]
+        )
+    return _grid(
+        "Images", ["Name", "Type", "Shape", "Spacing", "Orientation"], body
+    )
+
+
+def _points_section(subject) -> str:
+    body = [
+        [name, _count("point", pts.num_points), str(pts.axes)]
+        for name, pts in subject.points.items()
     ]
-    meta_rows = [(k, repr(v)) for k, v in subject.metadata.items()]
-    meta_rows.insert(0, ("images", ", ".join(subject.images)))
+    return _grid("Points", ["Name", "Count", "Axes"], body)
+
+
+def _bboxes_section(subject) -> str:
+    body = []
+    for name, boxes in subject.bounding_boxes.items():
+        fmt = boxes.format
+        rep = getattr(getattr(fmt, "representation", None), "value", "")
+        body.append(
+            [name, _count("box", boxes.num_boxes), f"{fmt.axes} ({rep})"]
+        )
+    return _grid("Bounding Boxes", ["Name", "Count", "Format"], body)
+
+
+def _metadata_section(subject) -> str:
+    body = [[str(k), repr(v)] for k, v in subject.metadata.items()]
+    return _grid("Metadata", ["Key", "Value"], body)
+
+
+def subject_repr_html(subject) -> str:
+    """Sectioned subject view: Images / Points / Bounding Boxes /
+    Metadata tables, per-image cards with previews, history trail."""
+    parts = [
+        _STYLE,
+        "<div class='tio-section' style='font-size:14px'>Subject</div>",
+    ]
+    if subject.images:
+        parts.append(_images_section(subject))
     try:
         if subject.points:
-            meta_rows.append(("points", ", ".join(subject.points)))
+            parts.append(_points_section(subject))
         if subject.bounding_boxes:
-            meta_rows.append(
-                ("bounding boxes", ", ".join(subject.bounding_boxes))
-            )
-        if subject.applied_transforms:
-            meta_rows.append(
-                (
-                    "history",
-                    " → ".join(t.name for t in subject.applied_transforms),
-                )
-            )
+            parts.append(_bboxes_section(subject))
     except Exception:  # pragma: no cover
         pass
-    header = _card("Subject", meta_rows, None)
-    return header + "".join(cards)
+    if subject.metadata:
+        parts.append(_metadata_section(subject))
+    if subject.applied_transforms:
+        parts.append(
+            _grid(
+                "History",
+                ["#", "Transform"],
+                [
+                    [str(i + 1), t.name]
+                    for i, t in enumerate(subject.applied_transforms)
+                ],
+            )
+        )
+    parts.extend(
+        image_repr_html(img, name=name) for name, img in subject.images.items()
+    )
+    return "".join(parts)
