@@ -21,13 +21,37 @@ def _env_override() -> bool | None:
     return value not in ("0", "false", "False", "")
 
 
+_warned_pallas = False
+
+
 def pallas_resample_enabled() -> bool:
     env = _env_override()
-    if env is not None:
-        return env
-    if use_pallas_resample is not None:
-        return use_pallas_resample
-    return _PALLAS_AUTO_DEFAULT
+    enabled = (
+        env
+        if env is not None
+        else (
+            use_pallas_resample
+            if use_pallas_resample is not None
+            else _PALLAS_AUTO_DEFAULT
+        )
+    )
+    if enabled:
+        # benchmark surface, not a production path: warn ONCE so nobody
+        # enables it expecting a speedup
+        global _warned_pallas
+        if not _warned_pallas:
+            _warned_pallas = True
+            import warnings
+
+            warnings.warn(
+                "The Pallas tiled resample is a measured dead end on"
+                " current TPUs (~2x slower than the default gather kernel"
+                " at 256^3; see BASELINE.md). It is kept as a benchmark"
+                " artifact — do not enable it in production.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    return bool(enabled)
 
 
 # Half-precision corner-block gather. Gather cost on TPU tracks row

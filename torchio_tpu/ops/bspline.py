@@ -244,7 +244,8 @@ def bspline_resample(data, coords, *, order: int, fill=0.0):
         outs.append(_sample_element(coeffs, pts, order).reshape(c, *out_spatial))
     out = jnp.stack(outs)
 
-    fill_arr = np.asarray(fill, np.float32)
+    # device fill (per-element "minimum" policy) stays on device
+    fill_arr = fill if isinstance(fill, jax.Array) else np.asarray(fill, np.float32)
     # bilinear in-bounds weight mask, matching the linear path
     sizes = in_shape
     mask = jnp.ones((b,) + tuple(out_spatial), jnp.float32)

@@ -147,12 +147,23 @@ def _resample_one(
             )
         acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
+        if apply_fill:
+            # the in-bounds ones-volume mask IS the sum of the corner
+            # weights already computed — no second coordinate pass
+            mask = jnp.sum(weights, axis=-1)
+            fill_col = jnp.asarray(fill_row, jnp.float32).reshape(-1, 1)
+            acc = jnp.where(mask[None, :] > 0.5, acc, fill_col)
+        return acc
+
     if not apply_fill:
         # fill == 0: grid_sample's zero padding already produces the
         # right values (partial sums at the boundary), so skip the mask
         # (matches reference _prepare_fill_value returning None).
         return acc
 
+    # nearest mode: the fill mask is still the LINEAR in-bounds weight
+    # (matching the reference, which always grid-samples a ones-volume
+    # bilinearly)
     mask = _inbounds_weight(ci, cj, ck, (si, sj, sk))
     fill_col = jnp.asarray(fill_row, jnp.float32).reshape(-1, 1)
     return jnp.where(mask[None, :] > 0.5, acc, fill_col)
@@ -491,12 +502,22 @@ def resample_fused(
         use_f16 = gather16()
     data = jnp.asarray(data)
     b = data.shape[0]
-    fill_arr = np.asarray(fill, np.float32)
-    if fill_arr.ndim != 2:
-        fill_arr = fill_arr.reshape(-1)
-    apply_fill = not (
-        fill_arr.size == 1 and float(fill_arr.reshape(-1)[0]) == 0.0
-    )
+    if isinstance(fill, jax.Array):
+        # device-computed fill (e.g. the per-element "minimum" policy):
+        # stays on device as a traced argument — np.asarray here would
+        # be a BLOCKING device->host pull before the resample could
+        # even dispatch
+        fill_arr = fill.astype(jnp.float32)
+        if fill_arr.ndim != 2:
+            fill_arr = fill_arr.reshape(-1)
+        apply_fill = True
+    else:
+        fill_arr = np.asarray(fill, np.float32)
+        if fill_arr.ndim != 2:
+            fill_arr = fill_arr.reshape(-1)
+        apply_fill = not (
+            fill_arr.size == 1 and float(fill_arr.reshape(-1)[0]) == 0.0
+        )
     out_spatial = tuple(
         int(s) for s in (out_shape if out_shape is not None else data.shape[-3:])
     )
@@ -548,6 +569,111 @@ def resample_fused(
     return jnp.stack(outs)
 
 
+@partial(jax.jit, static_argnames=("out_spatial", "has_cp"))
+def _resample_element_label(
+    data, matrix, control_points, pad_label,
+    out_spatial: tuple[int, int, int], has_cp: bool,
+):
+    """Partial-volume label resampling from the 8 corner labels directly.
+
+    Equivalent to one-hot(unique labels) -> trilinear -> argmax
+    (reference ``spatial.py:1275-1389``) when no antialias smoothing
+    applies: the winning label is the one maximizing the summed corner
+    weight, i.e. ``argmax_l sum_j w_j [label_j = l]`` — computable from
+    the 8 gathered corner labels without EVER knowing the label set.
+    This removes the blocking ``unique`` host pull and the L-channel
+    one-hot gather: ONE single-channel take per element, exactly the
+    cost of a scalar resample. Ties pick the smallest label, matching
+    argmax over sorted unique labels.
+    """
+    c, si, sj, sk = data.shape
+    coords = _build_coords_kernel(matrix, out_spatial)
+    if has_cp:
+        coords = coords + upsample_field(control_points, out_spatial)
+    pts = coords.reshape(-1, 3)
+    ci, cj, ck = pts[:, 0], pts[:, 1], pts[:, 2]
+    if si == 1:
+        ci = jnp.zeros_like(ci)
+    if sj == 1:
+        cj = jnp.zeros_like(cj)
+    if sk == 1:
+        ck = jnp.zeros_like(ck)
+    i0 = jnp.floor(ci).astype(jnp.int32)
+    j0 = jnp.floor(cj).astype(jnp.int32)
+    k0 = jnp.floor(ck).astype(jnp.int32)
+    fi, fj, fk = ci - i0, cj - j0, ck - k0
+    wi = ((1.0 - fi) * ((i0 >= 0) & (i0 < si)),
+          fi * ((i0 + 1 >= 0) & (i0 + 1 < si)))
+    wj = ((1.0 - fj) * ((j0 >= 0) & (j0 < sj)),
+          fj * ((j0 + 1 >= 0) & (j0 + 1 < sj)))
+    wk = ((1.0 - fk) * ((k0 >= 0) & (k0 < sk)),
+          fk * ((k0 + 1 >= 0) & (k0 + 1 < sk)))
+    weights = jnp.stack(
+        [
+            wi[di] * wj[dj] * wk[dk]
+            for di in (0, 1)
+            for dj in (0, 1)
+            for dk in (0, 1)
+        ],
+        axis=-1,
+    )  # (M, 8)
+    sip, sjp, skp = si + 1, sj + 1, sk + 1
+    padded = jnp.pad(data, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    block = jnp.stack(
+        [
+            padded[:, di : di + sip, dj : dj + sjp, dk : dk + skp]
+            for di in (0, 1)
+            for dj in (0, 1)
+            for dk in (0, 1)
+        ],
+        axis=-1,
+    ).reshape(c, -1, 8)
+    ib = jnp.clip(i0, -1, si - 1) + 1
+    jb = jnp.clip(j0, -1, sj - 1) + 1
+    kb = jnp.clip(k0, -1, sk - 1) + 1
+    idx = ib * (sjp * skp) + jb * skp + kb
+    labs = jnp.take(block[0], idx, axis=0)  # (M, 8) corner labels
+    # score of each corner's label: total corner weight carrying it
+    same = labs[:, :, None] == labs[:, None, :]  # (M, j, i)
+    scores = jnp.sum(weights[:, :, None] * same, axis=1)  # (M, 8)
+    top = jnp.max(scores, axis=1, keepdims=True)
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        big = jnp.asarray(jnp.inf, data.dtype)
+    else:
+        big = jnp.asarray(jnp.iinfo(data.dtype).max, data.dtype)
+    winner = jnp.min(jnp.where(scores == top, labs, big), axis=1)
+    wsum = jnp.sum(weights, axis=1)
+    pad_cast = jnp.asarray(pad_label).astype(data.dtype)
+    out = jnp.where(wsum > 0.5, winner, pad_cast)
+    return out.reshape(c, *out_spatial)
+
+
+def resample_label_fused(
+    data, matrices, control_points, *, out_shape=None, pad_label=0.0
+):
+    """Partial-volume label resampling of a (B, 1, I, J, K) batch from
+    per-element grid specs (see :func:`_resample_element_label`)."""
+    data = jnp.asarray(data)
+    out_spatial = tuple(
+        int(s) for s in (out_shape if out_shape is not None else data.shape[-3:])
+    )
+    outs = []
+    for bi in range(data.shape[0]):
+        m = jnp.asarray(np.asarray(matrices[bi], np.float64), jnp.float32)
+        cp = control_points[bi]
+        cp_arr = (
+            jnp.zeros((1, 1, 1, 3), jnp.float32)
+            if cp is None
+            else jnp.asarray(np.asarray(cp, np.float64), jnp.float32)
+        )
+        outs.append(
+            _resample_element_label(
+                data[bi], m, cp_arr, pad_label, out_spatial, cp is not None
+            )
+        )
+    return jnp.stack(outs)
+
+
 def _resample_kernel(data, coords, fill, mode: str, apply_fill: bool = True):
     """data (B, C, I, J, K); coords (B, Io, Jo, Ko, 3); fill scalar /
     (C,) / (B, C). Returns (B, C, Io, Jo, Ko) float32.
@@ -593,6 +719,12 @@ def resample(data, coords, *, mode: str = "linear", fill=0.0):
         coords = jnp.broadcast_to(coords[None], (data.shape[0],) + coords.shape)
     if mode not in ("linear", "nearest"):
         raise ValueError(f"Unsupported resampling mode: {mode!r}")
+    if isinstance(fill, jax.Array):
+        # device fill stays on device (see resample_fused)
+        fill_arr = fill.astype(jnp.float32)
+        if fill_arr.ndim not in (0, 1, 2):
+            raise ValueError(f"fill must be scalar/(C,)/(B, C), got {fill.shape}")
+        return _resample_kernel(data, coords, fill_arr, mode, True)
     fill_arr = np.asarray(fill, np.float32)
     if fill_arr.ndim == 2:
         if fill_arr.shape != (data.shape[0], data.shape[1]):

@@ -378,13 +378,23 @@ def halo_resample_spec(
             " unsharded resample"
         )
 
-    fill_arr = np.asarray(fill, np.float32)
-    apply_fill = not (fill_arr.size == 1 and float(fill_arr.reshape(-1)[0]) == 0.0)
-    if apply_fill:
-        rows = fill_arr if fill_arr.ndim == 2 else fill_arr.reshape(1, -1)
-        fill_rows = np.broadcast_to(rows, (b, c)).astype(np.float32)
+    if isinstance(fill, jax.Array):
+        # device fill stays on device (see ops.resample.resample_fused)
+        apply_fill = True
+        rows = fill.astype(jnp.float32)
+        fill_rows = jnp.broadcast_to(
+            rows if rows.ndim == 2 else rows.reshape(1, -1), (b, c)
+        )
     else:
-        fill_rows = np.zeros((b, c), np.float32)
+        fill_arr = np.asarray(fill, np.float32)
+        apply_fill = not (
+            fill_arr.size == 1 and float(fill_arr.reshape(-1)[0]) == 0.0
+        )
+        if apply_fill:
+            rows = fill_arr if fill_arr.ndim == 2 else fill_arr.reshape(1, -1)
+            fill_rows = np.broadcast_to(rows, (b, c)).astype(np.float32)
+        else:
+            fill_rows = np.zeros((b, c), np.float32)
 
     program = _halo_resample_program(
         mesh,

@@ -1152,6 +1152,35 @@ def _resample_label_partial_volume(
     """Partial-volume label resampling (one-hot + argmax), reference
     ``spatial.py:1275-1389``."""
     data_j = as_jnp(data)
+    smoothing = antialias and not np.all(
+        _antialias_sigmas(
+            np.asarray(output_affine.spacing, np.float64)
+            / np.asarray(input_affine.spacing, np.float64),
+            np.asarray(input_affine.spacing, np.float64),
+        )
+        == 0
+    )
+    if (
+        data_j.shape[1] == 1
+        and not smoothing
+        and one_hot_label_interpolation == "linear"
+        and _is_lazy_grid(grid)
+        and sharding is None
+    ):
+        # corner-based kernel: argmax over summed corner weights — no
+        # blocking `unique` pull, no L-channel one-hot gather (see
+        # ops.resample._resample_element_label); exact match to the
+        # one-hot path when no antialias smoothing applies
+        from ...ops.resample import resample_label_fused
+
+        grids = grid if isinstance(grid, list) else [grid] * data_j.shape[0]
+        return resample_label_fused(
+            data_j,
+            [g.matrix for g in grids],
+            [g.control_points for g in grids],
+            out_shape=grids[0].out_shape,
+            pad_label=default_pad_label,
+        ).astype(data_j.dtype)
     if data_j.shape[1] > 1:
         smoothed = data_j.astype(jnp.float32)
         if antialias:
