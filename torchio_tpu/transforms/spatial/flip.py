@@ -70,16 +70,15 @@ def _flip_per_element(data, axes_per_element: list[list[int]]):
     per spatial axis and masking per element is equivalent to flipping
     each element's axes individually — one fused XLA select per axis.
     """
-    data = as_jnp(data)
-    b = data.shape[0]
-    result = data
-    for spatial_axis in range(3):
-        flags = np.array([spatial_axis in axes_per_element[i] for i in range(b)])
-        if not flags.any():
-            continue
-        flipped = jnp.flip(result, axis=spatial_axis - 3)
-        mask = jnp.asarray(flags).reshape(-1, 1, 1, 1, 1)
-        result = jnp.where(mask, flipped, result)
+    result = as_jnp(data)
+    flags = np.zeros((result.shape[0], 3), bool)
+    for element, axes in enumerate(axes_per_element):
+        flags[element, list(axes)] = True
+    for spatial_axis in np.flatnonzero(flags.any(axis=0)):
+        select = jnp.asarray(flags[:, spatial_axis]).reshape(-1, 1, 1, 1, 1)
+        result = jnp.where(
+            select, jnp.flip(result, axis=int(spatial_axis) - 3), result
+        )
     return result
 
 
@@ -113,6 +112,11 @@ class Flip(SpatialTransform):
     def supports_per_instance_p(self) -> bool:
         return True
 
+    def _draw_axes(self, orientation) -> list[int]:
+        """One coin per requested axis, resolved against an orientation."""
+        coins = tio_random.random(3) < self.flip_probability
+        return [a for a in _resolve_axes(self.axes, orientation) if coins[a]]
+
     def make_params(self, batch: SubjectsBatch) -> dict[str, Any]:
         images = self._get_images(batch)
         if not images:
@@ -121,18 +125,14 @@ class Flip(SpatialTransform):
         n = self._resolve_n(batch)
         if n is None:
             orientation = first.affines[0].orientation if first.batch_size else None
-            resolved = _resolve_axes(self.axes, orientation)
-            mask = tio_random.random(3) < self.flip_probability
-            return {"axes": tuple(a for a in resolved if mask[a])}
+            return {"axes": tuple(self._draw_axes(orientation))}
         keep = self._keep_mask(batch, n)
-        axes_list: list[list[int]] = []
-        for i in range(n):
-            if keep is not None and not keep[i]:
-                axes_list.append([])
-                continue
-            resolved = _resolve_axes(self.axes, first.affines[i].orientation)
-            mask = tio_random.random(3) < self.flip_probability
-            axes_list.append([a for a in resolved if mask[a]])
+        axes_list = [
+            []
+            if keep is not None and not keep[i]
+            else self._draw_axes(first.affines[i].orientation)
+            for i in range(n)
+        ]
         params = {"axes": axes_list}
         self._tag_batched(params, batch, n, keep, ["axes"])
         return params
