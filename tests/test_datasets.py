@@ -9,6 +9,8 @@ dispatch, file layout, caching, and error paths all run.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -301,3 +303,103 @@ class TestPediatricAndSheep:
         subject = datasets.Sheep()
         assert set(subject.images) == {"t1"}
         assert calls[0]["url"].endswith("sheep/NIFTI_ovine_auxiliary_masks.zip")
+
+
+class TestIxiStaged:
+    """Offline ixi/ixi_tiny loader tests (the download paths are mocked;
+    layout and pairing logic run for real)."""
+
+    def _stage(self, directory, names, rng):
+        directory.mkdir(parents=True, exist_ok=True)
+        for name in names:
+            img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+            img.save(directory / f"{name}.nii.gz")
+
+    def test_ixi_from_staged_root(self, tmp_path, rng):
+        from torchio_tpu.datasets.ixi import ixi
+
+        self._stage(tmp_path / "T1", ["IXI002-Guys-0828-T1", "IXI012-HH-1211-T1"], rng)
+        self._stage(tmp_path / "T2", ["IXI002-Guys-0828-T2"], rng)
+        subjects = ixi(tmp_path, modalities=("T1", "T2"))
+        # only the subject with BOTH modalities pairs up
+        assert len(subjects) == 1
+        assert subjects[0].subject_id.startswith("IXI002")
+
+    def test_ixi_missing_without_download(self, tmp_path):
+        from torchio_tpu.datasets.ixi import ixi
+
+        with pytest.raises(FileNotFoundError, match="download=True"):
+            ixi(tmp_path / "absent")
+
+    def test_ixi_download_mocked(self, tmp_path, monkeypatch, rng):
+        import importlib
+
+        mod = importlib.import_module("torchio_tpu.datasets.ixi")
+
+        def fake_download(url, root, filename=None, **kw):
+            assert "IXI-T1" in filename
+            return tmp_path / filename
+
+        def fake_extract(archive, dest):
+            self._stage(Path(dest), ["IXI002-Guys-0828-T1"], rng)
+
+        monkeypatch.setattr(mod, "download_url", fake_download)
+        monkeypatch.setattr(mod, "extract_archive", fake_extract)
+        subjects = mod.ixi(tmp_path / "dl", download=True)
+        assert len(subjects) == 1
+
+    def test_ixi_tiny_staged(self, tmp_path, rng):
+        from torchio_tpu.datasets.ixi import ixi_tiny
+
+        self._stage(tmp_path / "image", ["IXI002-Guys-0828"], rng)
+        self._stage(tmp_path / "label", ["IXI002-Guys-0828"], rng)
+        # one unpaired image is skipped
+        self._stage(tmp_path / "image", ["IXI013-HH-1212"], rng)
+        subjects = ixi_tiny(tmp_path)
+        assert len(subjects) == 1
+        assert set(subjects[0].images) == {"image", "label"}
+
+    def test_ixi_tiny_nested_layout(self, tmp_path, monkeypatch, rng):
+        """The archive unpacks into a nested folder; the loader finds it."""
+        import importlib
+
+        mod = importlib.import_module("torchio_tpu.datasets.ixi")
+
+        def fake_fetch(url, download_root, filename=None, **kw):
+            inner = Path(download_root) / "ixi_tiny_unpacked"
+            self._stage(inner / "image", ["IXI002-Guys-0828"], rng)
+            self._stage(inner / "label", ["IXI002-Guys-0828"], rng)
+
+        monkeypatch.setattr(mod, "download_and_extract_archive", fake_fetch)
+        subjects = mod.ixi_tiny(tmp_path / "fresh", download=True)
+        assert len(subjects) == 1
+
+    def test_ixi_tiny_missing_without_download(self, tmp_path):
+        from torchio_tpu.datasets.ixi import ixi_tiny
+
+        with pytest.raises(FileNotFoundError, match="download=True"):
+            ixi_tiny(tmp_path / "absent", download=False)
+
+
+class TestICBMStaged:
+    def test_construction_from_staged_cache(self, mni_cache, tmp_path, rng):
+        calls, staged = mni_cache
+        name = "mni_icbm152_nlin_sym_09c_nifti"
+        p, s = "mni_icbm152", "tal_nlin_sym_09c.nii"
+        stems = [
+            f"{p}_t1_{s[:-4]}",
+            f"{p}_t2_{s[:-4]}",
+            f"{p}_pd_{s[:-4]}",
+            f"{p}_t1_{s[:-4]}_eye_mask",
+            f"{p}_t1_{s[:-4]}_face_mask",
+            f"{p}_t1_{s[:-4]}_mask",
+        ]
+        # _stage_nifti writes .nii.gz; ICBM expects .nii — stage manually
+        root = tmp_path / name
+        root.mkdir(parents=True, exist_ok=True)
+        for stem in stems:
+            img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+            img.save(root / f"{stem}.nii")
+        subject = datasets.ICBM2009CNonlinearSymmetric(load_4d_tissues=False)
+        assert "t1" in subject.images and "brain" in subject.images
+        assert isinstance(subject.images["brain"], tio.LabelMap)

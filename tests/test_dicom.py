@@ -326,3 +326,198 @@ def read_dicom_dir_data():
     from torchio_tpu.io.dicom import read_dicom_dir
 
     return read_dicom_dir(FIXTURE)
+
+
+class TestParserEdges:
+    def _explicit_file(self, tmp_path, body):
+        import struct
+
+        from torchio_tpu.io.dicom import _el
+
+        meta_body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        pixels = np.arange(12, dtype=np.uint16).reshape(3, 4)
+        tail = b"".join([
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 3)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 4)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+            _el(0x7FE0, 0x0010, b"OW", pixels.tobytes()),
+        ])
+        path = tmp_path / "f.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + body + tail)
+        return path, pixels
+
+    def test_undefined_length_sequence_skipped(self, tmp_path):
+        """A top-level SQ with undefined length (items with defined AND
+        undefined lengths, nested elements) is walked and discarded."""
+        import struct
+
+        from torchio_tpu.io.dicom import DicomSlice, _el
+
+        inner_element = _el(0x0008, 0x0060, b"CS", b"MR")
+        defined_item = struct.pack("<HHI", 0xFFFE, 0xE000, len(inner_element)) + inner_element
+        undefined_item = (
+            struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF)
+            + inner_element
+            + struct.pack("<HHI", 0xFFFE, 0xE00D, 0)
+        )
+        seq = (
+            struct.pack("<HH", 0x0008, 0x1140)  # ReferencedImageSequence
+            + b"SQ\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + defined_item
+            + undefined_item
+            + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+        )
+        path, pixels = self._explicit_file(tmp_path, seq)
+        s = DicomSlice(path)
+        np.testing.assert_array_equal(s.pixels, pixels)
+
+    def test_malformed_sequence_raises(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import DicomSlice
+
+        bad_seq = (
+            struct.pack("<HH", 0x0008, 0x1140)
+            + b"SQ\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + struct.pack("<HHI", 0x0008, 0x0060, 2)  # not an item tag
+            + b"MR"
+        )
+        path, _ = self._explicit_file(tmp_path, bad_seq)
+        with pytest.raises(ValueError, match="Malformed sequence"):
+            DicomSlice(path)
+
+    def test_headerless_implicit_file(self, tmp_path):
+        """No DICM preamble: parsed as implicit VR little endian."""
+        import struct
+
+        from torchio_tpu.io.dicom import DicomSlice
+
+        def imp(group, element, value):
+            return struct.pack("<HHI", group, element, len(value)) + value
+
+        pixels = np.arange(6, dtype=np.uint16).reshape(2, 3)
+        raw = b"".join([
+            imp(0x0028, 0x0010, struct.pack("<H", 2)),
+            imp(0x0028, 0x0011, struct.pack("<H", 3)),
+            imp(0x0028, 0x0100, struct.pack("<H", 16)),
+            imp(0x0028, 0x0103, struct.pack("<H", 0)),
+            imp(0x7FE0, 0x0010, pixels.tobytes()),
+        ])
+        path = tmp_path / "headerless.dcm"
+        path.write_bytes(raw)
+        s = DicomSlice(path)
+        np.testing.assert_array_equal(s.pixels, pixels)
+
+    def test_unreadable_files_skipped_in_dir(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_dir, write_dicom_series
+
+        data = np.arange(2 * 3 * 4, dtype=np.int16).reshape(1, 2, 3, 4)
+        write_dicom_series(tmp_path, data, np.eye(4))
+        (tmp_path / "notes.txt").write_bytes(b"not a dicom")
+        back, _ = read_dicom_dir(tmp_path)
+        np.testing.assert_array_equal(back, data)
+
+    def test_decode_int_fallbacks(self):
+        from torchio_tpu.io.dicom import _decode_int
+
+        assert _decode_int(b"12 ", False) == 12
+        assert _decode_int(b"+", False) == 0  # int('+') fails -> binary, len<2
+        assert _decode_int(b"\x05\x00", False) == 5
+        assert _decode_int(b"\x00\x05", True) == 5
+
+    def test_rle_wrong_segment_count(self):
+        import struct
+
+        from torchio_tpu.io.dicom import _decode_rle_frame
+
+        header = struct.pack("<16I", 1, 64, *([0] * 14))
+        with pytest.raises(ValueError, match="segments"):
+            _decode_rle_frame(header + b"\x00\x01", 1, 1, np.uint16)
+
+    def test_rle_8bit_round_trip(self):
+        from torchio_tpu.io.dicom import _decode_rle_frame, _encode_rle_frame
+
+        rng = np.random.default_rng(3)
+        frame = rng.integers(0, 255, (5, 7)).astype(np.uint8)
+        back = _decode_rle_frame(_encode_rle_frame(frame), 5, 7, np.uint8)
+        np.testing.assert_array_equal(back, frame)
+
+    def test_multi_fragment_single_frame(self, tmp_path):
+        """JPEG streams may be split across fragments; they concatenate."""
+        import io
+        import struct
+
+        from PIL import Image as PILImage
+
+        from torchio_tpu.io.dicom import (
+            JPEG_BASELINE,
+            _el,
+            _encapsulate,
+            read_dicom_file,
+        )
+
+        base = np.full((4, 4), 77, np.uint8)
+        buf = io.BytesIO()
+        PILImage.fromarray(base, "L").save(buf, "JPEG", quality=100)
+        stream = buf.getvalue()
+        half = len(stream) // 2
+
+        meta_body = _el(0x0002, 0x0010, b"UI", JPEG_BASELINE.encode())
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        pixel = (
+            struct.pack("<HH", 0x7FE0, 0x0010)
+            + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + _encapsulate([stream[:half], stream[half:]])
+        )
+        # _encapsulate pads fragments to even length, which would corrupt
+        # a mid-stream split; build the fragments manually instead
+        frags = [stream[:half], stream[half:]]
+        parts = [struct.pack("<HHI", 0xFFFE, 0xE000, 0)]
+        for frag in frags:
+            parts.append(
+                struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
+            )
+        parts.append(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+        pixel = (
+            struct.pack("<HH", 0x7FE0, 0x0010)
+            + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + b"".join(parts)
+        )
+        tail = b"".join([
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 4)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 4)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        ])
+        path = tmp_path / "frag.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + tail + pixel)
+        data, _ = read_dicom_file(path)
+        np.testing.assert_allclose(data[0, :, :, 0], base.T, atol=2)
+
+    def test_malformed_encapsulation_raises(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import _el, DicomSlice, RLE_LOSSLESS
+
+        meta_body = _el(0x0002, 0x0010, b"UI", RLE_LOSSLESS.encode())
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        pixel = (
+            struct.pack("<HH", 0x7FE0, 0x0010)
+            + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + struct.pack("<HHI", 0x0008, 0x0060, 0)  # not an item tag
+        )
+        tail = b"".join([
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 1)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 1)),
+        ])
+        path = tmp_path / "badenc.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + tail + pixel)
+        with pytest.raises(ValueError, match="encapsulated"):
+            DicomSlice(path)

@@ -70,7 +70,10 @@ def executable_lines(path: Path) -> set[int]:
     while stack:
         code = stack.pop()
         for _offset, line in dis.findlinestarts(code):
-            if line is not None:
+            # line 0 is the synthetic RESUME location of every code
+            # object (not a source line); counting it deflates every
+            # file's coverage by one never-hittable line
+            if line:
                 lines.add(line)
         for const in code.co_consts:
             if hasattr(const, "co_code"):

@@ -370,18 +370,6 @@ def _mapping_matrix(input_affine, output_affine, affine_matrix) -> np.ndarray:
     return np.linalg.inv(input_affine.data) @ t_inv @ output_affine.data
 
 
-def _apply_mapping_jnp(coords, matrix):
-    m = jnp.asarray(np.asarray(matrix, np.float64), jnp.float32)
-    # TPU matmuls default to single-pass bf16; coordinates deserve f32
-    rotated = jax.lax.dot_general(
-        coords.reshape(-1, 3),
-        m[:3, :3].T,
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(coords.shape)
-    return rotated + m[:3, 3]
-
-
 class _GridPlan:
     """Host-side metadata the Pallas tile planner needs for one grid."""
 
