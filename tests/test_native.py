@@ -100,3 +100,59 @@ def test_f2c_transpose_odd_itemsize_fallback():
     arr = np.zeros((2, 2, 2), dtype=[("a", "u1"), ("b", "u2")])
     out = f2c_transpose(arr)
     assert out.flags["C_CONTIGUOUS"]
+
+
+class TestNativeJpegLossless:
+    def test_native_matches_python_decoder(self):
+        from torchio_tpu import native
+        from torchio_tpu.io import jpeg_lossless as jl
+
+        if not native.available() or native.jpegll_decode(b"") is not None:
+            pass  # probe: empty stream must return None either way
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 4000, (31, 23)).astype(np.uint16)
+        stream = jl.encode_lossless_jpeg(img)
+        native_out = native.jpegll_decode(stream)
+        if native_out is None:
+            pytest.skip("native library unavailable")
+        np.testing.assert_array_equal(native_out, img)
+        # and the public decoder (which prefers native) agrees
+        np.testing.assert_array_equal(jl.decode_lossless_jpeg(stream), img)
+
+    def test_native_8bit(self):
+        from torchio_tpu import native
+        from torchio_tpu.io import jpeg_lossless as jl
+
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 250, (9, 14)).astype(np.uint8)
+        out = native.jpegll_decode(jl.encode_lossless_jpeg(img))
+        if out is None:
+            pytest.skip("native library unavailable")
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(out, img)
+
+    def test_garbage_returns_none(self):
+        from torchio_tpu import native
+
+        assert native.jpegll_decode(b"\x00\x01\x02") is None
+
+    def test_decode_speed_sanity(self):
+        """The native path decodes a 256^2 16-bit slice well under the
+        pure-Python decoder's time (sanity, not a benchmark)."""
+        import time
+
+        from torchio_tpu import native
+        from torchio_tpu.io import jpeg_lossless as jl
+
+        rng = np.random.default_rng(13)
+        img = (rng.integers(0, 50, (256, 256)).cumsum(axis=1) % 3000).astype(
+            np.uint16
+        )
+        stream = jl.encode_lossless_jpeg(img)
+        if native.jpegll_decode(stream) is None:
+            pytest.skip("native library unavailable")
+        t0 = time.perf_counter()
+        out = native.jpegll_decode(stream)
+        native_t = time.perf_counter() - t0
+        np.testing.assert_array_equal(out, img)
+        assert native_t < 0.1

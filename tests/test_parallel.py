@@ -492,3 +492,20 @@ def test_bench_mesh_smoke(monkeypatch, capsys):
     assert report["value"] > 0
     assert report["per_chip_volumes_per_sec"] > 0
     assert "scaling_efficiency" in report
+
+
+def test_sharded_blur_hlo_has_no_all_gather(mesh):
+    """Blur/antialias on a J-sharded batch: XLA's SPMD partitioner
+    inserts collective-permute halo exchanges for the separable convs —
+    never a full-volume all-gather. Pinned here so a lowering regression
+    can't silently reintroduce the >HBM-defeating gather (SURVEY §5.7)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from torchio_tpu.ops.gaussian import gaussian_blur
+
+    sh = NamedSharding(mesh, PartitionSpec("data", None, None, "space", None))
+    x = jax.device_put(jnp.ones((4, 1, 8, 32, 8), jnp.float32), sh)
+    f = jax.jit(lambda v: gaussian_blur(v, (1.5, 1.5, 1.5)), out_shardings=sh)
+    hlo = f.lower(x).compile().as_text()
+    assert "collective-permute" in hlo
+    assert "all-gather" not in hlo

@@ -5,15 +5,16 @@ The reference reads DICOM through SimpleITK's C++ GDCM
 needed subset natively:
 
 - implicit/explicit VR little endian AND explicit VR big endian parsing,
-- encapsulated (compressed) PixelData: RLE Lossless decoded natively,
+- encapsulated (compressed) PixelData: RLE Lossless and JPEG Lossless
+  (processes 14/SV1, the common clinical-CT syntax) decoded natively,
   JPEG baseline/extended and JPEG 2000 via Pillow when available,
 - single- and multi-frame files; series directories sorted by
   ImagePositionPatient along the slice normal,
 - LPS -> RAS affine construction and rescale slope/intercept.
 
-Writing (uncompressed explicit little endian or RLE-compressed series /
-multi-frame files) lives in :func:`write_dicom` /
-:func:`write_dicom_series`.
+Writing (uncompressed explicit little endian, RLE-, or
+JPEG-Lossless-compressed series / multi-frame files) lives in
+:func:`write_dicom` / :func:`write_dicom_series`.
 """
 
 from __future__ import annotations
@@ -50,12 +51,18 @@ EXPLICIT_BIG = "1.2.840.10008.1.2.2"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
 J2K = "1.2.840.10008.1.2.4.91"
 
 #: Syntaxes whose PixelData is encapsulated in item fragments.
-_ENCAPSULATED = {RLE_LOSSLESS, JPEG_BASELINE, JPEG_EXTENDED, J2K_LOSSLESS, J2K}
+_ENCAPSULATED = {
+    RLE_LOSSLESS, JPEG_BASELINE, JPEG_EXTENDED,
+    JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1, J2K_LOSSLESS, J2K,
+}
 _PIL_SYNTAXES = {JPEG_BASELINE, JPEG_EXTENDED, J2K_LOSSLESS, J2K}
+_NATIVE_JPEG_SYNTAXES = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1}
 
 _SUPPORTED_SYNTAXES = {IMPLICIT_LITTLE, EXPLICIT_LITTLE, EXPLICIT_BIG} | _ENCAPSULATED
 
@@ -308,6 +315,13 @@ def _decode_frames(tags: dict, syntax: str, rows, cols, n_frames, dtype, big):
         if syntax == RLE_LOSSLESS:
             frames = [
                 _decode_rle_frame(f, rows, cols, dtype) for f in fragments
+            ]
+        elif syntax in _NATIVE_JPEG_SYNTAXES:
+            from .jpeg_lossless import decode_lossless_jpeg
+
+            frames = [
+                decode_lossless_jpeg(f).astype(dtype, copy=False)
+                for f in fragments
             ]
         else:
             frames = [_decode_pil_frame(f, dtype) for f in fragments]
@@ -588,9 +602,18 @@ def _write_dicom_file(
             frames.dtype.newbyteorder("<")
         ).tobytes()
         pixel_element = _el(0x7FE0, 0x0010, b"OW", pixel_bytes)
-    elif compression == "rle":
-        syntax = RLE_LOSSLESS
-        encoded = [_encode_rle_frame(f) for f in frames]
+    elif compression in ("rle", "jpeg-lossless"):
+        if compression == "rle":
+            syntax = RLE_LOSSLESS
+            encoded = [_encode_rle_frame(f) for f in frames]
+        else:
+            from .jpeg_lossless import encode_lossless_jpeg
+
+            syntax = JPEG_LOSSLESS_SV1
+            encoded = [
+                encode_lossless_jpeg(np.ascontiguousarray(f).view(f"u{f.dtype.itemsize}"))
+                for f in frames
+            ]
         body = _encapsulate(encoded)
         head = struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00" + struct.pack(
             "<I", _UNDEFINED
@@ -598,7 +621,8 @@ def _write_dicom_file(
         pixel_element = head + body
     else:
         raise ValueError(
-            f"Unsupported DICOM compression {compression!r} (None or 'rle')"
+            f"Unsupported DICOM compression {compression!r}"
+            " (None, 'rle', or 'jpeg-lossless')"
         )
 
     meta_body = b"".join(

@@ -53,14 +53,26 @@ def _reorient_ras_with_affine(image: Image) -> tuple[np.ndarray, np.ndarray]:
     return apply_orientation(data, ornt), affine
 
 
-def _slices(data: np.ndarray, indices=None):
+def _slices(data: np.ndarray, indices=None, channel: int = 0):
     """Middle (or given) sagittal/coronal/axial slices of (C, I, J, K)."""
     _, si, sj, sk = data.shape
     i, j, k = indices if indices is not None else (si // 2, sj // 2, sk // 2)
-    sag = data[0, i, :, :]
-    cor = data[0, :, j, :]
-    axi = data[0, :, :, k]
+    sag = data[channel, i, :, :]
+    cor = data[channel, :, j, :]
+    axi = data[channel, :, :, k]
     return sag, cor, axi
+
+
+def _coordinates_to_indices(coordinates, affine_ras, shape_ras):
+    """World-mm point -> clipped RAS voxel indices (reference
+    ``visualization.py:514-531``). ``None`` components keep the
+    mid-volume slice."""
+    filled = [0.0 if c is None else float(c) for c in coordinates]
+    voxel = np.linalg.inv(affine_ras) @ np.array([*filled, 1.0])
+    return tuple(
+        s // 2 if c is None else int(np.clip(round(v), 0, s - 1))
+        for c, v, s in zip(coordinates, voxel[:3], shape_ras)
+    )
 
 
 def _label_cmap(num_labels: int):
@@ -149,6 +161,8 @@ def plot_image(
     axes=None,
     *,
     indices=None,
+    coordinates=None,
+    channel: int = 0,
     cmap: str | None = None,
     output_path: str | Path | None = None,
     show: bool = True,
@@ -165,6 +179,10 @@ def plot_image(
 
     Args:
         indices: (i, j, k) RAS voxel to slice at (default: mid-volume).
+        coordinates: world-mm (x, y, z) point to slice at (mutually
+            exclusive with ``indices``; ``None`` components keep the
+            mid-volume slice).
+        channel: which image channel to display.
         radiological: show the patient's left on the image right
             (coronal/axial panes flipped; ``False`` = neurological).
         units: tick labels in ``"mm"`` (world coordinates), ``"voxel"``,
@@ -179,9 +197,13 @@ def plot_image(
     is_label = isinstance(image, LabelMap)
     data, affine_ras = _reorient_ras_with_affine(image)
     shape_ras = data.shape[1:]
+    if coordinates is not None:
+        if indices is not None:
+            raise ValueError("Pass indices OR coordinates, not both")
+        indices = _coordinates_to_indices(coordinates, affine_ras, shape_ras)
     if indices is None:
         indices = tuple(s // 2 for s in shape_ras)
-    sag, cor, axi = _slices(data, indices)
+    sag, cor, axi = _slices(data, indices, channel)
     if axes is None:
         fig, axes = plt.subplots(1, 3, figsize=(10, 3.4))
     else:
@@ -239,26 +261,42 @@ def plot_subject(
     output_path: str | Path | None = None,
     show: bool = True,
     indices=None,
+    coordinates=None,
     crosshair: bool = False,
+    cmap_dict: dict[str, Any] | None = None,
+    title: str | None = None,
+    figsize: tuple[float, float] | None = None,
     **kwargs: Any,
 ) -> Any:
     """Grid of 3-plane views, one row per image in the subject.
 
-    All rows share the same slice ``indices`` (resolved in the FIRST
-    image's RAS voxel space and mapped through each image's affine), so
-    a ``crosshair=True`` intersection marks the same WORLD point in
-    every image — the reference's shared-crosshair subject grid.
+    All rows share the same slice point — given as RAS voxel ``indices``
+    or world-mm ``coordinates``, resolved in the FIRST image's space and
+    mapped through each image's affine — so a ``crosshair=True``
+    intersection marks the same WORLD point in every image (the
+    reference's shared-crosshair subject grid,
+    ``visualization.py:556-691``). ``cmap_dict`` overrides the colormap
+    per image name.
     """
     plt = _get_matplotlib()
     images = list(subject.images.items())
     if not images:
         raise RuntimeError("Subject has no images to plot")
     fig, axes = plt.subplots(
-        len(images), 3, figsize=(10, 3.4 * len(images)), squeeze=False
+        len(images),
+        3,
+        figsize=figsize or (10, 3.4 * len(images)),
+        squeeze=False,
     )
 
     # resolve the shared world point from the first image
     first_data, first_affine = _reorient_ras_with_affine(images[0][1])
+    if coordinates is not None:
+        if indices is not None:
+            raise ValueError("Pass indices OR coordinates, not both")
+        indices = _coordinates_to_indices(
+            coordinates, first_affine, first_data.shape[1:]
+        )
     if indices is None:
         indices = tuple(s // 2 for s in first_data.shape[1:])
     world = first_affine @ np.array([*indices, 1.0])
@@ -270,6 +308,9 @@ def plot_subject(
             int(np.clip(round(v), 0, s - 1))
             for v, s in zip(voxel[:3], _reorient_ras(image).shape[1:])
         )
+        row_kwargs = dict(kwargs)
+        if cmap_dict and name in cmap_dict:
+            row_kwargs["cmap"] = cmap_dict[name]
         plot_image(
             image,
             axes=axes[row],
@@ -277,7 +318,7 @@ def plot_subject(
             title=None,
             indices=img_indices,
             crosshair=crosshair,
-            **kwargs,
+            **row_kwargs,
         )
         axes[row][0].annotate(
             name,
@@ -291,6 +332,8 @@ def plot_subject(
             fontweight="bold",
             rotation=90,
         )
+    if title is not None:
+        fig.suptitle(title)
     fig.tight_layout()
     if output_path is not None:
         fig.savefig(output_path, dpi=120, bbox_inches="tight")
