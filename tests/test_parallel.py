@@ -495,17 +495,35 @@ def test_bench_mesh_smoke(monkeypatch, capsys):
 
 
 def test_sharded_blur_hlo_has_no_all_gather(mesh):
-    """Blur/antialias on a J-sharded batch: XLA's SPMD partitioner
-    inserts collective-permute halo exchanges for the separable convs —
-    never a full-volume all-gather. Pinned here so a lowering regression
-    can't silently reintroduce the >HBM-defeating gather (SURVEY §5.7)."""
+    """Blur/antialias on a J-sharded batch: the sharded J axis falls
+    back from the MXU band matmul (which GSPMD would satisfy by
+    all-gathering the volume) to the tap-slice form, which partitions
+    with collective-permute halos. Pinned on the compiled program so a
+    lowering regression can't silently reintroduce the >HBM-defeating
+    gather (SURVEY §5.7)."""
     from jax.sharding import NamedSharding, PartitionSpec
 
-    from torchio_tpu.ops.gaussian import gaussian_blur
+    from torchio_tpu.ops.gaussian import (
+        _blur_shared_kernel,
+        gaussian_blur,
+        gaussian_kernel_1d,
+        sharded_spatial_axes,
+    )
 
     sh = NamedSharding(mesh, PartitionSpec("data", None, None, "space", None))
     x = jax.device_put(jnp.ones((4, 1, 8, 32, 8), jnp.float32), sh)
-    f = jax.jit(lambda v: gaussian_blur(v, (1.5, 1.5, 1.5)), out_shardings=sh)
-    hlo = f.lower(x).compile().as_text()
+    # the eager dispatcher must route the sharded J axis to tap mode
+    assert sharded_spatial_axes(x) == (False, True, False)
+    out = gaussian_blur(x, (1.5, 1.5, 1.5))
+    assert out.shape == x.shape
+    # and the compiled per-axis program for that routing has no
+    # all-gather — only the halo collective-permute
+    taps = jnp.asarray(gaussian_kernel_1d(1.5, 5))
+    dummy = jnp.zeros((1, 1), jnp.float32)
+    hlo = (
+        _blur_shared_kernel.lower(x, dummy, taps, dummy, ("off", "tap", "off"))
+        .compile()
+        .as_text()
+    )
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo

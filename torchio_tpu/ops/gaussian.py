@@ -1,54 +1,43 @@
-"""Separable 3D Gaussian smoothing via XLA convolutions.
+"""Separable 3D Gaussian smoothing as MXU band-matrix matmuls.
 
 TPU-native replacement for the reference's depthwise ``F.conv3d`` path
 (``/root/reference/src/torchio/transforms/spatial/spatial.py:1980-2031``).
-Three 1D passes through ``lax.conv_general_dilated`` — XLA maps each to
-the MXU/VPU with the elementwise normalization fused.
+Each 1D pass is a banded ``(n, n)`` interpolation-matrix product along
+its axis — the same MXU trick as the separable resample
+(``ops/resample.py``), with the edge-replicated boundary folded into the
+matrix rows. Measured on v5e at 4x256^3 (BASELINE.md round-3 notes):
+
+- ``lax.conv_general_dilated`` with ``Precision.HIGHEST`` (the previous
+  form): ~143 ms — TPU lowers the exact grouped conv poorly;
+- fused tap-slice sums inside one jit: ~18 ms (bandwidth-bound VPU);
+- three band matmuls in one jit: **~2.4 ms** (the MXU eats the ~23x
+  FLOP inflation of the dense band and still wins an order of
+  magnitude).
+
+Sharding: contracting a mesh-partitioned axis would make GSPMD
+all-gather the volume, so axes that a ``NamedSharding`` partitions fall
+back to the tap-slice form, which partitions with collective-permute
+halos (test-pinned in ``tests/test_parallel.py``). The explicit
+``shard_map`` analog is :func:`torchio_tpu.parallel.halo.halo_blur`.
 
 Two variants:
-- :func:`gaussian_blur`: one sigma triplet for the whole batch (static
-  kernel taps baked at trace time).
-- :func:`gaussian_blur_per_element`: per-element sigma triplets as a
-  traced (B, 3) array; kernels are built on device with a static radius
-  derived from the *maximum* sigma so the jit signature stays static
+- :func:`gaussian_blur`: one sigma triplet for the whole batch (band
+  matrices built on host, passed as traced args — fresh random draws
+  reuse one executable per volume shape).
+- :func:`gaussian_blur_per_element`: per-element sigma triplets; the
+  per-element band matrices are assembled ON DEVICE from a static
+  shift-matrix basis, so the jit signature stays static
   (SURVEY.md §7.3 item 2: resolve dynamic extents at the trace boundary).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-
-
-def _conv_axis_shared(data, kernel_1d, axis: int):
-    """Convolve (B, C, I, J, K) along one spatial axis with a shared kernel."""
-    b, c = data.shape[:2]
-    ksize = kernel_1d.shape[0]
-    radius = (ksize - 1) // 2
-    # replicate-pad along the axis
-    pad = [(0, 0)] * 5
-    pad[2 + axis] = (radius, radius)
-    padded = jnp.pad(data, pad, mode="edge")
-    # merge batch and channel into the feature dim: feature-independent 1D conv
-    x = padded.reshape((b * c, 1) + padded.shape[2:])
-    kshape = [1, 1, 1, 1, 1]
-    kshape[2 + axis] = ksize
-    kernel = kernel_1d.reshape(kshape)
-    out = lax.conv_general_dilated(
-        x.astype(jnp.float32),
-        kernel.astype(jnp.float32),
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        # TPU convs default to single-pass bf16 (~2e-3 error measured);
-        # the kernel taps deserve true f32
-        precision=lax.Precision.HIGHEST,
-    )
-    return out.reshape((b, c) + out.shape[2:])
 
 
 def gaussian_kernel_1d(sigma: float, radius: int) -> np.ndarray:
@@ -61,47 +50,156 @@ def radius_for_sigma(sigma: float, truncate: float = 3.0) -> int:
     return max(int(np.ceil(truncate * sigma)), 1)
 
 
+def _band_matrix(kernel: np.ndarray, n: int) -> np.ndarray:
+    """(n, n) convolution matrix with edge replication folded in:
+    ``out[i] = sum_t kernel[t] * in[clip(i + t - r, 0, n-1)]``."""
+    radius = (len(kernel) - 1) // 2
+    rows = np.arange(n)
+    W = np.zeros((n, n), np.float32)
+    for t, w in enumerate(kernel):
+        np.add.at(W, (rows, np.clip(rows + t - radius, 0, n - 1)), float(w))
+    return W
+
+
+@lru_cache(maxsize=32)
+def _shift_basis(radius: int, n: int) -> np.ndarray:
+    """(2r+1, n, n) basis of edge-replicated shift matrices, so a
+    per-element band matrix is ``einsum('t,tij->ij', taps, basis)``."""
+    rows = np.arange(n)
+    basis = np.zeros((2 * radius + 1, n, n), np.float32)
+    for t in range(2 * radius + 1):
+        np.add.at(basis[t], (rows, np.clip(rows + t - radius, 0, n - 1)), 1.0)
+    return basis
+
+
+def sharded_spatial_axes(data) -> tuple[bool, bool, bool]:
+    """Which of the I/J/K axes a NamedSharding partitions (those axes
+    must not be matmul-contracted — GSPMD would all-gather the volume).
+
+    Only meaningful for concrete arrays; inside a trace the sharding is
+    not reliably visible and the matmul form is assumed (the public
+    call sites — Blur, antialias — are all eager).
+    """
+    if isinstance(data, jax.core.Tracer):
+        return (False, False, False)
+    try:
+        spec = getattr(getattr(data, "sharding", None), "spec", None)
+    except Exception:
+        return (False, False, False)
+    if spec is None or data.ndim != 5:
+        return (False, False, False)
+    padded = tuple(spec) + (None,) * (5 - len(spec))
+    return tuple(padded[2 + a] is not None for a in range(3))
+
+
+_AXIS_EINSUM = (
+    "bcijk,xi->bcxjk",
+    "bcijk,xj->bcixk",
+    "bcijk,xk->bcijx",
+)
+_AXIS_EINSUM_BATCHED = (
+    "bcijk,bxi->bcxjk",
+    "bcijk,bxj->bcixk",
+    "bcijk,bxk->bcijx",
+)
+
+
+def _tap_pass(out, taps, axis: int, ksize: int):
+    """Weighted sum of ``ksize`` edge-padded shifted slices. ``taps`` is
+    (ksize,) shared or (B, ksize) per-element."""
+    radius = (ksize - 1) // 2
+    extent = out.shape[2 + axis]
+    pad = [(0, 0)] * 5
+    pad[2 + axis] = (radius, radius)
+    padded = jnp.pad(out, pad, mode="edge")
+    per_element = taps.ndim == 2
+    acc = None
+    for t in range(ksize):
+        weight = (
+            taps[:, t].reshape(-1, 1, 1, 1, 1) if per_element else taps[t]
+        )
+        term = weight * lax.slice_in_dim(padded, t, t + extent, axis=2 + axis)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@partial(jax.jit, static_argnames=("modes",))
+def _blur_shared_kernel(data, wi, wj, wk, modes: tuple[str, str, str]):
+    """One pass per axis. ``modes[axis]``: 'off' | 'mm' (w = (n, n) band
+    matrix) | 'tap' (w = (ksize,) kernel taps, sharding-friendly)."""
+    out = data.astype(jnp.float32)
+    for axis, w in enumerate((wi, wj, wk)):
+        mode = modes[axis]
+        if mode == "off":
+            continue
+        if mode == "mm":
+            # exact f32 (TPU matmuls default to one bf16 pass, ~2e-3
+            # error — above the 1e-3 accuracy gate)
+            out = jnp.einsum(
+                _AXIS_EINSUM[axis], out, w, precision=lax.Precision.HIGHEST
+            )
+        else:
+            out = _tap_pass(out, w, axis, w.shape[0])
+    return out
+
+
 def gaussian_blur(data, sigmas, truncate: float = 3.0, radii=None):
     """Blur (B, C, I, J, K) or (C, I, J, K) with per-axis voxel sigmas.
 
     ``sigmas`` is a length-3 host array; axes with sigma <= 0 are skipped.
-    ``radii`` optionally fixes the per-axis kernel radius (e.g. from a
-    parameter-range UPPER bound) so randomly drawn sigmas reuse one
-    compiled executable instead of recompiling per kernel length; taps
-    beyond each sigma's own ceil(truncate*sigma) radius are zeroed, so
-    results are identical to the tight-kernel build.
+    ``radii`` optionally widens the per-axis kernel support (e.g. from a
+    parameter-range UPPER bound); taps beyond each sigma's own
+    ceil(truncate*sigma) stay zero, so results are identical either way
+    (and the band matrix absorbs the kernel length — the executable
+    never recompiles for a new draw).
     """
     data = jnp.asarray(data)
     unbatched = data.ndim == 4
     if unbatched:
         data = data[None]
-    out = data.astype(jnp.float32)
+    sharded = sharded_spatial_axes(data)
     sig = np.asarray(sigmas, np.float64).reshape(3)
+    args = []
+    modes = []
     for axis in range(3):
         s = float(sig[axis])
+        n = data.shape[2 + axis]
         if s <= 0:
+            args.append(jnp.zeros((1, 1), jnp.float32))
+            modes.append("off")
             continue
-        own = radius_for_sigma(s, truncate)
-        radius = own if radii is None else max(int(radii[axis]), own)
+        radius = radius_for_sigma(s, truncate)
+        if radii is not None:
+            radius = max(int(radii[axis]), radius)
         kernel = gaussian_kernel_1d(s, radius)
+        own = radius_for_sigma(s, truncate)
         if radius > own:  # zero padded taps; renormalize
             x = np.abs(np.arange(2 * radius + 1) - radius)
             kernel = np.where(x <= own, kernel, 0.0)
             kernel = kernel / kernel.sum()
-        out = _conv_axis_shared(out, jnp.asarray(kernel, jnp.float32), axis)
+        if sharded[axis]:
+            args.append(jnp.asarray(kernel, jnp.float32))
+            modes.append("tap")
+        else:
+            args.append(jnp.asarray(_band_matrix(kernel, n)))
+            modes.append("mm")
+    out = _blur_shared_kernel(data, *args, tuple(modes))
     out = out.astype(data.dtype)
     return out[0] if unbatched else out
 
 
-@partial(jax.jit, static_argnames=("radii",))
-def _blur_per_element_kernel(data, sigmas, radii: tuple[int, int, int]):
+@partial(jax.jit, static_argnames=("radii", "tap_axes"))
+def _blur_per_element_kernel(
+    data, sigmas, radii: tuple[int, int, int],
+    tap_axes: tuple[bool, bool, bool] = (False, False, False),
+):
     """data (B, C, I, J, K); sigmas (B, 3) traced; radii static per axis."""
-    b, c = data.shape[:2]
     out = data.astype(jnp.float32)
     for axis in range(3):
         radius = radii[axis]
         if radius == 0:
             continue
+        n = data.shape[2 + axis]
         ksize = 2 * radius + 1
         x = jnp.arange(ksize, dtype=jnp.float32) - radius
         sig_col = sigmas[:, axis][:, None]  # (B, 1)
@@ -116,25 +214,16 @@ def _blur_per_element_kernel(data, sigmas, radii: tuple[int, int, int]):
         ident = jnp.zeros(ksize, jnp.float32).at[radius].set(1.0)
         k = jnp.where(sig_col > 0, k, ident[None, :])
         k = k / jnp.sum(k, axis=1, keepdims=True)
-        pad = [(0, 0)] * 5
-        pad[2 + axis] = (radius, radius)
-        padded = jnp.pad(out, pad, mode="edge")
-        # grouped conv: one kernel per batch element, shared across channels.
-        # Layout: batch as channels of a single example.
-        x5 = padded.reshape((1, b * c) + padded.shape[2:])
-        kshape = [1, 1, 1]
-        kshape[axis] = ksize
-        kern = jnp.repeat(k, c, axis=0).reshape((b * c, 1, *kshape))
-        conv = lax.conv_general_dilated(
-            x5,
-            kern,
-            window_strides=(1, 1, 1),
-            padding="VALID",
-            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-            feature_group_count=b * c,
-            precision=lax.Precision.HIGHEST,
+        if tap_axes[axis]:
+            out = _tap_pass(out, k, axis, ksize)
+            continue
+        # per-element band matrices from the static shift basis; the
+        # batched matmul runs on the MXU like the shared path
+        basis = jnp.asarray(_shift_basis(radius, n))
+        w = jnp.einsum("bt,tij->bij", k, basis)
+        out = jnp.einsum(
+            _AXIS_EINSUM_BATCHED[axis], out, w, precision=lax.Precision.HIGHEST
         )
-        out = conv.reshape((b, c) + conv.shape[2:])
     return out
 
 
@@ -155,5 +244,10 @@ def gaussian_blur_per_element(data, sigmas, truncate: float = 3.0, radii=None):
     )
     if radii is not None:
         drawn = tuple(max(int(radii[a]), drawn[a]) for a in range(3))
-    out = _blur_per_element_kernel(data, jnp.asarray(sig, jnp.float32), drawn)
+    out = _blur_per_element_kernel(
+        data,
+        jnp.asarray(sig, jnp.float32),
+        drawn,
+        sharded_spatial_axes(data),
+    )
     return out.astype(data.dtype)
