@@ -169,18 +169,6 @@ struct BitReader {
         if (nbits < 16) fill();
         return (unsigned)((buf >> (nbits - 16)) & 0xFFFF);
     }
-    void align_and_skip_rst() {
-        // best-effort restart handling (rare in DICOM lossless): drop
-        // the partial byte; skip the RST marker when it sits at the
-        // byte cursor (fill() never advances past markers, so buffered
-        // whole bytes are always pre-marker stream data)
-        nbits -= nbits % 8;
-        buf &= nbits ? (1ull << nbits) - 1 : 0;
-        if (nbits == 0 && pos + 1 < n && data[pos] == 0xFF &&
-            data[pos + 1] >= 0xD0 && data[pos + 1] <= 0xD7) {
-            pos += 2;
-        }
-    }
 };
 
 static int extend(int value, int ssss) {
@@ -272,6 +260,10 @@ extern "C" int fn_jpegll_decode(const unsigned char* s, long long n,
             }
         } else if (marker == 0xDD) {
             restart = (seg[0] << 8) | seg[1];
+            // restart-interval streams are rare and need segment
+            // splitting; the Python decoder handles them correctly —
+            // bail so the caller falls back
+            if (restart) return -10;
         } else if (marker == 0xDA) {
             int ns = seg[0];
             if (ns != 1) return -5;
@@ -294,8 +286,6 @@ extern "C" int fn_jpegll_decode(const unsigned char* s, long long n,
     long long count = 0;
     for (int r = 0; r < height; ++r) {
         for (int c = 0; c < width; ++c) {
-            if (restart && count && count % restart == 0)
-                reader.align_and_skip_rst();
             unsigned key = reader.peek16();
             unsigned entry = fast[key];
             int len = entry >> 8;

@@ -421,13 +421,16 @@ class TestParserEdges:
         back, _ = read_dicom_dir(tmp_path)
         np.testing.assert_array_equal(back, data)
 
-    def test_decode_int_fallbacks(self):
-        from torchio_tpu.io.dicom import _decode_int
+    def test_decode_helpers(self):
+        from torchio_tpu.io.dicom import _decode_is, _decode_us
 
-        assert _decode_int(b"12 ", False) == 12
-        assert _decode_int(b"+", False) == 0  # int('+') fails -> binary, len<2
-        assert _decode_int(b"\x05\x00", False) == 5
-        assert _decode_int(b"\x00\x05", True) == 5
+        # binary US is NEVER sniffed as text: Rows=49 is b'1\x00'
+        assert _decode_us(b"1\x00", False) == 49
+        assert _decode_us(b"\x05\x00", False) == 5
+        assert _decode_us(b"\x00\x05", True) == 5
+        assert _decode_us(b"", False) == 0
+        assert _decode_is(b"12 ") == 12
+        assert _decode_is(b"+") == 0
 
     def test_rle_wrong_segment_count(self):
         import struct
@@ -574,3 +577,98 @@ class TestJpegLossless:
                 np.zeros((1, 2, 2, 1), np.int16),
                 compression="jpeg2000",
             )
+
+
+class TestReviewRegressions:
+    """Regressions for the round-3 code-review findings."""
+
+    def test_us_digit_bytes_not_text_sniffed(self, tmp_path):
+        """Rows=49 is stored as b'1\\x00'; it must decode as 49."""
+        import struct
+
+        from torchio_tpu.io.dicom import DicomSlice, _el
+
+        meta_body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        pixels = np.arange(49 * 50, dtype=np.uint16).reshape(49, 50)
+        tail = b"".join([
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 49)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 50)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+            _el(0x7FE0, 0x0010, b"OW", pixels.tobytes()),
+        ])
+        path = tmp_path / "digit.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + tail)
+        s = DicomSlice(path)
+        assert (s.rows, s.cols) == (49, 50)
+        np.testing.assert_array_equal(s.pixels, pixels)
+
+    def test_meta_parse_bounded_to_group_2(self, tmp_path):
+        """A DICM preamble with an IMPLICIT-VR dataset: the meta walk
+        must stop at group 0x0002 and not parse the dataset as
+        explicit VR (which previously could reject valid files)."""
+        import struct
+
+        from torchio_tpu.io.dicom import DicomSlice, _el
+
+        def imp(group, element, value):
+            return struct.pack("<HHI", group, element, len(value)) + value
+
+        meta_body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2")
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        pixels = np.arange(6, dtype=np.uint16).reshape(2, 3)
+        dataset = b"".join([
+            imp(0x0028, 0x0010, struct.pack("<H", 2)),
+            imp(0x0028, 0x0011, struct.pack("<H", 3)),
+            imp(0x0028, 0x0100, struct.pack("<H", 16)),
+            imp(0x0028, 0x0103, struct.pack("<H", 0)),
+            imp(0x7FE0, 0x0010, pixels.tobytes()),
+        ])
+        path = tmp_path / "implicit_with_meta.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + dataset)
+        s = DicomSlice(path)
+        np.testing.assert_array_equal(s.pixels, pixels)
+
+    def test_jpeg_lossless_restart_intervals(self):
+        from torchio_tpu import native
+        from torchio_tpu.io.jpeg_lossless import (
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 4000, (11, 17)).astype(np.uint16)
+        for interval in (7, 17, 50):
+            stream = encode_lossless_jpeg(img, restart_interval=interval)
+            # the native decoder declines restart streams (falls back)
+            assert native.jpegll_decode(stream) is None
+            np.testing.assert_array_equal(decode_lossless_jpeg(stream), img)
+
+    def test_writer_huffman_table_has_no_all_ones_code(self):
+        """T.81 Annex C reserves the all-1-bits codeword; the emitted
+        DHT must never assign it (strict decoders reject such tables)."""
+        import struct
+
+        from torchio_tpu.io.jpeg_lossless import encode_lossless_jpeg
+
+        stream = encode_lossless_jpeg(np.zeros((4, 4), np.uint16))
+        pos = 2
+        while pos + 4 <= len(stream):
+            marker = stream[pos + 1]
+            pos += 2
+            length = struct.unpack_from(">H", stream, pos)[0]
+            if marker == 0xC4:
+                bits = list(stream[pos + 3 : pos + 19])
+                code = 0
+                last16 = None
+                for level, count in enumerate(bits, start=1):
+                    for _ in range(count):
+                        if level == 16:
+                            last16 = code
+                        code += 1
+                    code <<= 1
+                assert last16 != 0xFFFF
+            if marker == 0xDA:
+                break
+            pos += length

@@ -619,3 +619,59 @@ class TestDeviceBatches:
         queue = self._queue(self._subjects(n=1))
         with pytest.raises(ValueError, match="batch_size"):
             next(queue.device_batches(batch_size=0))
+
+
+class TestDeviceBatchesReviewRegressions:
+    def test_over_capacity_subject_keeps_rings_aligned(self):
+        """patches_per_volume > max_length: voxel and metadata rings
+        must truncate identically (review finding: silent misalignment)."""
+        rng = np.random.default_rng(31)
+        base = rng.random((1, 10, 10, 10)).astype(np.float32)
+        seg = (base > 0.5).astype(np.int32)
+        subject = tio.Subject(
+            t1=tio.ScalarImage(jnp.asarray(base)),
+            seg=tio.LabelMap(jnp.asarray(seg)),
+        )
+        queue = tio.Queue(
+            [subject],
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            max_length=3,
+            patches_per_volume=8,
+            shuffle_subjects=False,
+        )
+        for batch in queue.device_batches(batch_size=3):
+            t1 = np.asarray(batch.images["t1"].data)
+            sg = np.asarray(batch.images["seg"].data)
+            # cross-image alignment proves voxels and slots line up
+            np.testing.assert_array_equal(sg, (t1 > 0.5).astype(np.int32))
+            # and each patch's affine matches its patch_location corner
+            for aff, loc in zip(
+                batch.images["t1"].affines, batch.metadata["patch_location"]
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(aff.data)[:3, 3],
+                    np.asarray(loc.index, np.float64),
+                )
+
+    def test_heterogeneous_subjects_rejected(self):
+        rng = np.random.default_rng(32)
+        s1 = tio.Subject(
+            t1=tio.ScalarImage(
+                jnp.asarray(rng.random((1, 8, 8, 8)).astype(np.float32))
+            )
+        )
+        s2 = tio.Subject(
+            t1=tio.ScalarImage(
+                jnp.asarray(rng.random((1, 8, 8, 8)).astype(np.float32))
+            ),
+            t2=tio.ScalarImage(
+                jnp.asarray(rng.random((1, 8, 8, 8)).astype(np.float32))
+            ),
+        )
+        queue = tio.Queue(
+            [s1, s2],
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            shuffle_subjects=False,
+        )
+        with pytest.raises(ValueError, match="same image names"):
+            list(queue.device_batches(batch_size=2))

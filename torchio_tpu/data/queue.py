@@ -224,6 +224,16 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
             )
             if not locations:
                 return 0
+            # keep voxel ring and metadata ring in lockstep: the buffer
+            # would truncate an over-capacity push to the LAST rows, so
+            # truncate the locations identically before pushing either
+            locations = locations[-capacity:]
+            if buffers and set(subject.images) != set(buffers):
+                raise ValueError(
+                    "device_batches needs every subject to carry the same"
+                    f" image names; first subject had {sorted(buffers)},"
+                    f" got {sorted(subject.images)}"
+                )
             corners = np.asarray([loc.index for loc in locations], np.int32)
             for name, img in subject.images.items():
                 data = jnp.asarray(img.data)

@@ -165,17 +165,22 @@ def _decode_ds(value: bytes) -> list[float]:
     return [float(v) for v in value.decode("ascii", "ignore").strip("\x00 ").split("\\") if v]
 
 
-def _decode_int(value: bytes, big: bool) -> int:
-    """US (binary) or IS (ascii) integer value."""
-    text = value.decode("ascii", "ignore").strip("\x00 ")
-    if text and all(c.isdigit() or c in "+-" for c in text):
-        try:
-            return int(text)
-        except ValueError:
-            pass
+def _decode_us(value: bytes, big: bool) -> int:
+    """Binary US value. NEVER sniffed as text: a 2-byte US whose bytes
+    happen to be ASCII digits (e.g. Rows=49 stored as b'1\\x00') must
+    decode as the binary 49, not the text 1."""
     if len(value) >= 2:
         return struct.unpack((">" if big else "<") + "H", value[:2])[0]
     return 0
+
+
+def _decode_is(value: bytes) -> int:
+    """ASCII IS value (e.g. NumberOfFrames)."""
+    text = value.decode("ascii", "ignore").strip("\x00 ")
+    try:
+        return int(text)
+    except ValueError:
+        return 0
 
 
 # --------------------------------------------------------------------------
@@ -300,18 +305,15 @@ def _decode_frames(tags: dict, syntax: str, rows, cols, n_frames, dtype, big):
     """(n_frames, rows, cols) pixel array from raw or encapsulated data."""
     if "pixel_fragments" in tags:
         fragments = tags["pixel_fragments"]
-        if n_frames > 1 and len(fragments) != n_frames:
-            # multiple fragments per frame only occur for single-frame
-            # in practice; concatenating is correct for JPEG streams
-            if n_frames == 1:
-                fragments = [b"".join(fragments)]
-            else:
-                raise ValueError(
-                    f"{len(fragments)} fragments for {n_frames} frames"
-                    " is not supported"
-                )
-        elif n_frames == 1 and len(fragments) > 1:
+        if n_frames == 1 and len(fragments) > 1:
+            # a single frame split across fragments: concatenating is
+            # correct for JPEG streams and RLE alike
             fragments = [b"".join(fragments)]
+        elif n_frames > 1 and len(fragments) != n_frames:
+            raise ValueError(
+                f"{len(fragments)} fragments for {n_frames} frames"
+                " is not supported"
+            )
         if syntax == RLE_LOSSLESS:
             frames = [
                 _decode_rle_frame(f, rows, cols, dtype) for f in fragments
@@ -351,26 +353,27 @@ class DicomSlice:
         raw = Path(path).read_bytes()
         syntax = ""
         if raw[128:132] == b"DICM":
-            # file meta group is always explicit VR little endian
-            meta, pos = _ElementParser(raw, True, False).parse(132, stop=None)
-            syntax = (
-                meta.get("transfer_syntax", b"")
-                .decode("ascii", "ignore")
-                .strip("\x00 ")
-            )
-            if syntax and syntax not in _SUPPORTED_SYNTAXES:
-                raise ValueError(
-                    f"Unsupported DICOM transfer syntax {syntax!r} (supported:"
-                    " little/big endian, RLE, JPEG baseline, JPEG 2000)"
-                )
-            # find the end of the meta group: walk until group != 0x0002
+            # Walk ONLY the file-meta group (always explicit VR little
+            # endian) — the main dataset may use another encoding, so
+            # parsing past group 0x0002 with the meta parser would
+            # misread lengths and can reject valid files.
             parser = _ElementParser(raw, True, False)
             pos = 132
+            transfer_syntax = b""
             while pos + 8 <= len(raw):
                 key, _vr, length, value_pos = parser._header(pos)
                 if key[0] != 0x0002:
                     break
+                if key == (0x0002, 0x0010):
+                    transfer_syntax = raw[value_pos : value_pos + length]
                 pos = value_pos + length
+            syntax = transfer_syntax.decode("ascii", "ignore").strip("\x00 ")
+            if syntax and syntax not in _SUPPORTED_SYNTAXES:
+                raise ValueError(
+                    f"Unsupported DICOM transfer syntax {syntax!r} (supported:"
+                    " little/big endian, RLE, JPEG lossless, JPEG baseline,"
+                    " JPEG 2000)"
+                )
             explicit = syntax != IMPLICIT_LITTLE
             big = syntax == EXPLICIT_BIG
             tags, _ = _ElementParser(raw, explicit, big).parse(pos)
@@ -378,11 +381,11 @@ class DicomSlice:
             big = False
             tags, _ = _ElementParser(raw, False, False).parse(0)
         self.syntax = syntax
-        self.rows = _decode_int(tags["rows"], big)
-        self.cols = _decode_int(tags["cols"], big)
-        self.num_frames = max(_decode_int(tags.get("num_frames", b"1"), big), 1)
-        bits = _decode_int(tags.get("bits_allocated", b"\x10\x00"), big)
-        signed = _decode_int(tags.get("pixel_representation", b"\x00\x00"), big)
+        self.rows = _decode_us(tags["rows"], big)
+        self.cols = _decode_us(tags["cols"], big)
+        self.num_frames = max(_decode_is(tags.get("num_frames", b"1")), 1)
+        bits = _decode_us(tags.get("bits_allocated", b"\x10\x00"), big)
+        signed = _decode_us(tags.get("pixel_representation", b"\x00\x00"), big)
         self.position = np.array(
             _decode_ds(tags.get("position", b"0\\0\\0")), np.float64
         )

@@ -8,8 +8,11 @@ format. The reference decodes it through SimpleITK's GDCM
 implements the needed subset natively:
 
 - decoder: single-component scans, any predictor 1-7, point transform,
-  restart intervals, byte stuffing (pure Python bit reader — correct
-  first; roughly 0.5 s per 512x512 16-bit slice),
+  restart intervals (the scan splits at RSTn markers into independent
+  segments, prediction reset to the T.81 default per segment; the
+  native C++ decoder declines restart streams and falls back here),
+  byte stuffing (pure Python bit reader — correct first; roughly
+  0.5 s per 512x512 16-bit slice),
 - encoder: selection-value-1 streams with a canonical per-category
   Huffman table (used by the DICOM writer's ``compression=
   "jpeg-lossless"`` option and the round-trip tests).
@@ -166,12 +169,21 @@ def decode_lossless_jpeg(stream: bytes) -> np.ndarray:
     if scan_start is None or precision is None:
         raise ValueError("Missing SOF3/SOS segments")
     table = tables[table_id]
-    reader = _BitReader(stream[scan_start:])
+    scan = stream[scan_start:]
+    # Restart intervals: the entropy-coded data between RSTn markers are
+    # independent segments (T.81 H.1.2.2) — split BEFORE bit-reading so
+    # the byte-lookahead of one segment can never swallow the marker or
+    # leak padding into the next, and reset the prediction to the
+    # default at each segment start.
+    if restart_interval:
+        segments = _split_restart_segments(scan)
+    else:
+        segments = [scan]
     out = np.zeros((height, width), np.int32)
     default = 1 << (precision - point_transform - 1)
 
-    def predict(r, c):
-        if r == 0 and c == 0:
+    def predict(r, c, fresh):
+        if fresh:  # first sample of scan/restart interval: T.81 default
             return default
         if r == 0:
             return int(out[r, c - 1])
@@ -196,27 +208,50 @@ def decode_lossless_jpeg(stream: bytes) -> np.ndarray:
             return (a + b) >> 1
         raise ValueError(f"Unsupported predictor {predictor}")
 
+    reader = _BitReader(segments[0])
+    segment_index = 0
     count = 0
     for r in range(height):
         for c in range(width):
+            fresh = count == 0
             if restart_interval and count and count % restart_interval == 0:
-                # byte-align + skip RSTn marker
-                reader.nbits -= reader.nbits % 8
-                if (
-                    reader.pos + 1 < len(reader.data)
-                    and reader.data[reader.pos] == 0xFF
-                    and 0xD0 <= reader.data[reader.pos + 1] <= 0xD7
-                ):
-                    reader.pos += 2
+                segment_index += 1
+                if segment_index >= len(segments):
+                    raise ValueError("Truncated restart-interval stream")
+                reader = _BitReader(segments[segment_index])
+                fresh = True
             key = reader.peek16()
             length, ssss = table[key]
             reader.read(length)
             diff = _extend(reader.read(ssss) if ssss < 16 else 0, ssss)
-            out[r, c] = (predict(r, c) + diff) & ((1 << 16) - 1)
+            out[r, c] = (predict(r, c, fresh) + diff) & ((1 << 16) - 1)
             count += 1
     mask = (1 << precision) - 1
     out &= mask
     return (out << point_transform).astype(np.uint16 if precision > 8 else np.uint8)
+
+
+def _split_restart_segments(scan: bytes) -> list[bytes]:
+    """Split entropy-coded data at RSTn markers (0xFFD0-0xFFD7),
+    respecting byte stuffing (0xFF 0x00 stays inside a segment)."""
+    segments: list[bytes] = []
+    start = 0
+    i = 0
+    n = len(scan)
+    while i + 1 < n:
+        if scan[i] == 0xFF:
+            nxt = scan[i + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(scan[start:i])
+                i += 2
+                start = i
+                continue
+            if nxt == 0x00:
+                i += 2
+                continue
+        i += 1
+    segments.append(scan[start:])
+    return segments
 
 
 # ---------------------------------------------------------------------------
@@ -247,21 +282,31 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def encode_lossless_jpeg(image: np.ndarray, precision: int | None = None) -> bytes:
-    """Encode a 2D uint8/uint16 array as JPEG lossless, predictor 1."""
+def encode_lossless_jpeg(
+    image: np.ndarray,
+    precision: int | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a 2D uint8/uint16 array as JPEG lossless, predictor 1.
+
+    ``restart_interval`` emits a DRI segment and RSTn markers every that
+    many samples (used to test the decoder's restart path; DICOM writers
+    leave it 0).
+    """
     image = np.asarray(image)
     if precision is None:
         precision = 16 if image.dtype.itemsize == 2 else 8
     height, width = image.shape
-    # canonical Huffman table for categories 0..16
+    # canonical Huffman table for categories 0..16. Category v gets
+    # length v+2 (capped at 16): the Kraft sum stays strictly below 1,
+    # so canonical assignment never emits the all-ones codeword —
+    # T.81 Annex C reserves it, and strict decoders (GDCM/dcmtk) may
+    # reject tables that use it. Costs one extra bit per sample.
     bits = [0] * 16
     values = list(range(17))
-    # assign code lengths: category i gets length i+1 (like the T.81
-    # typical DC table extended); build: one code per length 1..17 won't
-    # fit (max 16) — use 2 codes at length 16
     lengths = {}
     for v in values:
-        lengths[v] = min(v + 1, 16)
+        lengths[v] = min(v + 2, 16)
     for v, ln in lengths.items():
         bits[ln - 1] += 1
     # canonical code assignment in (length, value-order-within-length)
@@ -280,15 +325,25 @@ def encode_lossless_jpeg(image: np.ndarray, precision: int | None = None) -> byt
 
     writer = _BitWriter()
     default = 1 << (precision - 1)
-    prev_row = None
+    rst_index = 0
+    count = 0
     for r in range(height):
         for c in range(width):
-            if r == 0 and c == 0:
+            if restart_interval and count and count % restart_interval == 0:
+                writer.out = bytearray(writer.flush())
+                writer.acc = writer.n = 0
+                writer.out += bytes([0xFF, 0xD0 + rst_index])
+                rst_index = (rst_index + 1) % 8
+            fresh = count == 0 or (
+                restart_interval and count % restart_interval == 0
+            )
+            if fresh:
                 pred = default
             elif c == 0:
                 pred = int(image[r - 1, 0])
             else:
                 pred = int(image[r, c - 1])
+            count += 1
             diff = (int(image[r, c]) - pred) & 0xFFFF
             if diff >= 32768:
                 diff -= 65536
@@ -308,10 +363,16 @@ def encode_lossless_jpeg(image: np.ndarray, precision: int | None = None) -> byt
     sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([0x00, 0x11, 0x00])
     dht_payload = bytes([0x00]) + bytes(bits) + bytes(dht_values)
     sos = bytes([1, 0x00, 0x00, 1, 0, 0])  # 1 comp, table 0; Ss=1 Se=0 AhAl=0
+    dri = (
+        seg(DRI, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         bytes([0xFF, SOI])
         + seg(SOF3, sof)
         + seg(DHT, dht_payload)
+        + dri
         + seg(SOS, sos)
         + scan
         + bytes([0xFF, EOI])

@@ -102,12 +102,22 @@ class Normalize(IntensityTransform):
                     continue
                 bounds = in_ranges[name]
                 if isinstance(bounds, DeferredParam):
-                    # stats are still on device (no host pull yet):
-                    # consume the 0-d arrays inside the traced compute;
-                    # the zero-range guard becomes a where-select and
-                    # its warning fires at resolution (post-dispatch)
-                    deferred = bounds.device
-                    in_min, in_max = deferred[0], deferred[1]
+                    if jnp.issubdtype(
+                        jnp.asarray(img_batch.data).dtype, jnp.floating
+                    ):
+                        # stats are still on device (no host pull yet):
+                        # consume the 0-d arrays inside the traced
+                        # compute; the zero-range guard becomes a
+                        # where-select and its warning fires at
+                        # resolution (post-dispatch)
+                        deferred = bounds.device
+                        in_min, in_max = deferred[0], deferred[1]
+                    else:
+                        # integer images: the eager path's zero-range
+                        # no-op must preserve the original dtype, which
+                        # the traced where-select cannot — resolve now
+                        in_ranges[name] = bounds.resolve()
+                        in_min, in_max = in_ranges[name]
                 else:
                     in_min, in_max = bounds
             data = as_jnp(img_batch.data).astype(jnp.float32)

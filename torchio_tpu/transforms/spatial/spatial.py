@@ -1116,10 +1116,18 @@ def _apply_spatial_to_batch(
         img_batch.affines = new_affines
 
 
-def _antialias(data, input_affine: AffineMatrix, output_affine: AffineMatrix):
+def _resolved_antialias_sigmas(
+    input_affine: AffineMatrix, output_affine: AffineMatrix
+) -> np.ndarray:
+    """Per-axis antialias sigmas for an input->output space change (the
+    single source of truth for both the blur and its no-op predicate)."""
     in_sp = np.asarray(input_affine.spacing, np.float64)
     out_sp = np.asarray(output_affine.spacing, np.float64)
-    sigmas = _antialias_sigmas(out_sp / in_sp, in_sp)
+    return _antialias_sigmas(out_sp / in_sp, in_sp)
+
+
+def _antialias(data, input_affine: AffineMatrix, output_affine: AffineMatrix):
+    sigmas = _resolved_antialias_sigmas(input_affine, output_affine)
     if np.all(sigmas == 0):
         return data
     return gaussian_blur(data, sigmas)
@@ -1141,12 +1149,7 @@ def _resample_label_partial_volume(
     ``spatial.py:1275-1389``."""
     data_j = as_jnp(data)
     smoothing = antialias and not np.all(
-        _antialias_sigmas(
-            np.asarray(output_affine.spacing, np.float64)
-            / np.asarray(input_affine.spacing, np.float64),
-            np.asarray(input_affine.spacing, np.float64),
-        )
-        == 0
+        _resolved_antialias_sigmas(input_affine, output_affine) == 0
     )
     if (
         data_j.shape[1] == 1

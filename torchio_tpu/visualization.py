@@ -66,8 +66,15 @@ def _slices(data: np.ndarray, indices=None, channel: int = 0):
 def _coordinates_to_indices(coordinates, affine_ras, shape_ras):
     """World-mm point -> clipped RAS voxel indices (reference
     ``visualization.py:514-531``). ``None`` components keep the
-    mid-volume slice."""
-    filled = [0.0 if c is None else float(c) for c in coordinates]
+    mid-volume slice — substituted with the mid-volume WORLD coordinate
+    before inverting, so oblique affines (whose inverse mixes axes)
+    still map the specified components to the right voxels."""
+    mid_voxel = np.array([(s - 1) / 2 for s in shape_ras] + [1.0])
+    mid_world = affine_ras @ mid_voxel
+    filled = [
+        mid_world[a] if c is None else float(c)
+        for a, c in enumerate(coordinates)
+    ]
     voxel = np.linalg.inv(affine_ras) @ np.array([*filled, 1.0])
     return tuple(
         s // 2 if c is None else int(np.clip(round(v), 0, s - 1))
