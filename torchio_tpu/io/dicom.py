@@ -8,8 +8,9 @@ needed subset natively:
 - encapsulated (compressed) PixelData: RLE Lossless and JPEG Lossless
   (processes 14/SV1, the common clinical-CT syntax) decoded natively,
   JPEG baseline/extended and JPEG 2000 via Pillow when available,
-- single- and multi-frame files; series directories sorted by
-  ImagePositionPatient along the slice normal,
+- single- and multi-frame files, grayscale and RGB
+  (SamplesPerPixel 3, interleaved or planar); series directories
+  sorted by ImagePositionPatient along the slice normal,
 - LPS -> RAS affine construction and rescale slope/intercept.
 
 Writing (uncompressed explicit little endian, RLE-, or
@@ -29,6 +30,7 @@ _TAGS = {
     (0x0020, 0x0032): "position",  # ImagePositionPatient
     (0x0020, 0x0037): "orientation",  # ImageOrientationPatient
     (0x0028, 0x0002): "samples_per_pixel",
+    (0x0028, 0x0006): "planar_configuration",
     (0x0028, 0x0004): "photometric",
     (0x0028, 0x0008): "num_frames",
     (0x0028, 0x0010): "rows",
@@ -165,13 +167,14 @@ def _decode_ds(value: bytes) -> list[float]:
     return [float(v) for v in value.decode("ascii", "ignore").strip("\x00 ").split("\\") if v]
 
 
-def _decode_us(value: bytes, big: bool) -> int:
+def _decode_us(value: bytes | None, big: bool, default: int = 0) -> int:
     """Binary US value. NEVER sniffed as text: a 2-byte US whose bytes
     happen to be ASCII digits (e.g. Rows=49 stored as b'1\\x00') must
-    decode as the binary 49, not the text 1."""
-    if len(value) >= 2:
-        return struct.unpack((">" if big else "<") + "H", value[:2])[0]
-    return 0
+    decode as the binary 49, not the text 1. ``default`` is an INT so
+    absent tags decode identically under either endianness."""
+    if value is None or len(value) < 2:
+        return default
+    return struct.unpack((">" if big else "<") + "H", value[:2])[0]
 
 
 def _decode_is(value: bytes) -> int:
@@ -234,16 +237,20 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_rle_frame(frame: bytes, rows: int, cols: int, dtype) -> np.ndarray:
+def _decode_rle_frame(
+    frame: bytes, rows: int, cols: int, dtype, spp: int = 1
+) -> np.ndarray:
     """DICOM RLE Lossless: 64-byte header (segment count + offsets), one
-    PackBits-coded byte plane per segment, most significant plane first."""
+    PackBits-coded byte plane per segment — itemsize planes per sample
+    channel, most significant plane first, channels in order."""
     header = struct.unpack_from("<16I", frame, 0)
     nseg = header[0]
     offsets = list(header[1 : 1 + nseg])
     itemsize = np.dtype(dtype).itemsize
-    if nseg != itemsize:
+    if nseg != itemsize * spp:
         raise ValueError(
-            f"RLE frame has {nseg} segments for itemsize {itemsize}"
+            f"RLE frame has {nseg} segments for itemsize {itemsize} x"
+            f" {spp} samples/pixel"
         )
     count = rows * cols
     planes = []
@@ -252,13 +259,19 @@ def _decode_rle_frame(frame: bytes, rows: int, cols: int, dtype) -> np.ndarray:
         planes.append(
             np.frombuffer(_packbits_decode(frame[off:end], count), np.uint8)
         )
-    if itemsize == 1:
-        return planes[0].astype(dtype).reshape(rows, cols)
-    value = np.zeros(count, np.uint32)
-    for k, plane in enumerate(planes):  # MSB first
-        value |= plane.astype(np.uint32) << (8 * (itemsize - 1 - k))
-    unsigned = value.astype(f"<u{itemsize}")
-    return unsigned.view(dtype).reshape(rows, cols)
+    channels = []
+    for ch in range(spp):
+        chunk = planes[ch * itemsize : (ch + 1) * itemsize]
+        if itemsize == 1:
+            channels.append(chunk[0].astype(dtype).reshape(rows, cols))
+            continue
+        value = np.zeros(count, np.uint32)
+        for k, plane in enumerate(chunk):  # MSB first
+            value |= plane.astype(np.uint32) << (8 * (itemsize - 1 - k))
+        channels.append(
+            value.astype(f"<u{itemsize}").view(dtype).reshape(rows, cols)
+        )
+    return np.stack(channels, axis=-1)
 
 
 def _encode_rle_frame(pixels: np.ndarray) -> bytes:
@@ -284,7 +297,7 @@ def _encode_rle_frame(pixels: np.ndarray) -> bytes:
     return header + b"".join(segments)
 
 
-def _decode_pil_frame(frame: bytes, dtype) -> np.ndarray:
+def _decode_pil_frame(frame: bytes, dtype, spp: int = 1) -> np.ndarray:
     """JPEG baseline/extended and JPEG 2000 frames via Pillow."""
     try:
         import io as _io
@@ -296,13 +309,19 @@ def _decode_pil_frame(frame: bytes, dtype) -> np.ndarray:
         ) from e
     img = PILImage.open(_io.BytesIO(frame))
     arr = np.asarray(img)
-    if arr.ndim == 3:  # RGB-coded grayscale: take one channel
-        arr = arr[..., 0]
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[-1] > spp:  # e.g. RGB-coded grayscale: keep spp channels
+        arr = arr[..., :spp]
     return arr.astype(dtype, copy=False)
 
 
-def _decode_frames(tags: dict, syntax: str, rows, cols, n_frames, dtype, big):
-    """(n_frames, rows, cols) pixel array from raw or encapsulated data."""
+def _decode_frames(
+    tags: dict, syntax: str, rows, cols, n_frames, dtype, big, spp=1, planar=0
+):
+    """(n_frames, rows, cols, spp) pixel array from raw or encapsulated
+    data (``spp`` = SamplesPerPixel; RGB ultrasound/secondary captures
+    carry 3)."""
     if "pixel_fragments" in tags:
         fragments = tags["pixel_fragments"]
         if n_frames == 1 and len(fragments) > 1:
@@ -316,29 +335,35 @@ def _decode_frames(tags: dict, syntax: str, rows, cols, n_frames, dtype, big):
             )
         if syntax == RLE_LOSSLESS:
             frames = [
-                _decode_rle_frame(f, rows, cols, dtype) for f in fragments
+                _decode_rle_frame(f, rows, cols, dtype, spp) for f in fragments
             ]
         elif syntax in _NATIVE_JPEG_SYNTAXES:
+            if spp != 1:
+                raise ValueError(
+                    "JPEG Lossless color (SamplesPerPixel > 1) is not"
+                    " supported"
+                )
             from .jpeg_lossless import decode_lossless_jpeg
 
             frames = [
-                decode_lossless_jpeg(f).astype(dtype, copy=False)
+                decode_lossless_jpeg(f).astype(dtype, copy=False)[..., None]
                 for f in fragments
             ]
         else:
-            frames = [_decode_pil_frame(f, dtype) for f in fragments]
+            frames = [_decode_pil_frame(f, dtype, spp) for f in fragments]
         return np.stack(frames)
-    count = rows * cols * n_frames
+    count = rows * cols * n_frames * spp
     byte_order = ">" if big else "<"
     pixels = np.frombuffer(
         tags["pixel_data"],
         dtype=np.dtype(dtype).newbyteorder(byte_order),
         count=count,
-    )
-    return (
-        pixels.reshape(n_frames, rows, cols)
-        .astype(np.dtype(dtype).newbyteorder("="), copy=False)
-    )
+    ).astype(np.dtype(dtype).newbyteorder("="), copy=False)
+    if planar and spp > 1:
+        # planar configuration 1: all of channel 0, then channel 1, ...
+        frames = pixels.reshape(n_frames, spp, rows, cols)
+        return np.moveaxis(frames, 1, -1)
+    return pixels.reshape(n_frames, rows, cols, spp)
 
 
 # --------------------------------------------------------------------------
@@ -384,8 +409,8 @@ class DicomSlice:
         self.rows = _decode_us(tags["rows"], big)
         self.cols = _decode_us(tags["cols"], big)
         self.num_frames = max(_decode_is(tags.get("num_frames", b"1")), 1)
-        bits = _decode_us(tags.get("bits_allocated", b"\x10\x00"), big)
-        signed = _decode_us(tags.get("pixel_representation", b"\x00\x00"), big)
+        bits = _decode_us(tags.get("bits_allocated"), big, 16)
+        signed = _decode_us(tags.get("pixel_representation"), big, 0)
         self.position = np.array(
             _decode_ds(tags.get("position", b"0\\0\\0")), np.float64
         )
@@ -405,14 +430,25 @@ class DicomSlice:
             (16, 0): np.uint16, (16, 1): np.int16,
             (32, 0): np.uint32, (32, 1): np.int32,
         }[(bits, signed)]
+        self.samples_per_pixel = max(
+            _decode_us(tags.get("samples_per_pixel"), big, 1), 1
+        )
+        planar = _decode_us(tags.get("planar_configuration"), big, 0)
         self.frames = _decode_frames(
-            tags, syntax, self.rows, self.cols, self.num_frames, dtype, big
-        )  # (n_frames, rows, cols)
+            tags, syntax, self.rows, self.cols, self.num_frames, dtype, big,
+            self.samples_per_pixel, planar,
+        )  # (n_frames, rows, cols, samples_per_pixel)
 
     @property
     def pixels(self) -> np.ndarray:
-        """(rows, cols) — first frame (series files are single-frame)."""
-        return self.frames[0]
+        """(rows, cols) first frame, first channel (series files are
+        single-frame; RGB series go through ``channels``)."""
+        return self.frames[0, :, :, 0]
+
+    @property
+    def channels(self) -> np.ndarray:
+        """(samples_per_pixel, rows, cols) — first frame, all channels."""
+        return np.moveaxis(self.frames[0], -1, 0)
 
     def lps_affine(self) -> np.ndarray:
         """4x4 voxel (i=col, j=row, k=frame) -> LPS world map."""
@@ -449,8 +485,8 @@ def read_dicom_dir(directory) -> tuple[np.ndarray, np.ndarray]:
         raise ValueError(f"No readable DICOM slices found in {directory}")
     normal = np.cross(slices[0].row_dir, slices[0].col_dir)
     slices.sort(key=lambda s: float(np.dot(s.position, normal)))
-    volume = np.stack([s.pixels for s in slices])  # (k, row=j, col=i)
-    data = np.transpose(volume, (2, 1, 0))[None]  # (1, i, j, k)
+    volume = np.stack([s.channels for s in slices])  # (k, spp, row=j, col=i)
+    data = np.transpose(volume, (1, 3, 2, 0))  # (spp, i, j, k)
     first = slices[0]
     affine = first.lps_affine()
     if len(slices) > 1:
@@ -468,7 +504,8 @@ def read_dicom_file(path) -> tuple[np.ndarray, np.ndarray]:
     Returns ``(data_cijk, affine)`` with frames along k.
     """
     s = DicomSlice(Path(path))
-    data = np.transpose(s.frames, (2, 1, 0))[None]  # (1, i=col, j=row, k)
+    # (n_frames, rows, cols, spp) -> (spp, i=col, j=row, k=frame)
+    data = np.transpose(s.frames, (3, 2, 1, 0))
     if s.slope != 1.0 or s.intercept != 0.0:
         data = data.astype(np.float32) * s.slope + s.intercept
     affine = _LPS_TO_RAS @ s.lps_affine()
