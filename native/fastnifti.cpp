@@ -283,7 +283,6 @@ extern "C" int fn_jpegll_decode(const unsigned char* s, long long n,
     jpegll::BitReader reader{s + scan_start, n - scan_start};
     const int default_pred = 1 << (precision - point_transform - 1);
     const unsigned mask16 = 0xFFFF;
-    long long count = 0;
     for (int r = 0; r < height; ++r) {
         for (int c = 0; c < width; ++c) {
             unsigned key = reader.peek16();
@@ -317,7 +316,6 @@ extern "C" int fn_jpegll_decode(const unsigned char* s, long long n,
             }
             out[(long long)r * width + c] =
                 (unsigned short)(((unsigned)(pred + diff)) & mask16);
-            count++;
         }
     }
     // mask to precision and apply the point transform

@@ -775,3 +775,109 @@ class TestRgbDicom:
         data, _ = read_dicom_file(path)
         assert data.shape == (3, 6, 6, 1)
         np.testing.assert_allclose(data[:, 0, 0, 0], (100, 150, 200), atol=4)
+
+
+class TestYbrColor:
+    def test_ybr_full_uncompressed_converts_to_rgb(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import _el, _ybr_full_to_rgb, read_dicom_file
+
+        rng = np.random.default_rng(8)
+        ybr = rng.integers(0, 255, (4, 5, 3)).astype(np.uint8)
+        meta_body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        elements = b"".join([
+            _el(0x0028, 0x0002, b"US", struct.pack("<H", 3)),
+            _el(0x0028, 0x0004, b"CS", b"YBR_FULL"),
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 4)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 5)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+            _el(0x7FE0, 0x0010, b"OW", ybr.tobytes()),
+        ])
+        path = tmp_path / "ybr.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + elements)
+        data, _ = read_dicom_file(path)
+        expected = _ybr_full_to_rgb(ybr[None])[0]
+        for ch in range(3):
+            np.testing.assert_array_equal(data[ch, :, :, 0], expected[:, :, ch].T)
+
+    def test_unknown_ybr_variant_raises(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import DicomSlice, _el
+
+        meta_body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1")
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        elements = b"".join([
+            _el(0x0028, 0x0002, b"US", struct.pack("<H", 3)),
+            _el(0x0028, 0x0004, b"CS", b"YBR_PARTIAL_422"),
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 2)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 2)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+            _el(0x7FE0, 0x0010, b"OW", bytes(12)),
+        ])
+        path = tmp_path / "ybr422.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + elements)
+        with pytest.raises(ValueError, match="color space"):
+            DicomSlice(path)
+
+
+class TestPythonDecoderPath:
+    """Exercise the pure-Python JPEG-Lossless decoder explicitly (the
+    native library normally short-circuits it)."""
+
+    @pytest.fixture
+    def no_native(self, monkeypatch):
+        from torchio_tpu import native
+
+        monkeypatch.setattr(native, "jpegll_decode", lambda stream: None)
+
+    def test_python_decoder_all_paths(self, no_native):
+        from torchio_tpu.io.jpeg_lossless import (
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        rng = np.random.default_rng(9)
+        for dtype, hi in ((np.uint8, 250), (np.uint16, 4000)):
+            img = rng.integers(0, hi, (9, 11)).astype(dtype)
+            back = decode_lossless_jpeg(encode_lossless_jpeg(img))
+            np.testing.assert_array_equal(back, img)
+        # smooth (run-heavy) image exercises small-category codes
+        x = np.linspace(0, 1000, 32, dtype=np.uint16)
+        smooth = (x[None, :] + x[:, None]).astype(np.uint16)
+        np.testing.assert_array_equal(
+            decode_lossless_jpeg(encode_lossless_jpeg(smooth)), smooth
+        )
+
+    def test_python_decoder_errors(self, no_native):
+        from torchio_tpu.io.jpeg_lossless import decode_lossless_jpeg
+
+        with pytest.raises(ValueError, match="Not a JPEG"):
+            decode_lossless_jpeg(b"\x12\x34")
+        # SOI but no SOF3/SOS
+        with pytest.raises(ValueError, match="Missing SOF3/SOS"):
+            decode_lossless_jpeg(bytes([0xFF, 0xD8, 0xFF, 0xD9]))
+
+    def test_python_decoder_restart_stream(self, no_native):
+        from torchio_tpu.io.jpeg_lossless import (
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        rng = np.random.default_rng(10)
+        img = rng.integers(0, 3000, (7, 9)).astype(np.uint16)
+        stream = encode_lossless_jpeg(img, restart_interval=11)
+        np.testing.assert_array_equal(decode_lossless_jpeg(stream), img)
+
+    def test_dicom_jpeg_lossless_via_python_decoder(self, no_native, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_file, write_dicom
+
+        data = np.arange(2 * 4 * 5 * 3, dtype=np.int16).reshape(1, 4, 5, 6)
+        path = tmp_path / "py.dcm"
+        write_dicom(path, data, np.eye(4), compression="jpeg-lossless")
+        back, _ = read_dicom_file(path)
+        np.testing.assert_array_equal(back, data)

@@ -289,3 +289,17 @@ class TestHistogramLandmarkLoading:
         )
         out = tio.HistogramStandardization(lm)(subject)
         np.testing.assert_array_equal(np.asarray(out.seg.data), 1)
+
+
+def test_blur_per_element_honors_truncate(rng):
+    """truncate must change the per-element kernel support (review
+    finding: it was silently ignored)."""
+    import jax.numpy as jnp
+
+    from torchio_tpu.ops.gaussian import gaussian_blur_per_element
+
+    data = jnp.asarray(rng.normal(size=(1, 1, 1, 32, 1)).astype(np.float32))
+    sig = np.array([[0.0, 2.0, 0.0]])
+    out3 = np.asarray(gaussian_blur_per_element(data, sig, truncate=3.0))
+    out5 = np.asarray(gaussian_blur_per_element(data, sig, truncate=5.0))
+    assert np.abs(out3 - out5).max() > 0  # wider support -> different taps

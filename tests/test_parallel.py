@@ -518,10 +518,16 @@ def test_sharded_blur_hlo_has_no_all_gather(mesh):
     assert out.shape == x.shape
     # and the compiled per-axis program for that routing has no
     # all-gather — only the halo collective-permute
+    from torchio_tpu.ops.gaussian import _band_matrix
+
     taps = jnp.asarray(gaussian_kernel_1d(1.5, 5))
-    dummy = jnp.zeros((1, 1), jnp.float32)
+    kernel = gaussian_kernel_1d(1.5, 5)
+    wi = jnp.asarray(_band_matrix(kernel, 8))
+    wk = jnp.asarray(_band_matrix(kernel, 8))
+    # the EXACT mixed-mode program gaussian_blur dispatches for this
+    # input: mm on the unsharded I/K axes, tap on the sharded J axis
     hlo = (
-        _blur_shared_kernel.lower(x, dummy, taps, dummy, ("off", "tap", "off"))
+        _blur_shared_kernel.lower(x, wi, taps, wk, ("mm", "tap", "mm"))
         .compile()
         .as_text()
     )

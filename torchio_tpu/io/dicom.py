@@ -297,6 +297,21 @@ def _encode_rle_frame(pixels: np.ndarray) -> bytes:
     return header + b"".join(segments)
 
 
+def _ybr_full_to_rgb(frames: np.ndarray) -> np.ndarray:
+    """Full-range YCbCr -> RGB (DICOM PS3.3 C.7.6.3.1.2), uint8."""
+    f = frames.astype(np.float64)
+    y, cb, cr = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(frames.dtype)
+
+
 def _decode_pil_frame(frame: bytes, dtype, spp: int = 1) -> np.ndarray:
     """JPEG baseline/extended and JPEG 2000 frames via Pillow."""
     try:
@@ -434,10 +449,24 @@ class DicomSlice:
             _decode_us(tags.get("samples_per_pixel"), big, 1), 1
         )
         planar = _decode_us(tags.get("planar_configuration"), big, 0)
+        self.photometric = (
+            tags.get("photometric", b"").decode("ascii", "ignore").strip("\x00 ")
+        )
         self.frames = _decode_frames(
             tags, syntax, self.rows, self.cols, self.num_frames, dtype, big,
             self.samples_per_pixel, planar,
         )  # (n_frames, rows, cols, samples_per_pixel)
+        if self.samples_per_pixel == 3 and self.photometric.startswith("YBR"):
+            if syntax in _PIL_SYNTAXES:
+                pass  # Pillow already outputs RGB for YCbCr JPEG streams
+            elif self.photometric == "YBR_FULL":
+                self.frames = _ybr_full_to_rgb(self.frames)
+            else:
+                raise ValueError(
+                    f"Unsupported color space {self.photometric!r} for"
+                    " uncompressed/RLE pixel data (RGB and YBR_FULL are"
+                    " supported)"
+                )
 
     @property
     def pixels(self) -> np.ndarray:

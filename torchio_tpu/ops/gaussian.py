@@ -168,11 +168,9 @@ def gaussian_blur(data, sigmas, truncate: float = 3.0, radii=None):
             args.append(jnp.zeros((1, 1), jnp.float32))
             modes.append("off")
             continue
-        radius = radius_for_sigma(s, truncate)
-        if radii is not None:
-            radius = max(int(radii[axis]), radius)
-        kernel = gaussian_kernel_1d(s, radius)
         own = radius_for_sigma(s, truncate)
+        radius = own if radii is None else max(int(radii[axis]), own)
+        kernel = gaussian_kernel_1d(s, radius)
         if radius > own:  # zero padded taps; renormalize
             x = np.abs(np.arange(2 * radius + 1) - radius)
             kernel = np.where(x <= own, kernel, 0.0)
@@ -188,10 +186,11 @@ def gaussian_blur(data, sigmas, truncate: float = 3.0, radii=None):
     return out[0] if unbatched else out
 
 
-@partial(jax.jit, static_argnames=("radii", "tap_axes"))
+@partial(jax.jit, static_argnames=("radii", "tap_axes", "truncate"))
 def _blur_per_element_kernel(
     data, sigmas, radii: tuple[int, int, int],
     tap_axes: tuple[bool, bool, bool] = (False, False, False),
+    truncate: float = 3.0,
 ):
     """data (B, C, I, J, K); sigmas (B, 3) traced; radii static per axis."""
     out = data.astype(jnp.float32)
@@ -205,10 +204,10 @@ def _blur_per_element_kernel(
         sig_col = sigmas[:, axis][:, None]  # (B, 1)
         s = jnp.maximum(sig_col, 1e-9)
         k = jnp.exp(-0.5 * (x[None, :] / s) ** 2)  # (B, ksize)
-        # zero taps beyond each element's OWN radius ceil(3*sigma) so the
-        # batched kernel equals the one a single-element call would build
-        # (vectorization-equivalence contract)
-        own_radius = jnp.maximum(jnp.ceil(3.0 * sig_col), 1.0)
+        # zero taps beyond each element's OWN radius ceil(truncate*sigma)
+        # so the batched kernel equals the one a single-element call
+        # would build (vectorization-equivalence contract)
+        own_radius = jnp.maximum(jnp.ceil(truncate * sig_col), 1.0)
         k = jnp.where(jnp.abs(x)[None, :] <= own_radius, k, 0.0)
         # sigma == 0 -> identity kernel
         ident = jnp.zeros(ksize, jnp.float32).at[radius].set(1.0)
@@ -249,5 +248,6 @@ def gaussian_blur_per_element(data, sigmas, truncate: float = 3.0, radii=None):
         jnp.asarray(sig, jnp.float32),
         drawn,
         sharded_spatial_axes(data),
+        float(truncate),
     )
     return out.astype(data.dtype)

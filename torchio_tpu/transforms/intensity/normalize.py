@@ -116,8 +116,12 @@ class Normalize(IntensityTransform):
                         # integer images: the eager path's zero-range
                         # no-op must preserve the original dtype, which
                         # the traced where-select cannot — resolve now
+                        # (the finalizer already warns on a zero range,
+                        # so suppress the eager branch's duplicate)
                         in_ranges[name] = bounds.resolve()
                         in_min, in_max = in_ranges[name]
+                        if in_max - in_min == 0:
+                            continue
                 else:
                     in_min, in_max = bounds
             data = as_jnp(img_batch.data).astype(jnp.float32)

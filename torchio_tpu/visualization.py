@@ -69,7 +69,9 @@ def _coordinates_to_indices(coordinates, affine_ras, shape_ras):
     mid-volume slice — substituted with the mid-volume WORLD coordinate
     before inverting, so oblique affines (whose inverse mixes axes)
     still map the specified components to the right voxels."""
-    mid_voxel = np.array([(s - 1) / 2 for s in shape_ras] + [1.0])
+    # s // 2 (not (s-1)/2): must match the index the None component
+    # actually renders, else oblique inversions land half a voxel off
+    mid_voxel = np.array([float(s // 2) for s in shape_ras] + [1.0])
     mid_world = affine_ras @ mid_voxel
     filled = [
         mid_world[a] if c is None else float(c)
