@@ -279,9 +279,9 @@ class TestCompressedSyntaxes:
 
         from torchio_tpu.io.dicom import _el
 
-        meta_body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80")
+        meta_body = _el(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.100")
         meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
-        path = tmp_path / "jls.dcm"
+        path = tmp_path / "mpeg.dcm"
         path.write_bytes(b"\x00" * 128 + b"DICM" + meta)
         from torchio_tpu.io.dicom import DicomSlice
 

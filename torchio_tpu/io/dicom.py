@@ -55,16 +55,20 @@ JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
 JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
 J2K_LOSSLESS = "1.2.840.10008.1.2.4.90"
 J2K = "1.2.840.10008.1.2.4.91"
 
 #: Syntaxes whose PixelData is encapsulated in item fragments.
 _ENCAPSULATED = {
     RLE_LOSSLESS, JPEG_BASELINE, JPEG_EXTENDED,
-    JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1, J2K_LOSSLESS, J2K,
+    JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
+    JPEG_LS_LOSSLESS, JPEG_LS_NEAR, J2K_LOSSLESS, J2K,
 }
 _PIL_SYNTAXES = {JPEG_BASELINE, JPEG_EXTENDED, J2K_LOSSLESS, J2K}
 _NATIVE_JPEG_SYNTAXES = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1}
+_JPEG_LS_SYNTAXES = {JPEG_LS_LOSSLESS, JPEG_LS_NEAR}
 
 _SUPPORTED_SYNTAXES = {IMPLICIT_LITTLE, EXPLICIT_LITTLE, EXPLICIT_BIG} | _ENCAPSULATED
 
@@ -364,6 +368,20 @@ def _decode_frames(
                 decode_lossless_jpeg(f).astype(dtype, copy=False)[..., None]
                 for f in fragments
             ]
+        elif syntax in _JPEG_LS_SYNTAXES:
+            from .jpeg_ls import decode_jpeg_ls
+
+            frames = []
+            for f in fragments:
+                plane = decode_jpeg_ls(f).astype(dtype, copy=False)
+                if plane.ndim == 2:
+                    plane = plane[..., None]
+                if plane.shape[-1] != spp:
+                    raise ValueError(
+                        f"JPEG-LS frame has {plane.shape[-1]} components,"
+                        f" SamplesPerPixel says {spp}"
+                    )
+                frames.append(plane)
         else:
             frames = [_decode_pil_frame(f, dtype, spp) for f in fragments]
         return np.stack(frames)
@@ -411,8 +429,8 @@ class DicomSlice:
             if syntax and syntax not in _SUPPORTED_SYNTAXES:
                 raise ValueError(
                     f"Unsupported DICOM transfer syntax {syntax!r} (supported:"
-                    " little/big endian, RLE, JPEG lossless, JPEG baseline,"
-                    " JPEG 2000)"
+                    " little/big endian, RLE, JPEG lossless, JPEG-LS,"
+                    " JPEG baseline, JPEG 2000)"
                 )
             explicit = syntax != IMPLICIT_LITTLE
             big = syntax == EXPLICIT_BIG
@@ -671,10 +689,18 @@ def _write_dicom_file(
             frames.dtype.newbyteorder("<")
         ).tobytes()
         pixel_element = _el(0x7FE0, 0x0010, b"OW", pixel_bytes)
-    elif compression in ("rle", "jpeg-lossless"):
+    elif compression in ("rle", "jpeg-lossless", "jpeg-ls"):
         if compression == "rle":
             syntax = RLE_LOSSLESS
             encoded = [_encode_rle_frame(f) for f in frames]
+        elif compression == "jpeg-ls":
+            from .jpeg_ls import encode_jpeg_ls
+
+            syntax = JPEG_LS_LOSSLESS
+            encoded = [
+                encode_jpeg_ls(np.ascontiguousarray(f).view(f"u{f.dtype.itemsize}"))
+                for f in frames
+            ]
         else:
             from .jpeg_lossless import encode_lossless_jpeg
 
@@ -691,7 +717,7 @@ def _write_dicom_file(
     else:
         raise ValueError(
             f"Unsupported DICOM compression {compression!r}"
-            " (None, 'rle', or 'jpeg-lossless')"
+            " (None, 'rle', 'jpeg-lossless', or 'jpeg-ls')"
         )
 
     meta_body = b"".join(
@@ -768,7 +794,9 @@ def write_dicom(path, data, affine=None, *, compression: str | None = None) -> N
 
     Counterpart of the reference ``Image.save`` DICOM route (SimpleITK,
     ``/root/reference/src/torchio/data/image.py:699-753``), implemented
-    natively. ``compression='rle'`` encodes RLE Lossless.
+    natively. ``compression`` picks the transfer syntax: ``'rle'`` (RLE
+    Lossless), ``'jpeg-lossless'`` (process 14/SV1), or ``'jpeg-ls'``
+    (JPEG-LS Lossless, T.87).
     """
     path = Path(path)
     affine = np.eye(4) if affine is None else np.asarray(affine, np.float64)

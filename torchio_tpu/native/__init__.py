@@ -66,6 +66,23 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_longlong,
             ctypes.c_int,
         ]
+        if hasattr(lib, "fn_jls_decode"):
+            lib.fn_jls_info.restype = ctypes.c_int
+            lib.fn_jls_info.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.fn_jls_decode.restype = ctypes.c_int
+            lib.fn_jls_decode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_longlong,
+                ctypes.c_void_p,
+                ctypes.c_longlong,
+            ]
         if hasattr(lib, "fn_jpegll_decode"):
             lib.fn_jpegll_info.restype = ctypes.c_int
             lib.fn_jpegll_info.argtypes = [
@@ -132,6 +149,36 @@ def byteswap_inplace(arr: np.ndarray) -> np.ndarray:
         return arr.byteswap()
     lib.fn_byteswap(arr.ctypes.data, arr.size, arr.itemsize)
     return arr
+
+
+def jls_decode(stream: bytes) -> np.ndarray | None:
+    """Native JPEG-LS decode, or None (caller falls back to the
+    pure-Python decoder in :mod:`torchio_tpu.io.jpeg_ls`)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fn_jls_decode"):
+        return None
+    height = ctypes.c_int()
+    width = ctypes.c_int()
+    ncomp = ctypes.c_int()
+    precision = ctypes.c_int()
+    if lib.fn_jls_info(
+        stream, len(stream),
+        ctypes.byref(height), ctypes.byref(width),
+        ctypes.byref(ncomp), ctypes.byref(precision),
+    ):
+        return None
+    shape = (
+        (height.value, width.value)
+        if ncomp.value == 1
+        else (height.value, width.value, ncomp.value)
+    )
+    out = np.empty(shape, np.uint16)
+    rc = lib.fn_jls_decode(stream, len(stream), out.ctypes.data, out.size)
+    if rc != 0:
+        return None
+    if precision.value <= 8:
+        return out.astype(np.uint8)
+    return out
 
 
 def jpegll_decode(stream: bytes) -> np.ndarray | None:
