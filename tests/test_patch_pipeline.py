@@ -607,6 +607,56 @@ class TestDeviceBatches:
         batches = list(queue.device_batches(batch_size=4))
         assert len(batches) == 4
 
+    def test_host_subjects_staged_without_mutation(self):
+        """Host-resident (numpy) subjects ride the double-buffered
+        device_put stage: batches come out device-resident and correct,
+        and the user's subjects keep their original numpy data."""
+        import torchio_tpu as tio
+
+        rng = np.random.default_rng(5)
+        arrays = [rng.random((1, 12, 12, 12)).astype(np.float32) for _ in range(3)]
+        subjects = [tio.Subject(t1=tio.ScalarImage(a)) for a in arrays]
+        queue = self._queue(subjects, patches_per_volume=2)
+        batches = list(queue.device_batches(batch_size=2))
+        assert batches
+        for batch in batches:
+            assert isinstance(batch.images["t1"].data, jax.Array)
+            # every patch is a true sub-block of one source volume
+            for patch, loc in zip(
+                np.asarray(batch.images["t1"].data),
+                batch.metadata["patch_location"],
+            ):
+                i, j, k = (int(v) for v in loc.index)
+                found = any(
+                    np.array_equal(
+                        patch[0], a[0, i : i + 6, j : j + 6, k : k + 6]
+                    )
+                    for a in arrays
+                )
+                assert found
+        for subject, arr in zip(subjects, arrays):
+            assert isinstance(subject.t1.data, np.ndarray)
+            np.testing.assert_array_equal(subject.t1.data, arr)
+
+    def test_device_staged_is_one_ahead(self):
+        """The staging generator pulls subject i+1 (starting its
+        transfers) before subject i is handed to the consumer."""
+        from torchio_tpu.data.queue import Queue
+
+        events = []
+
+        def producer():
+            for i in range(3):
+                events.append(f"prep{i}")
+                yield self._subjects(n=1, with_label=False)[0]
+
+        for i, (subject, staged) in enumerate(
+            Queue._device_staged(producer())
+        ):
+            events.append(f"use{i}")
+            assert staged == {}  # already device-resident
+        assert events == ["prep0", "prep1", "use0", "prep2", "use1", "use2"]
+
     def test_multiple_epochs_and_small_totals(self):
         queue = self._queue(
             self._subjects(n=1, with_label=False), patches_per_volume=2

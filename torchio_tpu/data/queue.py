@@ -217,7 +217,7 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
         n_subjects = self.num_subjects
         total_batches = max(1, self.patches_per_epoch // batch_size)
 
-        def push_subject(subject: Subject) -> int:
+        def push_subject(subject: Subject, staged: dict[str, Any]) -> int:
             nonlocal cursor, filled
             locations = self.patch_sampler.sample_locations(
                 subject, self.patches_per_volume
@@ -236,7 +236,9 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
                 )
             corners = np.asarray([loc.index for loc in locations], np.int32)
             for name, img in subject.images.items():
-                data = jnp.asarray(img.data)
+                data = staged.get(name)
+                if data is None:
+                    data = jnp.asarray(img.data)
                 if name not in buffers:
                     buffers[name] = RingPatchBuffer(
                         capacity, (data.shape[0], *patch_size), data.dtype
@@ -284,8 +286,8 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
                 prepared = (
                     self._prepare(s) for s in self._make_subject_iter()
                 )
-            for subject in prepared:
-                push_subject(subject)
+            for subject, staged in self._device_staged(prepared):
+                push_subject(subject, staged)
                 seen += 1
                 target = total_batches * seen // n_subjects
                 while yielded < target and filled:
@@ -294,6 +296,37 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
             while yielded < total_batches and filled:
                 yield draw_batch()
                 yielded += 1
+
+    @staticmethod
+    def _device_staged(
+        prepared: Iterator[Subject],
+    ) -> Iterator[tuple[Subject, dict[str, Any]]]:
+        """Double-buffered host->device uploads: one-subject lookahead
+        that starts the NEXT subject's (async) ``device_put`` transfers
+        before the CURRENT subject's patch extraction is consumed, so
+        upload and extraction compute overlap. Subjects are not mutated
+        — staged device arrays ride alongside in a dict (empty for
+        images already on device)."""
+        import jax
+        import numpy as np
+
+        def stage(subject: Subject) -> tuple[Subject, dict[str, Any]]:
+            staged: dict[str, Any] = {}
+            for name, img in subject.images.items():
+                data = img.data
+                if not isinstance(data, jax.Array):
+                    staged[name] = jax.device_put(np.asarray(data))
+            return subject, staged
+
+        current = next(prepared, None)
+        if current is None:
+            return
+        current_pair = stage(current)
+        for upcoming in prepared:
+            upcoming_pair = stage(upcoming)  # transfers start now...
+            yield current_pair  # ...and overlap this extraction
+            current_pair = upcoming_pair
+        yield current_pair
 
     def _prefetched_subjects(self) -> Iterator[Subject]:
         """Subjects loaded+transformed by the worker pool, first one
