@@ -182,6 +182,7 @@ def config4() -> dict:
         out = roundtrip()
         return float(jnp.sum(out.images["t1"].data))
 
+    run()  # warmup: compile the reduction outside the timed loop
     t0 = time.time()
     for _ in range(ITERS):
         run()

@@ -1,0 +1,294 @@
+"""Bounded-offset windowed resample kernel (ops/window_resample.py).
+
+Runs the Pallas kernel in interpret mode on the CPU test mesh
+(TORCHIO_TPU_WINDOW_INTERPRET) and pins it against the exact gather
+path — same corner weights, same fill semantics, only f32 accumulation
+order differs. Mirrors the reference's elastic numerics
+(``/root/reference/src/torchio/transforms/spatial/spatial.py:2192-2266``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torchio_tpu as tio
+import torchio_tpu.config as config
+from torchio_tpu.ops.resample import resample_fused, resample_label_fused
+from torchio_tpu.ops.window_resample import (
+    MAX_BOUND,
+    window_bounds,
+    window_eligible,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+    # the gather comparisons assume exact-f32 corner rows; another test
+    # may have left the f16 opt-in enabled
+    monkeypatch.setenv("TORCHIO_TPU_GATHER16", "0")
+    yield
+
+
+def _gather_reference(data, matrices, cps, **kw):
+    """Run the production dispatch with the window kernel disabled."""
+    config.use_window_resample = False
+    try:
+        return resample_fused(data, matrices, cps, use_f16=False, **kw)
+    finally:
+        config.use_window_resample = None
+
+
+def _gather_reference_label(data, matrices, cps, **kw):
+    config.use_window_resample = False
+    try:
+        return resample_label_fused(data, matrices, cps, **kw)
+    finally:
+        config.use_window_resample = None
+
+
+class TestKernelEquality:
+    def test_matches_gather_path_with_fill(self):
+        rng = np.random.default_rng(0)
+        b, c, i, j, k = 2, 2, 16, 24, 20
+        data = rng.random((b, c, i, j, k), np.float32)
+        matrices = [np.eye(4)] * b
+        cps = [rng.uniform(-3.0, 3.0, (4, 5, 4, 3)) for _ in range(b)]
+        out_w = resample_fused(data, matrices, cps, fill=1.5)
+        out_g = _gather_reference(data, matrices, cps, fill=1.5)
+        np.testing.assert_allclose(
+            np.asarray(out_w), np.asarray(out_g), atol=2e-5
+        )
+
+    def test_zero_fill_skips_mask(self):
+        rng = np.random.default_rng(1)
+        data = rng.random((1, 1, 8, 8, 8), np.float32)
+        cps = [rng.uniform(-2.0, 2.0, (3, 3, 3, 3))]
+        out_w = resample_fused(data, [np.eye(4)], cps, fill=0.0)
+        out_g = _gather_reference(data, [np.eye(4)], cps, fill=0.0)
+        np.testing.assert_allclose(
+            np.asarray(out_w), np.asarray(out_g), atol=2e-5
+        )
+
+    def test_near_identity_affine_plus_elastic(self):
+        rng = np.random.default_rng(2)
+        data = rng.random((1, 1, 16, 16, 16), np.float32)
+        m = np.eye(4)
+        m[:3, 3] = [0.75, -1.25, 0.5]  # small translation
+        cps = [rng.uniform(-2.0, 2.0, (3, 3, 3, 3))]
+        assert window_eligible(
+            data.shape, (16, 16, 16), [m], cps, "linear"
+        )
+        out_w = resample_fused(data, [m], cps, fill=2.0)
+        out_g = _gather_reference(data, [m], cps, fill=2.0)
+        np.testing.assert_allclose(
+            np.asarray(out_w), np.asarray(out_g), atol=2e-5
+        )
+
+    def test_per_element_device_fill(self):
+        rng = np.random.default_rng(3)
+        b, c = 2, 1
+        data = rng.random((b, c, 8, 8, 8), np.float32)
+        cps = [rng.uniform(-2.5, 2.5, (3, 3, 3, 3)) for _ in range(b)]
+        fill = jnp.asarray([[5.0], [9.0]], jnp.float32)
+        out_w = resample_fused(data, [np.eye(4)] * b, cps, fill=fill)
+        out_g = _gather_reference(data, [np.eye(4)] * b, cps, fill=fill)
+        np.testing.assert_allclose(
+            np.asarray(out_w), np.asarray(out_g), atol=2e-5
+        )
+
+    def test_large_k_displacement_is_fine(self):
+        # k offsets don't bound eligibility: the lane-gather is fully
+        # per-element along k
+        rng = np.random.default_rng(4)
+        data = rng.random((1, 1, 8, 8, 32), np.float32)
+        cp = np.zeros((3, 3, 3, 3))
+        cp[..., 2] = rng.uniform(-20.0, 20.0, (3, 3, 3))
+        assert window_eligible(
+            data.shape, (8, 8, 32), [np.eye(4)], [cp], "linear"
+        )
+        out_w = resample_fused(data, [np.eye(4)], [cp], fill=0.5)
+        out_g = _gather_reference(data, [np.eye(4)], [cp], fill=0.5)
+        np.testing.assert_allclose(
+            np.asarray(out_w), np.asarray(out_g), atol=2e-5
+        )
+
+
+class TestLabelMode:
+    def test_matches_corner_vote_path(self):
+        rng = np.random.default_rng(5)
+        lab = rng.integers(0, 5, (2, 1, 16, 16, 12)).astype(np.int32)
+        cps = [rng.uniform(-3.0, 3.0, (3, 4, 3, 3)) for _ in range(2)]
+        out_w = resample_label_fused(lab, [np.eye(4)] * 2, cps, pad_label=7)
+        out_g = _gather_reference_label(
+            lab, [np.eye(4)] * 2, cps, pad_label=7
+        )
+        assert out_w.dtype == lab.dtype
+        np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
+
+    def test_exact_half_ties_pick_smallest_label(self):
+        # coordinates at exact .5 offsets produce 0.5/0.5 corner ties;
+        # both paths must break them identically (smallest label)
+        lab = np.arange(8 * 8 * 8).reshape(1, 1, 8, 8, 8).astype(np.int32) % 3
+        cp = np.full((2, 2, 2, 3), 0.5)
+        out_w = resample_label_fused(lab, [np.eye(4)], [cp], pad_label=0)
+        out_g = _gather_reference_label(lab, [np.eye(4)], [cp], pad_label=0)
+        np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
+
+
+class TestEligibility:
+    def test_affine_only_not_eligible(self):
+        shape = (1, 1, 16, 16, 16)
+        assert (
+            window_eligible(shape, (16, 16, 16), [np.eye(4)], [None], "linear")
+            is None
+        )
+
+    def test_large_rotation_not_eligible(self):
+        theta = np.deg2rad(30.0)
+        m = np.eye(4)
+        m[0, 0] = m[1, 1] = np.cos(theta)
+        m[0, 1] = -np.sin(theta)
+        m[1, 0] = np.sin(theta)
+        shape = (1, 1, 128, 128, 128)
+        cp = np.zeros((3, 3, 3, 3))
+        assert (
+            window_eligible(shape, (128, 128, 128), [m], [cp], "linear")
+            is None
+        )
+
+    def test_shape_change_not_eligible(self):
+        shape = (1, 1, 16, 16, 16)
+        cp = np.ones((3, 3, 3, 3))
+        assert (
+            window_eligible(shape, (16, 16, 8), [np.eye(4)], [cp], "linear")
+            is None
+        )
+
+    def test_non_multiple_of_8_not_eligible(self):
+        shape = (1, 1, 12, 16, 16)
+        cp = np.ones((3, 3, 3, 3))
+        assert (
+            window_eligible(shape, (12, 16, 16), [np.eye(4)], [cp], "linear")
+            is None
+        )
+
+    def test_k_over_128_not_eligible(self):
+        shape = (1, 1, 16, 16, 130)
+        cp = np.ones((3, 3, 3, 3))
+        assert (
+            window_eligible(shape, (16, 16, 130), [np.eye(4)], [cp], "linear")
+            is None
+        )
+
+    def test_nearest_mode_eligible_bspline_not(self):
+        shape = (1, 1, 16, 16, 16)
+        cp = np.ones((3, 3, 3, 3))
+        assert window_eligible(
+            shape, (16, 16, 16), [np.eye(4)], [cp], "nearest"
+        )
+        assert (
+            window_eligible(shape, (16, 16, 16), [np.eye(4)], [cp], "cubic")
+            is None
+        )
+
+    def test_config_disable(self):
+        shape = (1, 1, 16, 16, 16)
+        cp = np.ones((3, 3, 3, 3))
+        config.use_window_resample = False
+        try:
+            assert (
+                window_eligible(
+                    shape, (16, 16, 16), [np.eye(4)], [cp], "linear"
+                )
+                is None
+            )
+        finally:
+            config.use_window_resample = None
+
+    def test_bounds_math(self):
+        # identity + cp max 3.2 -> ceil + 1 = 5 on both axes
+        cp = np.zeros((2, 2, 2, 3))
+        cp[..., 0] = 3.2
+        cp[..., 1] = -2.1
+        assert window_bounds([np.eye(4)], [cp], (16, 16, 16)) == (5, 4)
+        # deviation beyond MAX_BOUND -> None
+        m = np.eye(4)
+        m[0, 3] = MAX_BOUND + 1
+        assert window_bounds([m], [None], (16, 16, 16)) is None
+
+
+class TestEndToEnd:
+    def test_elastic_transform_routes_through_window(self, monkeypatch):
+        import torchio_tpu.ops.window_resample as wr
+
+        calls = []
+        orig = wr.window_resample_fused
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(wr, "window_resample_fused", spy)
+        # the dispatch imports the symbol lazily from the module, so the
+        # monkeypatch is visible
+        tio.seed(0)
+        subject = tio.Subject(
+            t1=tio.ScalarImage(
+                np.random.default_rng(0).random((1, 16, 16, 16), np.float32)
+            )
+        )
+        elastic = tio.ElasticDeformation(
+            max_displacement=3.0, num_control_points=5
+        )
+        out = elastic(subject)
+        assert calls, "elastic did not dispatch to the window kernel"
+        assert out.t1.data.shape == (1, 16, 16, 16)
+
+    def test_elastic_window_matches_gather_end_to_end(self):
+        rng = np.random.default_rng(7)
+        data = rng.random((1, 16, 16, 16), np.float32)
+        subject = tio.Subject(t1=tio.ScalarImage(data))
+        elastic = tio.ElasticDeformation(
+            max_displacement=3.0, num_control_points=5
+        )
+        tio.seed(123)
+        out_w = np.asarray(elastic(subject).t1.data)
+        config.use_window_resample = False
+        try:
+            tio.seed(123)
+            out_g = np.asarray(elastic(subject).t1.data)
+        finally:
+            config.use_window_resample = None
+        np.testing.assert_allclose(out_w, out_g, atol=2e-5)
+
+
+class TestNearestMode:
+    def test_matches_gather_nearest(self):
+        rng = np.random.default_rng(8)
+        b, c = 2, 2
+        data = rng.random((b, c, 16, 16, 12), np.float32)
+        cps = [rng.uniform(-3.0, 3.0, (3, 4, 3, 3)) for _ in range(b)]
+        out_w = resample_fused(
+            data, [np.eye(4)] * b, cps, fill=2.5, mode="nearest"
+        )
+        out_g = _gather_reference(
+            data, [np.eye(4)] * b, cps, fill=2.5, mode="nearest"
+        )
+        np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
+
+    def test_half_integer_rounding_ties(self):
+        # round-half-to-even coordinates: both paths must round the same
+        data = np.arange(8 * 8 * 8, dtype=np.float32).reshape(1, 1, 8, 8, 8)
+        cp = np.full((2, 2, 2, 3), 0.5)
+        out_w = resample_fused(
+            data, [np.eye(4)], [cp], fill=0.0, mode="nearest"
+        )
+        out_g = _gather_reference(
+            data, [np.eye(4)], [cp], fill=0.0, mode="nearest"
+        )
+        np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))

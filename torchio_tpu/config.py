@@ -71,3 +71,22 @@ def gather16() -> bool:
     if use_gather16 is not None:
         return use_gather16
     return False
+
+
+# Bounded-offset windowed resample (Pallas). Exact f32 — identical
+# corner weights to the gather kernel, only accumulation order differs
+# (~1e-7 at 128^3) — and ~10x faster for elastic maps on TPU (v5e:
+# 4x128^3 elastic resample ~20 ms vs ~240 ms). Enabled by default when
+# a map qualifies (see ops.window_resample.window_eligible); disable
+# with TORCHIO_TPU_WINDOW=0 or torchio_tpu.config.use_window_resample
+# = False.
+use_window_resample: bool | None = None
+
+
+def window_resample() -> bool:
+    value = os.environ.get("TORCHIO_TPU_WINDOW")
+    if value is not None:
+        return value not in ("0", "false", "False", "")
+    if use_window_resample is not None:
+        return use_window_resample
+    return True

@@ -521,6 +521,19 @@ def resample_fused(
     out_spatial = tuple(
         int(s) for s in (out_shape if out_shape is not None else data.shape[-3:])
     )
+    from .window_resample import window_eligible, window_resample_fused
+
+    window = window_eligible(
+        data.shape, out_spatial, matrices, control_points, mode
+    )
+    if window is not None:
+        # bounded-offset elastic maps: the whole batch runs as ONE
+        # Pallas program at VPU rate instead of the per-index gather
+        padi, padj = window
+        return window_resample_fused(
+            data, matrices, control_points, fill_arr,
+            padi=padi, padj=padj, apply_fill=apply_fill, mode=mode,
+        )
     outs = []
     for bi in range(b):
         cp = control_points[bi]
@@ -657,6 +670,20 @@ def resample_label_fused(
     out_spatial = tuple(
         int(s) for s in (out_shape if out_shape is not None else data.shape[-3:])
     )
+    from .window_resample import (
+        window_eligible,
+        window_resample_label_fused,
+    )
+
+    window = window_eligible(
+        data.shape, out_spatial, matrices, control_points, "linear"
+    )
+    if window is not None:
+        padi, padj = window
+        return window_resample_label_fused(
+            data, matrices, control_points, pad_label,
+            padi=padi, padj=padj,
+        )
     outs = []
     for bi in range(data.shape[0]):
         m = jnp.asarray(np.asarray(matrices[bi], np.float64), jnp.float32)
