@@ -1,0 +1,222 @@
+"""Sheared-window resample kernel (ops/shear_resample.py).
+
+Interpret-mode equality against the exact gather dispatch for general
+affine maps (full 3-axis rotations, scales, translations) with and
+without elastic components, across single- and two-chunk K. Reference
+semantics: ``/root/reference/src/torchio/transforms/spatial/spatial.py``
+(grid_sample geometry) — pinned transitively through the gather path's
+golden tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import torchio_tpu.config as config
+from torchio_tpu.ops.resample import resample_fused, resample_label_fused
+from torchio_tpu.ops.shear_resample import (
+    ShearPlan,
+    shear_eligible,
+    shear_resample_fused,
+    shear_resample_label_fused,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+    monkeypatch.setenv("TORCHIO_TPU_GATHER16", "0")
+    yield
+
+
+def _rot(ax, ay, az, scale=1.0):
+    cx, sx = np.cos(ax), np.sin(ax)
+    cy, sy = np.cos(ay), np.sin(ay)
+    cz, sz = np.cos(az), np.sin(az)
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    m = np.eye(4)
+    m[:3, :3] = (rx @ ry @ rz) * scale
+    return m
+
+
+def _center(m, shape):
+    c = np.array(shape, np.float64) / 2
+    m[:3, 3] = c - m[:3, :3] @ c
+    return m
+
+
+def _gather(data, ms, cps, **kw):
+    config.use_window_resample = False
+    try:
+        return resample_fused(data, ms, cps, use_f16=False, **kw)
+    finally:
+        config.use_window_resample = None
+
+
+class TestShearEquality:
+    def test_full_rotation_with_fill(self):
+        rng = np.random.default_rng(0)
+        b, c, i, j, k = 2, 2, 16, 16, 40
+        data = rng.random((b, c, i, j, k), np.float32)
+        d = np.deg2rad(10)
+        ms = [
+            _center(_rot(d, -d / 2, d / 3), (i, j, k)),
+            _center(_rot(-d / 2, d, -d), (i, j, k)),
+        ]
+        cps = [None, None]
+        plan = shear_eligible(data.shape, (i, j, k), ms, cps, "linear")
+        assert plan is not None
+        out = shear_resample_fused(data, ms, cps, 1.5, plan)
+        ref = _gather(data, ms, cps, fill=1.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_two_chunk_k_rot_scale_elastic(self):
+        rng = np.random.default_rng(1)
+        b, c, i, j, k = 2, 1, 16, 16, 200
+        data = rng.random((b, c, i, j, k), np.float32)
+        d = np.deg2rad(8)
+        ms = []
+        for _ in range(b):
+            m = _rot(d / 2, d, -d / 2)
+            m[:3, :3] *= 1.05
+            ms.append(_center(m, (i, j, k)))
+        cps = [rng.uniform(-2, 2, (3, 3, 4, 3)) for _ in range(b)]
+        plan = shear_eligible(data.shape, (i, j, k), ms, cps, "linear")
+        assert plan is not None and plan.Kp == 256
+        out = shear_resample_fused(data, ms, cps, 0.5, plan)
+        ref = _gather(data, ms, cps, fill=0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_nearest_exact(self):
+        rng = np.random.default_rng(2)
+        data = rng.random((1, 1, 16, 16, 140), np.float32)
+        m = _center(_rot(0.1, -0.15, 0.12), (16, 16, 140))
+        cps = [rng.uniform(-1.5, 1.5, (3, 3, 3, 3))]
+        plan = shear_eligible(data.shape, (16, 16, 140), [m], cps, "nearest")
+        assert plan is not None
+        # fill=0.0 means NO fill pass (grid_sample zero-padding
+        # semantics) — match the gather reference's apply_fill
+        out = shear_resample_fused(
+            data, [m], cps, 0.0, plan, mode="nearest", apply_fill=False
+        )
+        ref = _gather(data, [m], cps, fill=0.0, mode="nearest")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_zero_fill_through_dispatch(self):
+        # the dispatch passes apply_fill through; fill=0 must reproduce
+        # the gather path's partial boundary sums exactly
+        rng = np.random.default_rng(9)
+        data = rng.random((1, 1, 16, 16, 128), np.float32)
+        m = np.eye(4)
+        m[0, 2] = 0.15
+        m = _center(m, (16, 16, 128))
+        out = resample_fused(data, [m], [None], fill=0.0, use_f16=False)
+        ref = _gather(data, [m], [None], fill=0.0)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_label_vote_exact(self):
+        rng = np.random.default_rng(3)
+        lab = rng.integers(0, 4, (2, 1, 16, 16, 40)).astype(np.int32)
+        d = np.deg2rad(9)
+        ms = [
+            _center(_rot(d, d / 3, -d / 2), (16, 16, 40)) for _ in range(2)
+        ]
+        cps = [rng.uniform(-2, 2, (3, 3, 3, 3)) for _ in range(2)]
+        plan = shear_eligible(lab.shape, (16, 16, 40), ms, cps, "linear")
+        assert plan is not None
+        out = shear_resample_label_fused(lab, ms, cps, 3, plan)
+        config.use_window_resample = False
+        try:
+            ref = resample_label_fused(lab, ms, cps, pad_label=3)
+        finally:
+            config.use_window_resample = None
+        assert out.dtype == lab.dtype
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_translation_folded_into_tables(self):
+        # a large translation rides in the shear tables, not the pad
+        rng = np.random.default_rng(4)
+        data = rng.random((1, 1, 16, 16, 24), np.float32)
+        m = np.eye(4)
+        m[:3, 3] = [11.0, -9.0, 5.0]
+        m[0, 2] = 0.1
+        cps = [None]
+        plan = shear_eligible(data.shape, (16, 16, 24), [m], cps, "linear")
+        assert plan is not None
+        assert plan.si[0][0] == 11 and plan.sj[0][0] == -9
+        out = shear_resample_fused(data, [m], cps, 2.0, plan)
+        ref = _gather(data, [m], cps, fill=2.0)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_dispatch_routes_general_affine(self, monkeypatch):
+        import torchio_tpu.ops.shear_resample as sr
+
+        calls = []
+        orig = sr.shear_resample_fused
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(sr, "shear_resample_fused", spy)
+        rng = np.random.default_rng(5)
+        data = rng.random((1, 1, 16, 16, 24), np.float32)
+        m = _center(_rot(0.15, 0.1, -0.12), (16, 16, 24))
+        out = resample_fused(data, [m], [None], fill=0.0, use_f16=False)
+        assert calls and out.shape == data.shape
+
+    def test_diagonal_map_keeps_separable_path(self, monkeypatch):
+        import torchio_tpu.ops.shear_resample as sr
+
+        calls = []
+        monkeypatch.setattr(
+            sr, "shear_resample_fused",
+            lambda *a, **k: calls.append(1) or None,
+        )
+        rng = np.random.default_rng(6)
+        data = rng.random((1, 1, 16, 16, 24), np.float32)
+        m = np.diag([2.0, 1.5, 0.5, 1.0])
+        resample_fused(data, [m], [None], fill=0.0, use_f16=False)
+        assert not calls
+
+
+class TestEligibility:
+    def test_k_over_256_rejected(self):
+        cp = np.ones((3, 3, 3, 3))
+        assert (
+            shear_eligible(
+                (1, 1, 16, 16, 257), (16, 16, 257), [np.eye(4)], [cp],
+                "linear",
+            )
+            is None
+        )
+
+    def test_huge_rotation_rejected(self):
+        m = _rot(1.2, 0.0, 0.0)  # ~70 degrees
+        assert (
+            shear_eligible(
+                (1, 1, 256, 256, 256), (256, 256, 256), [m], [None],
+                "linear",
+            )
+            is None
+        )
+
+    def test_plan_pads_cover_shear_tables(self):
+        m = _rot(0.17, 0.1, 0.0)
+        plan = ShearPlan([m], [None], (128, 128, 128))
+        assert plan.padi_g >= plan.pad_si
+        assert plan.padj_g >= plan.pad_sj
+        assert plan.pad_si % 4 == 0

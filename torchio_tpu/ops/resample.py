@@ -534,6 +534,27 @@ def resample_fused(
             data, matrices, control_points, fill_arr,
             padi=padi, padj=padj, apply_fill=apply_fill, mode=mode,
         )
+    if not any(
+        cp is None
+        and (
+            _diagonal_map(matrices[bi]) is not None
+            or _plane_map(matrices[bi]) is not None
+        )
+        for bi, cp in enumerate(control_points)
+    ):
+        # general affine (+elastic): the sheared window kernel beats the
+        # per-index gather ~3-4x (skipped when any element has a faster
+        # separable/plane decomposition)
+        from .shear_resample import shear_eligible, shear_resample_fused
+
+        plan = shear_eligible(
+            data.shape, out_spatial, matrices, control_points, mode
+        )
+        if plan is not None:
+            return shear_resample_fused(
+                data, matrices, control_points, fill_arr, plan,
+                mode=mode, apply_fill=apply_fill,
+            )
     outs = []
     for bi in range(b):
         cp = control_points[bi]
@@ -683,6 +704,18 @@ def resample_label_fused(
         return window_resample_label_fused(
             data, matrices, control_points, pad_label,
             padi=padi, padj=padj,
+        )
+    from .shear_resample import (
+        shear_eligible,
+        shear_resample_label_fused,
+    )
+
+    plan = shear_eligible(
+        data.shape, out_spatial, matrices, control_points, "linear"
+    )
+    if plan is not None:
+        return shear_resample_label_fused(
+            data, matrices, control_points, pad_label, plan
         )
     outs = []
     for bi in range(data.shape[0]):

@@ -1,0 +1,825 @@
+"""Sheared-window resample: the bounded-window kernel for GENERAL
+affine (+elastic) maps.
+
+:mod:`.window_resample` handles near-identity maps (elastic) — its
+joint (i, j) candidate loop costs O(per-tile offset range squared), and
+a rotation/scale's k-coupling (``in_i = m00*i + m01*j + m02*k + t``)
+makes offsets sweep ``|m02| * K`` across each 128-lane tile, exploding
+the loop. The fix is a change of variables: pre-shear the volume by the
+integer k-profile
+
+    V_shear[r, c, k] = V[r + si(k), c + sj(k), k],
+    si(k) = round(m02 * k),  sj(k) = round(m12 * k)
+
+so the kernel's residual offsets lose their k-coupling entirely and
+shrink to the in-tile scale/rotation terms (a few voxels). The window
+kernel then runs against ``V_shear`` with per-corner shear lookups
+(``si`` at ``floor(ck)`` and ``floor(ck)+1`` differ where the table
+steps) and per-tile slab BASES: the scalar-prefetched tile bounds feed
+the slab's index_map, so each tile DMAs only its locally active rows
+even though the global residual range (scale * extent) is large.
+
+The shear itself is a masked multi-shift (one pass per integer shift in
+the per-k-chunk range — shift tables are HOST-computed in float64;
+computing round(m02*k) in f32 in-kernel rounds differently at
+half-integer products, measured at k=50 for m02=0.17).
+
+k is never a constraint: the lane-gather resolves it per element, with
+a two-chunk select for K up to 256.
+
+Exactness: same corner weights as the gather kernel; only f32
+accumulation order differs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .window_resample import (
+    _build_batch_coords,
+    _offsets,
+    _stack_control_points,
+    _use_interpret,
+)
+
+#: v2 tile size: 16x16 halves the grid-step count vs the v1 kernel's
+#: 8x8 (the scalar-prefetch pipeline state lives in 1 MiB SMEM and
+#: scales with steps x inputs), at a modest in-tile-range cost
+TI = 16
+TJ = 16
+
+#: cost guard on the in-tile candidate range per axis (the loop uses
+#: exact per-tile bounds; this only sizes the static slab/clamp window)
+MAX_RANGE = 32
+#: memory guard on the global residual pad of the sheared volume
+MAX_PAD = 128
+
+
+# --------------------------------------------------------------------
+# pre-shear pass
+# --------------------------------------------------------------------
+
+def _shear_kernel(bnd_ref, vol_ref, table_ref, out_ref, *, pad_s):
+    """out (1, 8, J, 128) of the EXTENDED sheared volume: extended row
+    r' = orig + pad_s reads source-padded row r' + s (source pre-padded
+    by 2*pad_s) on lanes where table[k] == s."""
+    n = pl.program_id(0)
+    tk = pl.program_id(3)
+    s_lo = bnd_ref[n, tk, 0]
+    s_hi = bnd_ref[n, tk, 1]
+    nj = out_ref.shape[2]
+    s_of_k = jnp.broadcast_to(table_ref[0, 0:1, :], (8 * nj, 128))
+
+    def body(s, acc):
+        rows = vol_ref[0, pl.ds(s + pad_s, 8), :, :].reshape(8 * nj, 128)
+        return acc + (s_of_k == s).astype(jnp.float32) * rows
+
+    acc = jax.lax.fori_loop(
+        s_lo, s_hi + 1, body, jnp.zeros((8 * nj, 128), jnp.float32)
+    )
+    out_ref[0] = acc.reshape(8, nj, 128)
+
+
+def _round4(x: int) -> int:
+    return 4 * ((x + 3) // 4)
+
+
+def _shear_axis(vol, tables, chunk_bounds, pad_s):
+    """vol (N, I, J, Kp) -> out (N, I + 2*pad_s, J, Kp) with
+    out[n, r, j, k] = vol[n, r - pad_s + tables[n, k], j, k] (OOB zero).
+
+    The output is EXTENDED by pad_s rows each side: in the sheared
+    frame, real data lives at rows [-max(si), I + max(-si)) — the
+    window kernel reads those rows with nonzero weight near volume
+    edges. pad_s must be a multiple of 4 (8-divisible grid) and
+    >= max |shift|.
+    """
+    N, I, J, Kp = vol.shape
+    ntk = Kp // 128
+    i_ext = I + 2 * pad_s
+    vp = jnp.pad(vol, ((0, 0), (2 * pad_s, 2 * pad_s), (0, 0), (0, 0)))
+    nrows = 8 + 2 * pad_s
+    # tile J so the slab stays within VMEM at large shift ranges;
+    # tiles must divide J and be multiples of 8
+    budget = 4 * 1024 * 1024 // (nrows * 128 * 4)
+    tj_s = 8
+    for t in range(8 * (min(J, max(budget, 8)) // 8), 7, -8):
+        if J % t == 0:
+            tj_s = t
+            break
+    kern = functools.partial(_shear_kernel, pad_s=pad_s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N, i_ext // 8, J // tj_s, ntk),
+        in_specs=[
+            pl.BlockSpec(
+                (
+                    pl.Element(1),
+                    pl.Element(nrows),
+                    pl.Element(tj_s),
+                    pl.Element(128),
+                ),
+                lambda n, ti, tj, tk, *_: (n, ti * 8, tj * tj_s, tk * 128),
+            ),
+            pl.BlockSpec(
+                (1, 8, 128), lambda n, ti, tj, tk, *_: (n, 0, tk)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, tj_s, 128),
+            lambda n, ti, tj, tk, *_: (n, ti, tj, tk),
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((N, i_ext, J, Kp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(chunk_bounds, vp, tables)
+
+
+def shear_ij(vol, si_tables, sj_tables, si_chunk_bounds, sj_chunk_bounds,
+             pad_si, pad_sj):
+    """Apply the i-shear then the j-shear (transpose trick for j).
+    Pass None to skip an all-zero shear axis."""
+    out = vol
+    if pad_si is not None:
+        out = _shear_axis(out, si_tables, si_chunk_bounds, pad_si)
+    if pad_sj is not None:
+        out = out.transpose(0, 2, 1, 3)
+        out = _shear_axis(out, sj_tables, sj_chunk_bounds, pad_sj)
+        out = out.transpose(0, 2, 1, 3)
+    return out
+
+
+# --------------------------------------------------------------------
+# the sheared window kernel
+# --------------------------------------------------------------------
+
+def _table_lookup(table_ref, idx, ntk):
+    """Per-element lookup from a (1, 8, Kp) int32 table row; idx
+    (M, 128) in [0, Kp)."""
+    m = idx.shape[0]
+    t0 = jnp.broadcast_to(table_ref[0, 0:1, 0:128], (m, 128))
+    if ntk == 1:
+        return jnp.take_along_axis(t0, idx, axis=1)
+    t1 = jnp.broadcast_to(table_ref[0, 0:1, 128:256], (m, 128))
+    low = jnp.take_along_axis(t0, jnp.minimum(idx, 127), axis=1)
+    high = jnp.take_along_axis(t1, jnp.maximum(idx - 128, 0), axis=1)
+    return jnp.where(idx < 128, low, high)
+
+
+def _chunk_gather(rows_lo, rows_hi, idx):
+    """rows_lo/rows_hi (M, 128) f32 k-halves (rows_hi None when K <=
+    128); idx (M, 128) in [0, Kp). Lane-gather with a two-chunk
+    select."""
+    if rows_hi is None:
+        return jnp.take_along_axis(rows_lo, idx, axis=1)
+    low = jnp.take_along_axis(rows_lo, jnp.minimum(idx, 127), axis=1)
+    high = jnp.take_along_axis(rows_hi, jnp.maximum(idx - 128, 0), axis=1)
+    return jnp.where(idx < 128, low, high)
+
+
+def _kernel2(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, si_ref, sj_ref,
+             *vol_and_out, spatial, ntk, padi_g, padj_g, mode,
+             apply_fill, pad_label):
+    """One (TI, TJ, 128) output tile against the SHEARED slab.
+
+    The slab's index_map already positioned it at this tile's base
+    offsets (bnd[..., 0], bnd[..., 2]), so candidate r corresponds to
+    absolute offset lo + r and slab row slice [r, r + TI)."""
+    I, J, K = spatial
+    if ntk == 1:
+        vol_ref, out_ref = vol_and_out
+        vol_hi_ref = None
+    else:
+        vol_ref, vol_hi_ref, out_ref = vol_and_out
+    corners = mode == "corners"
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    tk = pl.program_id(3)
+
+    ci = ci_ref[0].reshape(TI * TJ, 128)
+    cj = cj_ref[0].reshape(TI * TJ, 128)
+    ck = ck_ref[0].reshape(TI * TJ, 128)
+
+    fi, fj, fk, mi0, mi1, mj0, mj1, mk0, mk1 = _offsets(
+        ci, cj, ck, spatial
+    )
+    kc0 = jnp.clip(fk, 0, K - 1)
+    kc1 = jnp.clip(fk + 1, 0, K - 1)
+
+    iout = jax.lax.broadcasted_iota(jnp.int32, (TI, TJ, 128), 0).reshape(
+        TI * TJ, 128) + ti * TI
+    jout = jax.lax.broadcasted_iota(jnp.int32, (TI, TJ, 128), 1).reshape(
+        TI * TJ, 128) + tj * TJ
+
+    # per-corner residual offsets in the SHEARED frame
+    si0 = _table_lookup(si_ref, kc0, ntk)
+    si1 = _table_lookup(si_ref, kc1, ntk)
+    sj0 = _table_lookup(sj_ref, kc0, ntk)
+    sj1 = _table_lookup(sj_ref, kc1, ntk)
+    fic = jnp.clip(fi, -1, I - 1)
+    fjc = jnp.clip(fj, -1, J - 1)
+
+    oi_lo = bnd_ref[b, ti, tj, tk, 0]
+    oi_hi = bnd_ref[b, ti, tj, tk, 1]
+    oj_lo = bnd_ref[b, ti, tj, tk, 2]
+    oj_hi = bnd_ref[b, ti, tj, tk, 3]
+
+    # residuals clamped into the tile's candidate window: zero-weight
+    # (out-of-bounds) corners may hold arbitrary clipped-minus-shear
+    # values and must not be able to match rows outside the slab
+    roi0 = jnp.clip(fic - si0 - iout, oi_lo, oi_hi)
+    roi1 = jnp.clip(fic - si1 - iout, oi_lo, oi_hi)
+    roj0 = jnp.clip(fjc - sj0 - jout, oj_lo, oj_hi)
+    roj1 = jnp.clip(fjc - sj1 - jout, oj_lo, oj_hi)
+
+    if mode == "nearest":
+        ri = jnp.round(ci).astype(jnp.int32)
+        rj = jnp.round(cj).astype(jnp.int32)
+        rk = jnp.round(ck).astype(jnp.int32)
+        valid = (
+            (ri >= 0) & (ri < I) & (rj >= 0) & (rj < J)
+            & (rk >= 0) & (rk < K)
+        ).astype(jnp.float32)
+        rkc = jnp.clip(rk, 0, K - 1)
+        sin = _table_lookup(si_ref, rkc, ntk)
+        sjn = _table_lookup(sj_ref, rkc, ntk)
+        # the rounded offset can land one past the floor-based hi (the
+        # candidate loop covers hi+1 for the +1 corner)
+        oin = jnp.clip(
+            jnp.clip(ri, 0, I - 1) - sin - iout, oi_lo, oi_hi + 1
+        )
+        ojn = jnp.clip(
+            jnp.clip(rj, 0, J - 1) - sjn - jout, oj_lo, oj_hi + 1
+        )
+
+    if corners:
+        init = (jnp.zeros((TI * TJ, 128), jnp.float32),) * 8
+    else:
+        init = (jnp.zeros((TI * TJ, 128), jnp.float32),)
+
+    # the slab's index_map aligned its base down to a multiple of 8;
+    # recover the intra-8 remainder with the same arithmetic
+    off_i = padi_g + ti * TI + oi_lo
+    rem_i = off_i - (off_i // 8) * 8
+    off_j = padj_g + tj * TJ + oj_lo
+    rem_j = off_j - (off_j // 8) * 8
+
+    def jbody(r_j, carry):
+        accs, r_i = carry
+        cio = oi_lo + r_i
+        cjo = oj_lo + r_j
+        rows = vol_ref[
+            0, pl.ds(rem_i + r_i, TI), pl.ds(rem_j + r_j, TJ), :
+        ].reshape(TI * TJ, 128)
+        rows_hi = None
+        if vol_hi_ref is not None:
+            rows_hi = vol_hi_ref[
+                0, pl.ds(rem_i + r_i, TI), pl.ds(rem_j + r_j, TJ), :
+            ].reshape(TI * TJ, 128)
+        if mode == "nearest":
+            ln = _chunk_gather(rows, rows_hi, rkc)
+            sel = ((oin == cio) & (ojn == cjo)).astype(jnp.float32)
+            return (accs[0] + sel * valid * ln,), r_i
+        l0 = _chunk_gather(rows, rows_hi, kc0)
+        l1 = _chunk_gather(rows, rows_hi, kc1)
+        if corners:
+            s000 = ((roi0 == cio) & (roj0 == cjo)).astype(jnp.float32)
+            s001 = ((roi1 == cio) & (roj1 == cjo)).astype(jnp.float32)
+            s010 = ((roi0 == cio) & (roj0 == cjo - 1)).astype(jnp.float32)
+            s011 = ((roi1 == cio) & (roj1 == cjo - 1)).astype(jnp.float32)
+            s100 = ((roi0 == cio - 1) & (roj0 == cjo)).astype(jnp.float32)
+            s101 = ((roi1 == cio - 1) & (roj1 == cjo)).astype(jnp.float32)
+            s110 = (
+                (roi0 == cio - 1) & (roj0 == cjo - 1)
+            ).astype(jnp.float32)
+            s111 = (
+                (roi1 == cio - 1) & (roj1 == cjo - 1)
+            ).astype(jnp.float32)
+            new = (
+                accs[0] + s000 * l0, accs[1] + s001 * l1,
+                accs[2] + s010 * l0, accs[3] + s011 * l1,
+                accs[4] + s100 * l0, accs[5] + s101 * l1,
+                accs[6] + s110 * l0, accs[7] + s111 * l1,
+            )
+        else:
+            m0 = (
+                jnp.where(roi0 == cio, mi0, 0.0)
+                + jnp.where(roi0 == cio - 1, mi1, 0.0)
+            ) * (
+                jnp.where(roj0 == cjo, mj0, 0.0)
+                + jnp.where(roj0 == cjo - 1, mj1, 0.0)
+            )
+            m1 = (
+                jnp.where(roi1 == cio, mi0, 0.0)
+                + jnp.where(roi1 == cio - 1, mi1, 0.0)
+            ) * (
+                jnp.where(roj1 == cjo, mj0, 0.0)
+                + jnp.where(roj1 == cjo - 1, mj1, 0.0)
+            )
+            new = (accs[0] + m0 * mk0 * l0 + m1 * mk1 * l1,)
+        return new, r_i
+
+    def ibody(r_i, accs):
+        accs, _ = jax.lax.fori_loop(
+            0, oj_hi - oj_lo + 2, jbody, (accs, r_i)
+        )
+        return accs
+
+    accs = jax.lax.fori_loop(0, oi_hi - oi_lo + 2, ibody, init)
+
+    if corners:
+        labs = accs
+        w = [
+            (mi0, mi1)[a] * (mj0, mj1)[bb] * (mk0, mk1)[cc]
+            for a in (0, 1)
+            for bb in (0, 1)
+            for cc in (0, 1)
+        ]
+        scores = []
+        for c in range(8):
+            s = jnp.zeros((TI * TJ, 128), jnp.float32)
+            for c2 in range(8):
+                s = s + w[c2] * (labs[c2] == labs[c]).astype(jnp.float32)
+            scores.append(s)
+        top = scores[0]
+        for c in range(1, 8):
+            top = jnp.maximum(top, scores[c])
+        winner = jnp.full((TI * TJ, 128), jnp.inf, jnp.float32)
+        for c in range(8):
+            winner = jnp.minimum(
+                winner, jnp.where(scores[c] == top, labs[c], jnp.inf)
+            )
+        wsum = w[0]
+        for c in range(1, 8):
+            wsum = wsum + w[c]
+        out = jnp.where(wsum > 0.5, winner, jnp.float32(pad_label))
+        out_ref[0] = out.reshape(TI, TJ, 128)
+    else:
+        acc = accs[0]
+        if apply_fill:
+            mask = (mi0 + mi1) * (mj0 + mj1) * (mk0 + mk1)
+            acc = jnp.where(mask > 0.5, acc, fill_ref[b])
+        out_ref[0] = acc.reshape(TI, TJ, 128)
+
+
+def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, padi_g,
+                  padj_g, maxr, reach_i, reach_j):
+    """Per-tile residual offset bounds in the sheared frame.
+
+    The kernel uses exact host tables for the shear; here the analytic
+    f32 form stands in with a +-1 widening (f32 and f64 rounding of
+    m*k can differ by one step). Conservative bounds only widen the
+    candidate loop; per-element masks keep exactness.
+    """
+    I, J, K = spatial
+    B = ci.shape[0]
+    nti, ntj = I // TI, J // TJ
+    ntk = ci.shape[-1] // 128
+    ii = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 2)
+    fi = jnp.clip(jnp.floor(ci).astype(jnp.int32), -1, I - 1)
+    fj = jnp.clip(jnp.floor(cj).astype(jnp.int32), -1, J - 1)
+    fk = jnp.floor(ck).astype(jnp.int32)
+    kc0 = jnp.clip(fk, 0, K - 1).astype(jnp.float32)
+    kc1 = jnp.clip(fk + 1, 0, K - 1).astype(jnp.float32)
+    m02c = m02[:, None, None, None]
+    m03c = m03[:, None, None, None]
+    m12c = m12[:, None, None, None]
+    m13c = m13[:, None, None, None]
+    si0 = jnp.round(m02c * kc0 + m03c).astype(jnp.int32)
+    si1 = jnp.round(m02c * kc1 + m03c).astype(jnp.int32)
+    sj0 = jnp.round(m12c * kc0 + m13c).astype(jnp.int32)
+    sj1 = jnp.round(m12c * kc1 + m13c).astype(jnp.int32)
+    # only corners with nonzero weight constrain the candidate window:
+    # a clipped out-of-bounds corner minus the shear lands ~|s| rows
+    # away and would blow the slab range (its weight is zero, so the
+    # kernel's residual clamp makes it harmless)
+    fi_raw = jnp.floor(ci).astype(jnp.int32)
+    fj_raw = jnp.floor(cj).astype(jnp.int32)
+    fk_raw = jnp.floor(ck).astype(jnp.int32)
+    vij = (
+        (fi_raw >= -1) & (fi_raw <= I - 1)
+        & (fj_raw >= -1) & (fj_raw <= J - 1)
+    )
+    v0 = vij & (fk_raw >= 0) & (fk_raw <= K - 1)
+    v1 = vij & (fk_raw + 1 >= 0) & (fk_raw + 1 <= K - 1)
+    big = jnp.int32(1 << 20)
+
+    def masked(x, valid, sentinel):
+        return jnp.where(valid, x, sentinel)
+
+    oi_min = jnp.minimum(
+        masked(fi - si0, v0, big), masked(fi - si1, v1, big)
+    ) - ii - 1
+    oi_max = jnp.maximum(
+        masked(fi - si0, v0, -big), masked(fi - si1, v1, -big)
+    ) - ii + 1
+    oj_min = jnp.minimum(
+        masked(fj - sj0, v0, big), masked(fj - sj1, v1, big)
+    ) - jj - 1
+    oj_max = jnp.maximum(
+        masked(fj - sj0, v0, -big), masked(fj - sj1, v1, -big)
+    ) - jj + 1
+
+    def tile_reduce(x, op):
+        t = x.reshape(B, nti, TI, ntj, TJ, ntk, 128)
+        return op(t, axis=(2, 4, 6))
+
+    lo_i = tile_reduce(oi_min, jnp.min)
+    hi_i = tile_reduce(oi_max, jnp.max)
+    lo_j = tile_reduce(oj_min, jnp.min)
+    hi_j = tile_reduce(oj_max, jnp.max)
+    # all-invalid tiles (entirely out of bounds): collapse to an empty
+    # one-candidate window
+    lo_i = jnp.minimum(lo_i, big // 2)
+    hi_i = jnp.maximum(jnp.minimum(hi_i, big // 2), lo_i)
+    lo_j = jnp.minimum(lo_j, big // 2)
+    hi_j = jnp.maximum(jnp.minimum(hi_j, big // 2), lo_j)
+    # clamp into the slab-reachable window: lo so the block start stays
+    # inside the padded array (reach = block extent beyond the tile),
+    # hi so hi - lo < maxr
+    lo_i = jnp.clip(lo_i, -padi_g, padi_g - reach_i)
+    hi_i = jnp.clip(hi_i, lo_i, lo_i + maxr - 2)
+    lo_j = jnp.clip(lo_j, -padj_g, padj_g - reach_j)
+    hi_j = jnp.clip(hi_j, lo_j, lo_j + maxr - 2)
+    return jnp.stack([lo_i, hi_i, lo_j, hi_j], axis=-1).astype(jnp.int32)
+
+
+def _pallas_window2(bounds, fill, vol_sheared_padded, ci, cj, ck,
+                    si_t, sj_t, *, spatial, padi_g, padj_g, maxr, mode,
+                    apply_fill, pad_label=0.0):
+    """vol (B, I+2padi_g, J+2padj_g, Kp); coords (B, I, J, Kp);
+    tables (B, 8, Kp); bounds (B, nti, ntj, ntk, 4)."""
+    I, J, K = spatial
+    B = ci.shape[0]
+    Kp = ci.shape[-1]
+    ntk = Kp // 128
+    nti, ntj = I // TI, J // TJ
+    nrows = TI + maxr + 7
+    ncols = 8 * ((TJ + maxr + 7 + 7) // 8)
+
+    kern = functools.partial(
+        _kernel2, spatial=spatial, ntk=ntk, padi_g=padi_g,
+        padj_g=padj_g, mode=mode, apply_fill=apply_fill,
+        pad_label=pad_label,
+    )
+    coord_spec = pl.BlockSpec(
+        (1, TI, TJ, 128), lambda b, ti, tj, tk, *_: (b, ti, tj, tk)
+    )
+    table_spec = pl.BlockSpec(
+        (1, 8, Kp), lambda b, ti, tj, tk, *_: (b, 0, 0)
+    )
+
+    def slab_map(b, ti, tj, tk, bnd, fl):
+        off_i = padi_g + ti * TI + bnd[b, ti, tj, tk, 0]
+        off_j = padj_g + tj * TJ + bnd[b, ti, tj, tk, 2]
+        return (
+            b,
+            pl.multiple_of((off_i // 8) * 8, 8),
+            pl.multiple_of((off_j // 8) * 8, 8),
+            0,
+        )
+
+    slab_spec = pl.BlockSpec(
+        (
+            pl.Element(1),
+            pl.Element(nrows),
+            pl.Element(ncols),
+            pl.Element(128),
+        ),
+        slab_map,
+    )
+    # the slab rides as 128-lane k-halves: Mosaic cannot prove dynamic
+    # sublane alignment for 256-lane 4D vector loads
+    if ntk == 1:
+        vols = (vol_sheared_padded,)
+        slab_specs = [slab_spec]
+    else:
+        vols = (
+            vol_sheared_padded[..., :128],
+            vol_sheared_padded[..., 128:],
+        )
+        slab_specs = [slab_spec, slab_spec]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nti, ntj, ntk),
+        in_specs=[
+            coord_spec,
+            coord_spec,
+            coord_spec,
+            table_spec,
+            table_spec,
+            *slab_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TI, TJ, 128), lambda b, ti, tj, tk, *_: (b, ti, tj, tk)
+        ),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, I, J, Kp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_use_interpret(),
+    )(bounds, fill, ci, cj, ck, si_t, sj_t, *vols)
+
+
+# --------------------------------------------------------------------
+# host-side planning
+# --------------------------------------------------------------------
+
+class ShearPlan:
+    """Static (shape-defining) and per-call host data for the sheared
+    window pipeline."""
+
+    def __init__(self, matrices, control_points, spatial):
+        I, J, K = spatial
+        self.spatial = spatial
+        self.Kp = 128 * ((K + 127) // 128)
+        ks = np.arange(self.Kp, dtype=np.float64)
+        si_list, sj_list = [], []
+        res_i = res_j = 0.0
+        tile_i = tile_j = 0.0
+        for m, cp in zip(matrices, control_points):
+            m = np.asarray(m, np.float64)
+            # fold the constant translation into the tables: it is
+            # then absorbed by the shear instead of the global pad
+            si = np.round(m[0, 2] * ks + m[0, 3]).astype(np.int32)
+            sj = np.round(m[1, 2] * ks + m[1, 3]).astype(np.int32)
+            si_list.append(si)
+            sj_list.append(sj)
+            cpi = cpj = 0.0
+            if cp is not None:
+                cpa = np.asarray(cp, np.float64)
+                if cpa.size:
+                    cpi = float(np.max(np.abs(cpa[..., 0])))
+                    cpj = float(np.max(np.abs(cpa[..., 1])))
+            # global residual bound (sheared frame)
+            kres_i = float(np.max(np.abs(m[0, 2] * ks + m[0, 3] - si)))
+            kres_j = float(np.max(np.abs(m[1, 2] * ks + m[1, 3] - sj)))
+            ri = (
+                abs(m[0, 0] - 1.0) * (I - 1)
+                + abs(m[0, 1]) * (J - 1)
+                + kres_i + cpi
+            )
+            rj = (
+                abs(m[1, 0]) * (I - 1)
+                + abs(m[1, 1] - 1.0) * (J - 1)
+                + kres_j + cpj
+            )
+            res_i = max(res_i, ri)
+            res_j = max(res_j, rj)
+            # in-tile range bound (+1 shear table step, +1 floor, +-1
+            # analytic-vs-table margin in _tile_bounds2)
+            tile_i = max(
+                tile_i,
+                abs(m[0, 0] - 1.0) * (TI - 1)
+                + abs(m[0, 1]) * (TJ - 1)
+                + 2 * kres_i + 2 * cpi + 4,
+            )
+            tile_j = max(
+                tile_j,
+                abs(m[1, 0]) * (TI - 1)
+                + abs(m[1, 1] - 1.0) * (TJ - 1)
+                + 2 * kres_j + 2 * cpj + 4,
+            )
+        self.si = np.stack(si_list)
+        self.sj = np.stack(sj_list)
+        # BUCKET every shape-defining value: the statics must not vary
+        # with the random parameter draw, or every pipeline iteration
+        # recompiles (maxr to multiples of 4; pads to multiples of 16)
+        def up(x, q):
+            return q * ((int(x) + q - 1) // q)
+
+        self.maxr = up(int(np.ceil(max(tile_i, tile_j))) + 2, 4)
+        pad_si = up(int(max(np.max(np.abs(np.stack(si_list))), 1)), 8)
+        pad_sj = up(int(max(np.max(np.abs(np.stack(sj_list))), 1)), 8)
+        self.pad_si = pad_si
+        self.pad_sj = pad_sj
+        self.padi_g = up(
+            max(int(np.ceil(res_i)) + self.maxr + 10, pad_si), 16
+        )
+        self.padj_g = up(
+            max(int(np.ceil(res_j)) + self.maxr + 18, pad_sj), 16
+        )
+        ntk = self.Kp // 128
+        self.si_chunk = np.stack(
+            [
+                np.stack(
+                    [t.reshape(ntk, 128).min(1), t.reshape(ntk, 128).max(1)],
+                    axis=1,
+                )
+                for t in self.si
+            ]
+        ).astype(np.int32)
+        self.sj_chunk = np.stack(
+            [
+                np.stack(
+                    [t.reshape(ntk, 128).min(1), t.reshape(ntk, 128).max(1)],
+                    axis=1,
+                )
+                for t in self.sj
+            ]
+        ).astype(np.int32)
+        self.need_sj = bool(np.any(self.sj != 0))
+        self.need_si = bool(np.any(self.si != 0))
+
+    @property
+    def ok(self) -> bool:
+        return (
+            self.maxr <= MAX_RANGE
+            and self.padi_g <= MAX_PAD
+            and self.padj_g <= MAX_PAD
+        )
+
+
+def shear_eligible(data_shape, out_spatial, matrices, control_points,
+                   mode: str):
+    """Dispatch decision: a :class:`ShearPlan` or None."""
+    import os
+
+    from ..config import window_resample as enabled
+
+    if not enabled():
+        return None
+    if mode not in ("linear", "nearest"):
+        return None
+    if jax.default_backend() != "tpu" and not os.environ.get(
+        "TORCHIO_TPU_WINDOW_INTERPRET"
+    ):
+        return None
+    b, c, I, J, K = data_shape
+    if tuple(out_spatial) != (I, J, K):
+        return None
+    if I % TI or J % TJ or K > 256 or I < 2 or J < 2 or K < 2:
+        return None
+    plan = ShearPlan(matrices, control_points, (I, J, K))
+    if not plan.ok:
+        return None
+    return plan
+
+
+# --------------------------------------------------------------------
+# fused wrappers
+# --------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spatial", "padi_g", "padj_g", "maxr", "pad_si", "pad_sj",
+        "need_si", "need_sj", "has_cp", "apply_fill", "mode",
+        "pad_label",
+    ),
+)
+def _shear_resample_impl(
+    data, matrices, control_points, fill, si_t, sj_t, si_chunk, sj_chunk,
+    *, spatial, padi_g, padj_g, maxr, pad_si, pad_sj, need_si, need_sj,
+    has_cp, apply_fill, mode, pad_label,
+):
+    B, C, I, J, K = data.shape
+    Kp = si_t.shape[-1]
+    ci, cj, ck = _build_batch_coords(
+        matrices, control_points if has_cp else None, spatial
+    )
+    if Kp != K:
+        # replicate the last real k-lane: zero-padded coords would
+        # poison the per-tile candidate bounds with huge fake offsets
+        pad = ((0, 0), (0, 0), (0, 0), (0, Kp - K))
+        ci = jnp.pad(ci, pad, mode="edge")
+        cj = jnp.pad(cj, pad, mode="edge")
+        ck = jnp.pad(ck, pad, mode="edge")
+    nrows = TI + maxr + 7
+    ncols = 8 * ((TJ + maxr + 7 + 7) // 8)
+    bounds = _tile_bounds2(
+        ci, cj, ck,
+        matrices[:, 0, 2], matrices[:, 0, 3],
+        matrices[:, 1, 2], matrices[:, 1, 3],
+        spatial, padi_g, padj_g, maxr, nrows - TI, ncols - TJ,
+    )
+    vol = data.astype(jnp.float32)
+    if Kp != K:
+        vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Kp - K)))
+    # shear all (B, C) volumes with per-element tables; the sheared
+    # volume comes back EXTENDED by (pad_si, pad_sj) on the sheared axes
+    voln = vol.reshape(B * C, I, J, Kp)
+    rep = lambda t: jnp.repeat(t, C, axis=0)
+    ext_i = pad_si if need_si else 0
+    ext_j = pad_sj if need_sj else 0
+    sheared = shear_ij(
+        voln,
+        rep(si_t), rep(sj_t), rep(si_chunk), rep(sj_chunk),
+        pad_si if need_si else None,
+        pad_sj if need_sj else None,
+    ).reshape(B, C, I + 2 * ext_i, J + 2 * ext_j, Kp)
+    padded = jnp.pad(
+        sheared,
+        (
+            (0, 0),
+            (0, 0),
+            (padi_g - ext_i, padi_g - ext_i),
+            (padj_g - ext_j, padj_g - ext_j),
+            (0, 0),
+        ),
+    )
+    # one pallas_call per (element, channel): keeps the scalar-prefetch
+    # bounds within the 1 MiB SMEM at 256^3 tile counts; identical
+    # shapes reuse one compiled kernel
+    def one(b, c, fill_b, mode_, pad_label_):
+        return _pallas_window2(
+            bounds[b : b + 1], fill_b, padded[b, c][None],
+            ci[b : b + 1], cj[b : b + 1], ck[b : b + 1],
+            si_t[b : b + 1], sj_t[b : b + 1],
+            spatial=spatial, padi_g=padi_g, padj_g=padj_g, maxr=maxr,
+            mode=mode_, apply_fill=apply_fill and mode_ != "corners",
+            pad_label=pad_label_,
+        )[0, ..., :K]
+
+    if mode == "corners":
+        outs = [
+            one(b, 0, jnp.zeros((1,), jnp.float32), "corners", pad_label)
+            for b in range(B)
+        ]
+        return jnp.stack(outs)[:, None]
+    outs = [
+        jnp.stack(
+            [one(b, c, fill[b : b + 1, c], mode, 0.0) for c in range(C)]
+        )
+        for b in range(B)
+    ]
+    return jnp.stack(outs)
+
+
+def shear_resample_fused(data, matrices, control_points, fill, plan,
+                         *, mode="linear", apply_fill=True):
+    """Batched sheared-window resample for general affine(+elastic).
+
+    data (B, C, I, J, K); matrices length-B host 4x4; control_points
+    length-B or None entries; plan a :class:`ShearPlan`.
+    """
+    data = jnp.asarray(data)
+    B, C, I, J, K = data.shape
+    has_cp = any(cp is not None for cp in control_points)
+    m = jnp.asarray(
+        np.stack([np.asarray(mm, np.float64) for mm in matrices]),
+        jnp.float32,
+    )
+    cps = _stack_control_points(control_points) if has_cp else jnp.zeros(
+        (B, 1, 1, 1, 3), jnp.float32
+    )
+    if isinstance(fill, jax.Array):
+        fill_arr = jnp.broadcast_to(
+            fill.astype(jnp.float32).reshape(
+                (B, C) if fill.ndim == 2 else (1, -1)
+            ),
+            (B, C),
+        )
+    else:
+        fill_arr = jnp.broadcast_to(
+            jnp.asarray(np.asarray(fill, np.float32)).reshape(1, -1),
+            (B, C),
+        )
+    t8 = lambda t: jnp.asarray(np.repeat(t[:, None, :], 8, axis=1))
+    return _shear_resample_impl(
+        data, m, cps, fill_arr,
+        t8(plan.si), t8(plan.sj),
+        jnp.asarray(plan.si_chunk), jnp.asarray(plan.sj_chunk),
+        spatial=(I, J, K), padi_g=plan.padi_g, padj_g=plan.padj_g,
+        maxr=plan.maxr, pad_si=plan.pad_si, pad_sj=plan.pad_sj,
+        need_si=plan.need_si, need_sj=plan.need_sj, has_cp=has_cp,
+        apply_fill=apply_fill, mode=mode, pad_label=0.0,
+    )
+
+
+def shear_resample_label_fused(data, matrices, control_points, pad_label,
+                               plan):
+    """Partial-volume label mode through the sheared window kernel."""
+    data = jnp.asarray(data)
+    B, C, I, J, K = data.shape
+    has_cp = any(cp is not None for cp in control_points)
+    m = jnp.asarray(
+        np.stack([np.asarray(mm, np.float64) for mm in matrices]),
+        jnp.float32,
+    )
+    cps = _stack_control_points(control_points) if has_cp else jnp.zeros(
+        (B, 1, 1, 1, 3), jnp.float32
+    )
+    t8 = lambda t: jnp.asarray(np.repeat(t[:, None, :], 8, axis=1))
+    out = _shear_resample_impl(
+        data, m, cps, jnp.zeros((B, C), jnp.float32),
+        t8(plan.si), t8(plan.sj),
+        jnp.asarray(plan.si_chunk), jnp.asarray(plan.sj_chunk),
+        spatial=(I, J, K), padi_g=plan.padi_g, padj_g=plan.padj_g,
+        maxr=plan.maxr, pad_si=plan.pad_si, pad_sj=plan.pad_sj,
+        need_si=plan.need_si, need_sj=plan.need_sj, has_cp=has_cp,
+        apply_fill=False, mode="corners", pad_label=float(pad_label),
+    )
+    return out.astype(data.dtype)
