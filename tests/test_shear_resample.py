@@ -144,6 +144,48 @@ class TestShearEquality:
         assert out.dtype == lab.dtype
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_labels_above_2_24_exact(self):
+        # int32 labels stay in integer accumulators end to end — an f32
+        # round trip would merge values that differ by 1 above 2^24
+        rng = np.random.default_rng(11)
+        base = 2**24
+        lab = (base + rng.integers(0, 4, (1, 1, 16, 16, 40))).astype(
+            np.int32
+        )
+        d = np.deg2rad(6)
+        ms = [_center(_rot(d, -d / 2, d / 4), (16, 16, 40))]
+        cps = [rng.uniform(-1.5, 1.5, (3, 3, 3, 3))]
+        plan = shear_eligible(lab.shape, (16, 16, 40), ms, cps, "linear")
+        assert plan is not None
+        out = shear_resample_label_fused(lab, ms, cps, 0, plan)
+        config.use_window_resample = False
+        try:
+            ref = resample_label_fused(lab, ms, cps, pad_label=0)
+        finally:
+            config.use_window_resample = None
+        assert out.dtype == lab.dtype
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_k_coupling_cross_term_bounds(self):
+        # strong i<-k shear COMBINED with k-row deviation (k scale):
+        # the shear table is looked up at the input k, so the residual
+        # carries m02 * (k - kc) — bounds omitting that cross-term
+        # produced wrong voxels near the k extremes
+        rng = np.random.default_rng(12)
+        data = rng.random((1, 1, 16, 16, 128), np.float32)
+        m = np.eye(4)
+        m[0, 2] = 0.15
+        m[2, 2] = 0.75
+        m = _center(m, (16, 16, 128))
+        cps = [None]
+        plan = shear_eligible(data.shape, (16, 16, 128), [m], cps, "linear")
+        assert plan is not None
+        out = shear_resample_fused(data, [m], cps, 0.25, plan)
+        ref = _gather(data, [m], cps, fill=0.25)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
     def test_translation_folded_into_tables(self):
         # a large translation rides in the shear tables, not the pad
         rng = np.random.default_rng(4)

@@ -130,6 +130,19 @@ class TestLabelMode:
         assert out_w.dtype == lab.dtype
         np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
 
+    def test_labels_above_2_24_exact(self):
+        # int32 labels stay in integer accumulators end to end — an f32
+        # round trip would merge values that differ by 1 above 2^24
+        rng = np.random.default_rng(9)
+        lab = (2**24 + rng.integers(0, 4, (1, 1, 16, 16, 12))).astype(
+            np.int32
+        )
+        cps = [rng.uniform(-2.0, 2.0, (3, 4, 3, 3))]
+        out_w = resample_label_fused(lab, [np.eye(4)], cps, pad_label=0)
+        out_g = _gather_reference_label(lab, [np.eye(4)], cps, pad_label=0)
+        assert out_w.dtype == lab.dtype
+        np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
+
     def test_exact_half_ties_pick_smallest_label(self):
         # coordinates at exact .5 offsets produce 0.5/0.5 corner ties;
         # both paths must break them identically (smallest label)

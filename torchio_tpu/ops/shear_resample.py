@@ -43,8 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .window_resample import (
     _build_batch_coords,
+    _corner_vote,
+    _fill_bc,
+    _marshal_maps,
     _offsets,
-    _stack_control_points,
     _use_interpret,
 )
 
@@ -74,14 +76,15 @@ def _shear_kernel(bnd_ref, vol_ref, table_ref, out_ref, *, pad_s):
     s_lo = bnd_ref[n, tk, 0]
     s_hi = bnd_ref[n, tk, 1]
     nj = out_ref.shape[2]
+    dt = vol_ref.dtype
     s_of_k = jnp.broadcast_to(table_ref[0, 0:1, :], (8 * nj, 128))
 
     def body(s, acc):
         rows = vol_ref[0, pl.ds(s + pad_s, 8), :, :].reshape(8 * nj, 128)
-        return acc + (s_of_k == s).astype(jnp.float32) * rows
+        return acc + (s_of_k == s).astype(dt) * rows
 
     acc = jax.lax.fori_loop(
-        s_lo, s_hi + 1, body, jnp.zeros((8 * nj, 128), jnp.float32)
+        s_lo, s_hi + 1, body, jnp.zeros((8 * nj, 128), dt)
     )
     out_ref[0] = acc.reshape(8, nj, 128)
 
@@ -138,7 +141,7 @@ def _shear_axis(vol, tables, chunk_bounds, pad_s):
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((N, i_ext, J, Kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, i_ext, J, Kp), vol.dtype),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(chunk_bounds, vp, tables)
@@ -262,10 +265,13 @@ def _kernel2(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, si_ref, sj_ref,
             jnp.clip(rj, 0, J - 1) - sjn - jout, oj_lo, oj_hi + 1
         )
 
+    # label volumes ride in their (int32) dtype — casting labels to f32
+    # would round values above 2^24; intensity volumes are f32 already
+    acc_dtype = vol_ref.dtype if corners else jnp.float32
     if corners:
-        init = (jnp.zeros((TI * TJ, 128), jnp.float32),) * 8
+        init = (jnp.zeros((TI * TJ, 128), acc_dtype),) * 8
     else:
-        init = (jnp.zeros((TI * TJ, 128), jnp.float32),)
+        init = (jnp.zeros((TI * TJ, 128), acc_dtype),)
 
     # the slab's index_map aligned its base down to a multiple of 8;
     # recover the intra-8 remainder with the same arithmetic
@@ -293,18 +299,18 @@ def _kernel2(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, si_ref, sj_ref,
         l0 = _chunk_gather(rows, rows_hi, kc0)
         l1 = _chunk_gather(rows, rows_hi, kc1)
         if corners:
-            s000 = ((roi0 == cio) & (roj0 == cjo)).astype(jnp.float32)
-            s001 = ((roi1 == cio) & (roj1 == cjo)).astype(jnp.float32)
-            s010 = ((roi0 == cio) & (roj0 == cjo - 1)).astype(jnp.float32)
-            s011 = ((roi1 == cio) & (roj1 == cjo - 1)).astype(jnp.float32)
-            s100 = ((roi0 == cio - 1) & (roj0 == cjo)).astype(jnp.float32)
-            s101 = ((roi1 == cio - 1) & (roj1 == cjo)).astype(jnp.float32)
+            s000 = ((roi0 == cio) & (roj0 == cjo)).astype(acc_dtype)
+            s001 = ((roi1 == cio) & (roj1 == cjo)).astype(acc_dtype)
+            s010 = ((roi0 == cio) & (roj0 == cjo - 1)).astype(acc_dtype)
+            s011 = ((roi1 == cio) & (roj1 == cjo - 1)).astype(acc_dtype)
+            s100 = ((roi0 == cio - 1) & (roj0 == cjo)).astype(acc_dtype)
+            s101 = ((roi1 == cio - 1) & (roj1 == cjo)).astype(acc_dtype)
             s110 = (
                 (roi0 == cio - 1) & (roj0 == cjo - 1)
-            ).astype(jnp.float32)
+            ).astype(acc_dtype)
             s111 = (
                 (roi1 == cio - 1) & (roj1 == cjo - 1)
-            ).astype(jnp.float32)
+            ).astype(acc_dtype)
             new = (
                 accs[0] + s000 * l0, accs[1] + s001 * l1,
                 accs[2] + s010 * l0, accs[3] + s011 * l1,
@@ -338,31 +344,7 @@ def _kernel2(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, si_ref, sj_ref,
     accs = jax.lax.fori_loop(0, oi_hi - oi_lo + 2, ibody, init)
 
     if corners:
-        labs = accs
-        w = [
-            (mi0, mi1)[a] * (mj0, mj1)[bb] * (mk0, mk1)[cc]
-            for a in (0, 1)
-            for bb in (0, 1)
-            for cc in (0, 1)
-        ]
-        scores = []
-        for c in range(8):
-            s = jnp.zeros((TI * TJ, 128), jnp.float32)
-            for c2 in range(8):
-                s = s + w[c2] * (labs[c2] == labs[c]).astype(jnp.float32)
-            scores.append(s)
-        top = scores[0]
-        for c in range(1, 8):
-            top = jnp.maximum(top, scores[c])
-        winner = jnp.full((TI * TJ, 128), jnp.inf, jnp.float32)
-        for c in range(8):
-            winner = jnp.minimum(
-                winner, jnp.where(scores[c] == top, labs[c], jnp.inf)
-            )
-        wsum = w[0]
-        for c in range(1, 8):
-            wsum = wsum + w[c]
-        out = jnp.where(wsum > 0.5, winner, jnp.float32(pad_label))
+        out = _corner_vote(accs, mi0, mi1, mj0, mj1, mk0, mk1, pad_label)
         out_ref[0] = out.reshape(TI, TJ, 128)
     else:
         acc = accs[0]
@@ -525,9 +507,12 @@ def _pallas_window2(bounds, fill, vol_sheared_padded, ci, cj, ck,
             (1, TI, TJ, 128), lambda b, ti, tj, tk, *_: (b, ti, tj, tk)
         ),
     )
+    out_dtype = (
+        vol_sheared_padded.dtype if mode == "corners" else jnp.float32
+    )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, I, J, Kp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, I, J, Kp), out_dtype),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(bounds, fill, ci, cj, ck, si_t, sj_t, *vols)
@@ -557,24 +542,44 @@ class ShearPlan:
             sj = np.round(m[1, 2] * ks + m[1, 3]).astype(np.int32)
             si_list.append(si)
             sj_list.append(sj)
-            cpi = cpj = 0.0
+            cpi = cpj = cpk = 0.0
             if cp is not None:
                 cpa = np.asarray(cp, np.float64)
                 if cpa.size:
                     cpi = float(np.max(np.abs(cpa[..., 0])))
                     cpj = float(np.max(np.abs(cpa[..., 1])))
-            # global residual bound (sheared frame)
+                    cpk = float(np.max(np.abs(cpa[..., 2])))
             kres_i = float(np.max(np.abs(m[0, 2] * ks + m[0, 3] - si)))
             kres_j = float(np.max(np.abs(m[1, 2] * ks + m[1, 3] - sj)))
+            # k-coupling cross-term: the shear table is looked up at the
+            # INPUT coordinate kc = clip(floor(ck), 0, K-1), not at the
+            # output lane k, so the residual carries m02 * (k - kc).
+            # |k - kc| is bounded by the k-row's deviation from identity
+            # (+2: floor and the kc+1 corner); within a tile it varies by
+            # the per-tile spans of that deviation (k spans one 128-lane
+            # chunk, i/j span TI/TJ).
+            dk_glob = (
+                abs(m[2, 2] - 1.0) * (K - 1)
+                + abs(m[2, 0]) * (I - 1)
+                + abs(m[2, 1]) * (J - 1)
+                + abs(m[2, 3]) + cpk + 2.0
+            )
+            dk_tile = (
+                abs(m[2, 2] - 1.0) * min(127, K - 1)
+                + abs(m[2, 0]) * (TI - 1)
+                + abs(m[2, 1]) * (TJ - 1)
+                + 2 * cpk + 2.0
+            )
+            # global residual bound (sheared frame)
             ri = (
                 abs(m[0, 0] - 1.0) * (I - 1)
                 + abs(m[0, 1]) * (J - 1)
-                + kres_i + cpi
+                + kres_i + cpi + abs(m[0, 2]) * dk_glob
             )
             rj = (
                 abs(m[1, 0]) * (I - 1)
                 + abs(m[1, 1] - 1.0) * (J - 1)
-                + kres_j + cpj
+                + kres_j + cpj + abs(m[1, 2]) * dk_glob
             )
             res_i = max(res_i, ri)
             res_j = max(res_j, rj)
@@ -584,13 +589,13 @@ class ShearPlan:
                 tile_i,
                 abs(m[0, 0] - 1.0) * (TI - 1)
                 + abs(m[0, 1]) * (TJ - 1)
-                + 2 * kres_i + 2 * cpi + 4,
+                + 2 * kres_i + 2 * cpi + abs(m[0, 2]) * dk_tile + 4,
             )
             tile_j = max(
                 tile_j,
                 abs(m[1, 0]) * (TI - 1)
                 + abs(m[1, 1] - 1.0) * (TJ - 1)
-                + 2 * kres_j + 2 * cpj + 4,
+                + 2 * kres_j + 2 * cpj + abs(m[1, 2]) * dk_tile + 4,
             )
         self.si = np.stack(si_list)
         self.sj = np.stack(sj_list)
@@ -705,7 +710,13 @@ def _shear_resample_impl(
         matrices[:, 1, 2], matrices[:, 1, 3],
         spatial, padi_g, padj_g, maxr, nrows - TI, ncols - TJ,
     )
-    vol = data.astype(jnp.float32)
+    # labels ride in int32 — an f32 cast would round values above 2^24
+    work = (
+        jnp.int32
+        if mode == "corners" and jnp.issubdtype(data.dtype, jnp.integer)
+        else jnp.float32
+    )
+    vol = data.astype(work)
     if Kp != K:
         vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Kp - K)))
     # shear all (B, C) volumes with per-element tables; the sheared
@@ -767,29 +778,10 @@ def shear_resample_fused(data, matrices, control_points, fill, plan,
     """
     data = jnp.asarray(data)
     B, C, I, J, K = data.shape
-    has_cp = any(cp is not None for cp in control_points)
-    m = jnp.asarray(
-        np.stack([np.asarray(mm, np.float64) for mm in matrices]),
-        jnp.float32,
-    )
-    cps = _stack_control_points(control_points) if has_cp else jnp.zeros(
-        (B, 1, 1, 1, 3), jnp.float32
-    )
-    if isinstance(fill, jax.Array):
-        fill_arr = jnp.broadcast_to(
-            fill.astype(jnp.float32).reshape(
-                (B, C) if fill.ndim == 2 else (1, -1)
-            ),
-            (B, C),
-        )
-    else:
-        fill_arr = jnp.broadcast_to(
-            jnp.asarray(np.asarray(fill, np.float32)).reshape(1, -1),
-            (B, C),
-        )
+    m, cps, has_cp = _marshal_maps(matrices, control_points)
     t8 = lambda t: jnp.asarray(np.repeat(t[:, None, :], 8, axis=1))
     return _shear_resample_impl(
-        data, m, cps, fill_arr,
+        data, m, cps, _fill_bc(fill, B, C),
         t8(plan.si), t8(plan.sj),
         jnp.asarray(plan.si_chunk), jnp.asarray(plan.sj_chunk),
         spatial=(I, J, K), padi_g=plan.padi_g, padj_g=plan.padj_g,
@@ -804,14 +796,7 @@ def shear_resample_label_fused(data, matrices, control_points, pad_label,
     """Partial-volume label mode through the sheared window kernel."""
     data = jnp.asarray(data)
     B, C, I, J, K = data.shape
-    has_cp = any(cp is not None for cp in control_points)
-    m = jnp.asarray(
-        np.stack([np.asarray(mm, np.float64) for mm in matrices]),
-        jnp.float32,
-    )
-    cps = _stack_control_points(control_points) if has_cp else jnp.zeros(
-        (B, 1, 1, 1, 3), jnp.float32
-    )
+    m, cps, has_cp = _marshal_maps(matrices, control_points)
     t8 = lambda t: jnp.asarray(np.repeat(t[:, None, :], 8, axis=1))
     out = _shear_resample_impl(
         data, m, cps, jnp.zeros((B, C), jnp.float32),

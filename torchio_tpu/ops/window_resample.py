@@ -81,6 +81,72 @@ def _offsets(ci, cj, ck, spatial):
     return fi, fj, fk, mi0, mi1, mj0, mj1, mk0, mk1
 
 
+def _fill_bc(fill, b, c):
+    """Normalize a scalar / (C,) / (B, C) fill — host array or device
+    array — to a broadcast (B, C) float32 device array."""
+    if isinstance(fill, jax.Array):
+        f = fill.astype(jnp.float32)
+    else:
+        f = jnp.asarray(np.asarray(fill, np.float32))
+    if f.ndim != 2:
+        f = f.reshape(1, -1)
+    return jnp.broadcast_to(f, (b, c))
+
+
+def _marshal_maps(matrices, control_points):
+    """Stack host per-element maps for the fused kernels: (B, 4, 4) f32
+    matrices (via float64), stacked control points (zero-filled for None
+    entries), and whether any element is elastic."""
+    has_cp = any(cp is not None for cp in control_points)
+    m = jnp.asarray(
+        np.stack([np.asarray(mm, np.float64) for mm in matrices]),
+        jnp.float32,
+    )
+    if has_cp:
+        cps = _stack_control_points(control_points)
+    else:
+        cps = jnp.zeros((len(control_points), 1, 1, 1, 3), jnp.float32)
+    return m, cps, has_cp
+
+
+def _corner_vote(labs, mi0, mi1, mj0, mj1, mk0, mk1, pad_label):
+    """In-VMEM partial-volume vote over 8 gathered corner-label planes:
+    argmax over labels by summed corner weight, ties to the smallest
+    label, fill where total in-bounds weight is zero (same semantics as
+    ``_resample_element_label``). ``labs`` are (M, 128) planes in (a, b,
+    c) lexicographic corner order, float32 or int32; weights are f32."""
+    w = [
+        (mi0, mi1)[a] * (mj0, mj1)[bb] * (mk0, mk1)[cc]
+        for a in (0, 1)
+        for bb in (0, 1)
+        for cc in (0, 1)
+    ]
+    shape = labs[0].shape
+    scores = []
+    for c in range(8):
+        s = jnp.zeros(shape, jnp.float32)
+        for c2 in range(8):
+            s = s + w[c2] * (labs[c2] == labs[c]).astype(jnp.float32)
+        scores.append(s)
+    top = scores[0]
+    for c in range(1, 8):
+        top = jnp.maximum(top, scores[c])
+    if jnp.issubdtype(labs[0].dtype, jnp.integer):
+        big = jnp.asarray(jnp.iinfo(labs[0].dtype).max, labs[0].dtype)
+    else:
+        big = jnp.asarray(jnp.inf, labs[0].dtype)
+    winner = jnp.full(shape, big, labs[0].dtype)
+    for c in range(8):
+        winner = jnp.minimum(
+            winner, jnp.where(scores[c] == top, labs[c], big)
+        )
+    wsum = w[0]
+    for c in range(1, 8):
+        wsum = wsum + w[c]
+    pad = jnp.asarray(pad_label).astype(labs[0].dtype)
+    return jnp.where(wsum > 0.5, winner, pad)
+
+
 def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
             *, padi, padj, spatial, mode, apply_fill, pad_label):
     """One (TI, TJ, 128) output tile; see module docstring."""
@@ -129,12 +195,15 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
     oj_lo = bnd_ref[b, ti, tj, 2]
     oj_hi = bnd_ref[b, ti, tj, 3]
 
+    # label volumes ride in their (int32) dtype — casting labels to f32
+    # would round values above 2^24; intensity volumes are f32 already
+    acc_dtype = vol_ref.dtype if corners else jnp.float32
     if corners:
         # 8 per-corner label accumulators, (a, b, c) lexicographic —
         # matches ``_resample_element_label``'s weight stack order
-        init = (jnp.zeros((TI * TJ, 128), jnp.float32),) * 8
+        init = (jnp.zeros((TI * TJ, 128), acc_dtype),) * 8
     else:
-        init = (jnp.zeros((TI * TJ, 128), jnp.float32),)
+        init = (jnp.zeros((TI * TJ, 128), acc_dtype),)
 
     def jbody(cjo, carry):
         accs, cio = carry
@@ -147,10 +216,10 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
         l0 = jnp.take_along_axis(rows, kc0, axis=1)
         l1 = jnp.take_along_axis(rows, kc1, axis=1)
         if corners:
-            s00 = ((oi == cio) & (oj == cjo)).astype(jnp.float32)
-            s01 = ((oi == cio) & (oj == cjo - 1)).astype(jnp.float32)
-            s10 = ((oi == cio - 1) & (oj == cjo)).astype(jnp.float32)
-            s11 = ((oi == cio - 1) & (oj == cjo - 1)).astype(jnp.float32)
+            s00 = ((oi == cio) & (oj == cjo)).astype(acc_dtype)
+            s01 = ((oi == cio) & (oj == cjo - 1)).astype(acc_dtype)
+            s10 = ((oi == cio - 1) & (oj == cjo)).astype(acc_dtype)
+            s11 = ((oi == cio - 1) & (oj == cjo - 1)).astype(acc_dtype)
             new = (
                 accs[0] + s00 * l0, accs[1] + s00 * l1,
                 accs[2] + s01 * l0, accs[3] + s01 * l1,
@@ -176,34 +245,7 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
     accs = jax.lax.fori_loop(oi_lo, oi_hi + 2, ibody, init)
 
     if corners:
-        # in-VMEM partial-volume vote: argmax over the 8 corner labels
-        # by summed corner weight, ties to the smallest label (same
-        # semantics as ``_resample_element_label``)
-        labs = accs
-        w = [
-            (mi0, mi1)[a] * (mj0, mj1)[bb] * (mk0, mk1)[cc]
-            for a in (0, 1)
-            for bb in (0, 1)
-            for cc in (0, 1)
-        ]
-        scores = []
-        for c in range(8):
-            s = jnp.zeros((TI * TJ, 128), jnp.float32)
-            for c2 in range(8):
-                s = s + w[c2] * (labs[c2] == labs[c]).astype(jnp.float32)
-            scores.append(s)
-        top = scores[0]
-        for c in range(1, 8):
-            top = jnp.maximum(top, scores[c])
-        winner = jnp.full((TI * TJ, 128), jnp.inf, jnp.float32)
-        for c in range(8):
-            winner = jnp.minimum(
-                winner, jnp.where(scores[c] == top, labs[c], jnp.inf)
-            )
-        wsum = w[0]
-        for c in range(1, 8):
-            wsum = wsum + w[c]
-        out = jnp.where(wsum > 0.5, winner, jnp.float32(pad_label))
+        out = _corner_vote(accs, mi0, mi1, mj0, mj1, mk0, mk1, pad_label)
         out_ref[0] = out.reshape(TI, TJ, 128)
     else:
         acc = accs[0]
@@ -278,9 +320,10 @@ def _pallas_window(bounds, fill, vol_padded, ci, cj, ck, *, padi, padj,
             (1, TI, TJ, 128), lambda b, ti, tj, *_: (b, ti, tj, 0)
         ),
     )
+    out_dtype = vol_padded.dtype if mode == "corners" else jnp.float32
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, I, J, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, I, J, 128), out_dtype),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(bounds, fill, ci, cj, ck, vol_padded)
@@ -366,8 +409,14 @@ def _window_resample_label(
         matrices, control_points if has_cp else None, spatial
     )
     bounds = _tile_bounds(ci, cj, spatial, padi, padj)
+    # labels ride in int32 — an f32 cast would round values above 2^24
+    work = (
+        jnp.int32
+        if jnp.issubdtype(data.dtype, jnp.integer)
+        else jnp.float32
+    )
     vol = jnp.pad(
-        data.astype(jnp.float32),
+        data.astype(work),
         ((0, 0), (0, 0), (padi, padi), (padj, padj), (0, 128 - K)),
     )
     fill = jnp.zeros((B,), jnp.float32)
@@ -463,28 +512,9 @@ def window_resample_fused(data, matrices, control_points, fill,
     """
     data = jnp.asarray(data)
     B, C, I, J, K = data.shape
-    has_cp = any(cp is not None for cp in control_points)
-    m = jnp.asarray(
-        np.stack([np.asarray(mm, np.float64) for mm in matrices]),
-        jnp.float32,
-    )
-    cps = _stack_control_points(control_points) if has_cp else jnp.zeros(
-        (B, 1, 1, 1, 3), jnp.float32
-    )
-    if isinstance(fill, jax.Array):
-        fill_arr = jnp.broadcast_to(
-            fill.astype(jnp.float32).reshape(
-                (B, C) if fill.ndim == 2 else (1, -1)
-            ),
-            (B, C),
-        )
-    else:
-        fill_arr = jnp.broadcast_to(
-            jnp.asarray(np.asarray(fill, np.float32)).reshape(1, -1),
-            (B, C),
-        )
+    m, cps, has_cp = _marshal_maps(matrices, control_points)
     return _window_resample_scalar(
-        data, m, cps, fill_arr,
+        data, m, cps, _fill_bc(fill, B, C),
         spatial=(I, J, K), padi=padi, padj=padj, has_cp=has_cp,
         apply_fill=apply_fill, mode=mode,
     )
@@ -495,14 +525,7 @@ def window_resample_label_fused(data, matrices, control_points,
     """Batched bounded-offset partial-volume label resample."""
     data = jnp.asarray(data)
     B, C, I, J, K = data.shape
-    has_cp = any(cp is not None for cp in control_points)
-    m = jnp.asarray(
-        np.stack([np.asarray(mm, np.float64) for mm in matrices]),
-        jnp.float32,
-    )
-    cps = _stack_control_points(control_points) if has_cp else jnp.zeros(
-        (B, 1, 1, 1, 3), jnp.float32
-    )
+    m, cps, has_cp = _marshal_maps(matrices, control_points)
     return _window_resample_label(
         data, m, cps,
         spatial=(I, J, K), padi=padi, padj=padj, has_cp=has_cp,
