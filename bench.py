@@ -34,7 +34,11 @@ CPU_PROXY_VOLUMES_PER_SEC = 0.086
 
 S = 256
 B = 4
-WARMUP = 1
+# Warmup must cover the static-ratchet settling of the pallas resample
+# kernels (ops/window_resample.py ratchet_statics): the first few
+# random draws can each raise a capacity high-water mark and compile;
+# afterwards every draw reuses one executable.
+WARMUP = 3
 ITERS = 3
 
 

@@ -262,3 +262,56 @@ class TestEligibility:
         assert plan.padi_g >= plan.pad_si
         assert plan.padj_g >= plan.pad_sj
         assert plan.pad_si % 4 == 0
+
+
+class TestStaticRatchet:
+    def test_plans_in_one_range_share_one_static_tuple(self):
+        from torchio_tpu.ops.window_resample import reset_static_ratchet
+
+        reset_static_ratchet()
+        try:
+            rng = np.random.default_rng(0)
+            statics = set()
+            for _ in range(12):
+                ms, cps = [], []
+                for _ in range(2):
+                    ang = rng.uniform(-0.17, 0.17, 3)
+                    m = _rot(*ang, scale=rng.uniform(0.9, 1.1))
+                    m[:3, 3] = rng.uniform(-5.0, 5.0, 3)
+                    ms.append(m)
+                    cps.append(rng.uniform(-7.5, 7.5, (3, 3, 3, 3)))
+                plan = ShearPlan(ms, cps, (64, 64, 64))
+                assert plan.ok
+                statics.add(
+                    (plan.maxr, plan.pad_si, plan.pad_sj,
+                     plan.padi_g, plan.padj_g,
+                     plan.need_si, plan.need_sj)
+                )
+            # the first plan takes one level of headroom; later draws
+            # from the same parameter range reuse its high-water marks
+            assert len(statics) <= 2
+        finally:
+            reset_static_ratchet()
+
+    def test_ratcheted_pads_still_cover_the_tables(self):
+        from torchio_tpu.ops.window_resample import reset_static_ratchet
+
+        reset_static_ratchet()
+        try:
+            m1 = _rot(0.05, 0.0, 0.0)
+            m2 = _rot(0.17, 0.1, 0.05)
+            p1 = ShearPlan([m1], [None], (64, 64, 64))
+            p2 = ShearPlan([m2], [None], (64, 64, 64))
+            p3 = ShearPlan([m1], [None], (64, 64, 64))
+            for p in (p1, p2, p3):
+                assert p.pad_si >= int(np.max(np.abs(p.si)))
+                assert p.pad_sj >= int(np.max(np.abs(p.sj)))
+                assert p.padi_g >= p.pad_si
+                assert p.padj_g >= p.pad_sj
+            # monotone reuse: the small-rotation replan adopts the
+            # bigger plan's marks instead of creating a third combo
+            assert (p3.maxr, p3.padi_g, p3.padj_g) == (
+                p2.maxr, p2.padi_g, p2.padj_g
+            )
+        finally:
+            reset_static_ratchet()

@@ -305,3 +305,52 @@ class TestNearestMode:
             data, [np.eye(4)], [cp], fill=0.0, mode="nearest"
         )
         np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
+
+
+class TestStaticRatchet:
+    """Shape statics must not vary with the random parameter draw —
+    every distinct (padi, padj) is a distinct pallas executable, and a
+    training loop redraws parameters each iteration (measured on v5e:
+    recompiles inside the timed loop cost 3.5-22 s/iteration)."""
+
+    def test_draws_in_one_range_share_one_static_tuple(self):
+        from torchio_tpu.ops.window_resample import reset_static_ratchet
+
+        reset_static_ratchet()
+        try:
+            shape = (2, 1, 64, 64, 64)
+            rng = np.random.default_rng(0)
+            pads = set()
+            for _ in range(12):
+                cps = [
+                    rng.uniform(-6.0, 6.0, (3, 3, 3, 3)) for _ in range(2)
+                ]
+                pads.add(
+                    window_eligible(
+                        shape, (64, 64, 64), [np.eye(4)] * 2, cps, "linear"
+                    )
+                )
+            assert len(pads) == 1
+        finally:
+            reset_static_ratchet()
+
+    def test_marks_are_monotone_and_cover_the_need(self):
+        from torchio_tpu.ops.window_resample import reset_static_ratchet
+
+        reset_static_ratchet()
+        try:
+            shape = (1, 1, 32, 32, 32)
+            small = [np.full((2, 2, 2, 3), 1.5)]
+            big = [np.full((2, 2, 2, 3), 9.0)]
+            eye = [np.eye(4)]
+            p1 = window_eligible(shape, (32, 32, 32), eye, small, "linear")
+            p2 = window_eligible(shape, (32, 32, 32), eye, big, "linear")
+            p3 = window_eligible(shape, (32, 32, 32), eye, small, "linear")
+            # a bigger draw raises the marks; a later small draw reuses
+            # them (monotone: never shrinks back, never recompiles)
+            assert p2[0] >= p1[0] and p2[1] >= p1[1]
+            assert p3 == p2
+            bi, bj = window_bounds(eye, big, (32, 32, 32))
+            assert p2[0] >= bi + 1 and p2[1] >= bj + 1
+        finally:
+            reset_static_ratchet()

@@ -42,12 +42,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .window_resample import (
+    _bucket,
     _build_batch_coords,
     _corner_vote,
     _fill_bc,
     _marshal_maps,
     _offsets,
     _use_interpret,
+    ratchet_seen,
+    ratchet_statics,
 )
 
 #: v2 tile size: 16x16 halves the grid-step count vs the v1 kernel's
@@ -599,22 +602,38 @@ class ShearPlan:
             )
         self.si = np.stack(si_list)
         self.sj = np.stack(sj_list)
-        # BUCKET every shape-defining value: the statics must not vary
-        # with the random parameter draw, or every pipeline iteration
-        # recompiles (maxr to multiples of 4; pads to multiples of 16)
-        def up(x, q):
-            return q * ((int(x) + q - 1) // q)
-
-        self.maxr = up(int(np.ceil(max(tile_i, tile_j))) + 2, 4)
-        pad_si = up(int(max(np.max(np.abs(np.stack(si_list))), 1)), 8)
-        pad_sj = up(int(max(np.max(np.abs(np.stack(sj_list))), 1)), 8)
+        # BUCKET every shape-defining value to coarse levels, then
+        # RATCHET to the process high-water mark: the statics are pure
+        # capacity bounds, and any per-draw variation means a fresh
+        # executable per pipeline iteration (measured: the 256^3
+        # headline Compose spending 3.5-22 s/iteration on compiles).
+        # Level sets respect the kernels' alignment requirements
+        # (maxr multiple of 4, shear pads multiple of 8 — _shear_axis
+        # needs 8-divisible extended grids — global pads multiple of 16).
+        self._key = ("shear", tuple(spatial), self.Kp)
+        hr = 0 if ratchet_seen(self._key) else 1
+        self.maxr = _bucket(
+            int(np.ceil(max(tile_i, tile_j))) + 2, (8, 16, 24, 32), hr
+        )
+        pad_si = _bucket(
+            int(max(np.max(np.abs(self.si)), 1)), (8, 16, 32, 64, 128), hr
+        )
+        pad_sj = _bucket(
+            int(max(np.max(np.abs(self.sj)), 1)), (8, 16, 32, 64, 128), hr
+        )
         self.pad_si = pad_si
         self.pad_sj = pad_sj
-        self.padi_g = up(
-            max(int(np.ceil(res_i)) + self.maxr + 10, pad_si), 16
+        self.padi_g = max(
+            _bucket(
+                int(np.ceil(res_i)) + self.maxr + 10, (32, 64, 96, 128), hr
+            ),
+            pad_si,
         )
-        self.padj_g = up(
-            max(int(np.ceil(res_j)) + self.maxr + 18, pad_sj), 16
+        self.padj_g = max(
+            _bucket(
+                int(np.ceil(res_j)) + self.maxr + 18, (32, 64, 96, 128), hr
+            ),
+            pad_sj,
         )
         ntk = self.Kp // 128
         self.si_chunk = np.stack(
@@ -637,6 +656,23 @@ class ShearPlan:
         ).astype(np.int32)
         self.need_sj = bool(np.any(self.sj != 0))
         self.need_si = bool(np.any(self.si != 0))
+        if self.ok:
+            # share one executable across random draws of the same
+            # shape class (only guard-passing plans feed the ratchet,
+            # so the stored marks stay under MAX_RANGE / MAX_PAD)
+            (
+                self.maxr, self.pad_si, self.pad_sj,
+                self.padi_g, self.padj_g, need_si, need_sj,
+            ) = ratchet_statics(
+                self._key,
+                (
+                    self.maxr, self.pad_si, self.pad_sj,
+                    self.padi_g, self.padj_g,
+                    int(self.need_si), int(self.need_sj),
+                ),
+            )
+            self.need_si = bool(need_si)
+            self.need_sj = bool(need_sj)
 
     @property
     def ok(self) -> bool:

@@ -51,6 +51,55 @@ TJ = 8
 #: the candidate loop is O(local_range^2) per tile)
 MAX_BOUND = 24
 
+#: process-level high-water marks for shape statics (see
+#: :func:`ratchet_statics`) keyed by (kernel, shape...) tuples
+_STATIC_RATCHET: dict = {}
+
+
+def _bucket(x: int, levels: tuple, headroom: int = 0) -> int:
+    """Smallest level >= x (x itself when above every level).
+
+    ``headroom`` moves up that many extra levels (clamped to the last
+    level, which call sites align with the kernel's hard guard) — used
+    on the first draw of a shape class so subsequent, slightly larger
+    draws rarely raise the high-water mark and recompile.
+    """
+    for idx, v in enumerate(levels):
+        if x <= v:
+            return levels[min(idx + headroom, len(levels) - 1)]
+    return x
+
+
+def ratchet_seen(key) -> bool:
+    """Whether a shape class already has high-water marks."""
+    return key in _STATIC_RATCHET
+
+
+def ratchet_statics(key, needed):
+    """Monotone high-water marks for pallas shape statics.
+
+    The windowed/sheared kernels' pads and candidate ranges are
+    CAPACITY bounds — any value >= the per-call requirement is correct,
+    but every distinct value is a distinct executable. Random parameter
+    draws (a new affine matrix and elastic field per pipeline
+    iteration) would otherwise hit a fresh static combination almost
+    every call and recompile inside the training loop (measured: the
+    256^3 headline Compose oscillating between ~1.0 s warm and 3.5-22 s
+    compile iterations). Bucketing alone is not enough at bucket
+    boundaries; the componentwise running maximum makes the statics
+    converge after the first few draws, at a small slack-DMA cost.
+    """
+    cur = _STATIC_RATCHET.get(key)
+    if cur is not None:
+        needed = tuple(max(a, b) for a, b in zip(cur, needed))
+    _STATIC_RATCHET[key] = needed
+    return needed
+
+
+def reset_static_ratchet() -> None:
+    """Forget the high-water marks (tests)."""
+    _STATIC_RATCHET.clear()
+
 
 def _use_interpret() -> bool:
     """Interpret mode: used on CPU (tests); Mosaic needs a real TPU."""
@@ -498,9 +547,15 @@ def window_eligible(data_shape, out_spatial, matrices, control_points,
     if bounds is None:
         return None
     bi, bj = bounds
-    padi = bi + 1
-    padj = 8 * ((bj + 1 + 7) // 8)
-    return padi, padj
+    # bucket to coarse levels, then ratchet: pads are pure capacity, so
+    # any value >= the draw's requirement is correct, and stable values
+    # keep one executable across random draws (see ratchet_statics);
+    # the first draw of a shape class takes one level of headroom
+    key = ("window", tuple(data_shape), tuple(out_spatial), mode)
+    hr = 0 if ratchet_seen(key) else 1
+    padi = _bucket(bi + 1, (4, 8, 12, 16, 25), hr)
+    padj = _bucket(8 * ((bj + 1 + 7) // 8), (8, 16, 24, 32), hr)
+    return ratchet_statics(key, (padi, padj))
 
 
 def window_resample_fused(data, matrices, control_points, fill,
