@@ -50,6 +50,17 @@ def main() -> None:
         ("quantiles", lambda: tio.RescaleIntensity(
             out_min=0.0, out_max=1.0, percentile_low=0.5, percentile_high=99.5,
         )),
+        # round-3 pallas kernels: on TPU this dispatches the
+        # sheared-window Mosaic kernel (general affine + elastic); the
+        # CPU reference run stays on the gather path, so the comparison
+        # validates the kernel against the exact path on hardware.
+        # (The "elastic" case above likewise validates the
+        # bounded-offset windowed kernel.)
+        ("sheared", lambda: tio.Spatial(
+            scales=(0.95, 0.95, 1.05, 1.05, 1.0, 1.0),
+            degrees=(8.0, 8.0, -6.0, -6.0, 4.0, 4.0),
+            translation=(2.0, 2.0), max_displacement=3.0,
+        )),
     ]
     tol = 1e-4  # well under the 1e-3 accuracy gate
     failures = 0

@@ -524,7 +524,7 @@ def resample_fused(
     from .window_resample import window_eligible, window_resample_fused
 
     window = window_eligible(
-        data.shape, out_spatial, matrices, control_points, mode
+        data.shape, out_spatial, matrices, control_points, mode, data=data
     )
     if window is not None:
         # bounded-offset elastic maps: the whole batch runs as ONE
@@ -548,7 +548,8 @@ def resample_fused(
         from .shear_resample import shear_eligible, shear_resample_fused
 
         plan = shear_eligible(
-            data.shape, out_spatial, matrices, control_points, mode
+            data.shape, out_spatial, matrices, control_points, mode,
+            data=data,
         )
         if plan is not None:
             return shear_resample_fused(
@@ -697,7 +698,8 @@ def resample_label_fused(
     )
 
     window = window_eligible(
-        data.shape, out_spatial, matrices, control_points, "linear"
+        data.shape, out_spatial, matrices, control_points, "linear",
+        data=data,
     )
     if window is not None:
         padi, padj = window
@@ -711,7 +713,8 @@ def resample_label_fused(
     )
 
     plan = shear_eligible(
-        data.shape, out_spatial, matrices, control_points, "linear"
+        data.shape, out_spatial, matrices, control_points, "linear",
+        data=data,
     )
     if plan is not None:
         return shear_resample_label_fused(

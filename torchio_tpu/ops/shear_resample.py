@@ -48,6 +48,7 @@ from .window_resample import (
     _fill_bc,
     _marshal_maps,
     _offsets,
+    _tpu_dispatch,
     _use_interpret,
     ratchet_seen,
     ratchet_statics,
@@ -684,19 +685,15 @@ class ShearPlan:
 
 
 def shear_eligible(data_shape, out_spatial, matrices, control_points,
-                   mode: str):
+                   mode: str, data=None):
     """Dispatch decision: a :class:`ShearPlan` or None."""
-    import os
-
     from ..config import window_resample as enabled
 
     if not enabled():
         return None
     if mode not in ("linear", "nearest"):
         return None
-    if jax.default_backend() != "tpu" and not os.environ.get(
-        "TORCHIO_TPU_WINDOW_INTERPRET"
-    ):
+    if not _tpu_dispatch(data):
         return None
     b, c, I, J, K = data_shape
     if tuple(out_spatial) != (I, J, K):

@@ -108,6 +108,29 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tpu_dispatch(data=None) -> bool:
+    """Whether a pallas kernel would actually LAND on a TPU.
+
+    ``jax.default_backend()`` alone is wrong under a
+    ``jax.default_device(cpu)`` scope (it still reports the
+    highest-priority platform) and for arrays committed to another
+    device — jit follows the argument placement, and a Mosaic kernel
+    traced for CPU execution fails to lower.
+    """
+    if os.environ.get("TORCHIO_TPU_WINDOW_INTERPRET"):
+        return True
+    if data is not None:
+        devices = getattr(data, "devices", None)
+        if devices is not None:
+            devs = devices()
+            if devs:
+                return all(d.platform == "tpu" for d in devs)
+    default = jax.config.jax_default_device
+    if default is not None:
+        return getattr(default, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
 def _offsets(ci, cj, ck, spatial):
     """Floor indices, lerp weights, and in-bounds corner weights —
     formula-identical to :func:`..resample._resample_one`."""
@@ -517,7 +540,7 @@ def window_bounds(matrices, control_points, spatial):
 
 
 def window_eligible(data_shape, out_spatial, matrices, control_points,
-                    mode: str):
+                    mode: str, data=None):
     """Dispatch decision for the windowed kernel. Returns per-axis
     (padi, padj) paddings or None.
 
@@ -532,9 +555,7 @@ def window_eligible(data_shape, out_spatial, matrices, control_points,
         return None
     if mode not in ("linear", "nearest"):
         return None
-    if jax.default_backend() != "tpu" and not os.environ.get(
-        "TORCHIO_TPU_WINDOW_INTERPRET"
-    ):
+    if not _tpu_dispatch(data):
         return None
     if all(cp is None for cp in control_points):
         return None
