@@ -315,3 +315,56 @@ class TestStaticRatchet:
             )
         finally:
             reset_static_ratchet()
+
+
+class TestNonAlignedShapes:
+    """Arbitrary (non-multiple-of-16) extents: the wrapper tile-aligns
+    the grid, masks with the TRUE bounds, and crops — general rotations
+    of clinical volumes (e.g. 181x217x181) no longer fall back to the
+    per-index gather."""
+
+    @pytest.mark.parametrize(
+        "shape", [(2, 1, 21, 19, 140), (1, 2, 30, 17, 9)]
+    )
+    def test_matches_gather_path(self, shape):
+        rng = np.random.default_rng(7)
+        b = shape[0]
+        data = rng.random(shape, np.float32)
+        mats = []
+        for _ in range(b):
+            m = _rot(0.1, -0.08, 0.12, scale=0.97)
+            m[:3, 3] = rng.uniform(-3, 3, 3)
+            mats.append(m)
+        out_s = resample_fused(
+            data, mats, [None] * b, fill=1.5, mode="linear"
+        )
+        out_g = _gather(
+            data, mats, [None] * b, fill=1.5, mode="linear"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_g), atol=2e-5
+        )
+
+    def test_label_vote_matches_gather_path(self):
+        rng = np.random.default_rng(8)
+        lab = rng.integers(0, 5, (1, 1, 21, 19, 140)).astype(np.int32)
+        m = _rot(0.1, -0.08, 0.12, scale=0.97)
+        m[:3, 3] = [1.5, -2.0, 0.5]
+        out_s = resample_label_fused(lab, [m], [None], pad_label=0)
+        config.use_window_resample = False
+        try:
+            out_g = resample_label_fused(lab, [m], [None], pad_label=0)
+        finally:
+            config.use_window_resample = None
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_g))
+
+    def test_affine_plus_elastic_non_aligned(self):
+        rng = np.random.default_rng(9)
+        data = rng.random((1, 1, 30, 17, 9), np.float32)
+        m = _rot(0.08, 0.05, -0.06)
+        cps = [rng.uniform(-2.0, 2.0, (3, 3, 3, 3))]
+        out_s = resample_fused(data, [m], cps, fill=0.5, mode="linear")
+        out_g = _gather(data, [m], cps, fill=0.5, mode="linear")
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_g), atol=2e-5
+        )

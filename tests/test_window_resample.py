@@ -182,12 +182,14 @@ class TestEligibility:
             is None
         )
 
-    def test_non_multiple_of_8_not_eligible(self):
-        shape = (1, 1, 12, 16, 16)
+    def test_non_multiple_of_8_is_eligible(self):
+        # arbitrary in-plane extents: the wrapper tile-aligns the output
+        # grid, masks with the true bounds, and crops (clinical volumes
+        # are rarely tile multiples)
+        shape = (1, 1, 12, 13, 16)
         cp = np.ones((3, 3, 3, 3))
-        assert (
-            window_eligible(shape, (12, 16, 16), [np.eye(4)], [cp], "linear")
-            is None
+        assert window_eligible(
+            shape, (12, 13, 16), [np.eye(4)], [cp], "linear"
         )
 
     def test_k_over_128_not_eligible(self):
@@ -354,3 +356,47 @@ class TestStaticRatchet:
             assert p2[0] >= bi + 1 and p2[1] >= bj + 1
         finally:
             reset_static_ratchet()
+
+
+class TestNonAlignedShapes:
+    """Arbitrary (non-tile-multiple) in-plane extents: the wrapper
+    tile-aligns the output grid, masks with the TRUE bounds, and crops;
+    the elastic field replicates its edge coordinates into the
+    alignment padding so rows inside the true volume are untouched."""
+
+    @pytest.mark.parametrize(
+        "shape", [(2, 1, 13, 19, 11), (1, 2, 21, 8, 17), (1, 1, 9, 9, 9)]
+    )
+    def test_matches_gather_path(self, shape):
+        rng = np.random.default_rng(3)
+        b = shape[0]
+        data = rng.random(shape, np.float32)
+        mats = [np.eye(4) for _ in range(b)]
+        cps = [rng.uniform(-2.5, 2.5, (3, 3, 3, 3)) for _ in range(b)]
+        out_w = resample_fused(data, mats, cps, fill=1.5, mode="linear")
+        out_g = _gather_reference(data, mats, cps, fill=1.5, mode="linear")
+        np.testing.assert_allclose(
+            np.asarray(out_w), np.asarray(out_g), atol=2e-6
+        )
+
+    def test_label_vote_matches_gather_path(self):
+        rng = np.random.default_rng(4)
+        b, i, j, k = 2, 13, 19, 11
+        lab = rng.integers(0, 5, (b, 1, i, j, k)).astype(np.int32)
+        mats = [np.eye(4)] * b
+        cps = [rng.uniform(-2.5, 2.5, (3, 3, 3, 3)) for _ in range(b)]
+        out_w = resample_label_fused(lab, mats, cps, pad_label=0)
+        out_g = _gather_reference_label(lab, mats, cps, pad_label=0)
+        np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
+
+    def test_nearest_matches_gather_path(self):
+        rng = np.random.default_rng(5)
+        data = rng.random((1, 1, 10, 14, 6), np.float32)
+        cps = [rng.uniform(-1.5, 1.5, (2, 2, 2, 3))]
+        out_w = resample_fused(
+            data, [np.eye(4)], cps, fill=0.5, mode="nearest"
+        )
+        out_g = _gather_reference(
+            data, [np.eye(4)], cps, fill=0.5, mode="nearest"
+        )
+        np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))

@@ -368,8 +368,8 @@ def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, padi_g,
     candidate loop; per-element masks keep exactness.
     """
     I, J, K = spatial
-    B = ci.shape[0]
-    nti, ntj = I // TI, J // TJ
+    B, Ip, Jp, _ = ci.shape
+    nti, ntj = Ip // TI, Jp // TJ
     ntk = ci.shape[-1] // 128
     ii = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 2)
@@ -444,13 +444,15 @@ def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, padi_g,
 def _pallas_window2(bounds, fill, vol_sheared_padded, ci, cj, ck,
                     si_t, sj_t, *, spatial, padi_g, padj_g, maxr, mode,
                     apply_fill, pad_label=0.0):
-    """vol (B, I+2padi_g, J+2padj_g, Kp); coords (B, I, J, Kp);
-    tables (B, 8, Kp); bounds (B, nti, ntj, ntk, 4)."""
+    """vol (B, Ip+2padi_g, Jp+2padj_g, Kp); coords (B, Ip, Jp, Kp);
+    tables (B, 8, Kp); bounds (B, nti, ntj, ntk, 4).
+
+    (Ip, Jp) is the tile-aligned grid; ``spatial`` carries the TRUE
+    (I, J, K) used for in-bounds masking — callers crop the result."""
     I, J, K = spatial
-    B = ci.shape[0]
-    Kp = ci.shape[-1]
+    B, Ip, Jp, Kp = ci.shape
     ntk = Kp // 128
-    nti, ntj = I // TI, J // TJ
+    nti, ntj = Ip // TI, Jp // TJ
     nrows = TI + maxr + 7
     ncols = 8 * ((TJ + maxr + 7 + 7) // 8)
 
@@ -516,7 +518,7 @@ def _pallas_window2(bounds, fill, vol_sheared_padded, ci, cj, ck,
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, I, J, Kp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ip, Jp, Kp), out_dtype),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(bounds, fill, ci, cj, ck, si_t, sj_t, *vols)
@@ -698,7 +700,7 @@ def shear_eligible(data_shape, out_spatial, matrices, control_points,
     b, c, I, J, K = data_shape
     if tuple(out_spatial) != (I, J, K):
         return None
-    if I % TI or J % TJ or K > 256 or I < 2 or J < 2 or K < 2:
+    if K > 256 or I < 2 or J < 2 or K < 2:
         return None
     plan = ShearPlan(matrices, control_points, (I, J, K))
     if not plan.ok:
@@ -725,13 +727,18 @@ def _shear_resample_impl(
 ):
     B, C, I, J, K = data.shape
     Kp = si_t.shape[-1]
+    # tile-align the output grid; the kernel masks with the TRUE
+    # (I, J, K) in ``spatial``, and rows >= I / J are cropped below
+    Ip = TI * (-(-I // TI))
+    Jp = TJ * (-(-J // TJ))
     ci, cj, ck = _build_batch_coords(
         matrices, control_points if has_cp else None, spatial
     )
-    if Kp != K:
-        # replicate the last real k-lane: zero-padded coords would
-        # poison the per-tile candidate bounds with huge fake offsets
-        pad = ((0, 0), (0, 0), (0, 0), (0, Kp - K))
+    if Kp != K or (Ip, Jp) != (I, J):
+        # replicate the last real row/column/lane: zero-padded coords
+        # would poison the per-tile candidate bounds with huge fake
+        # offsets (and the elastic field spans the TRUE grid only)
+        pad = ((0, 0), (0, Ip - I), (0, Jp - J), (0, Kp - K))
         ci = jnp.pad(ci, pad, mode="edge")
         cj = jnp.pad(cj, pad, mode="edge")
         ck = jnp.pad(ck, pad, mode="edge")
@@ -750,11 +757,17 @@ def _shear_resample_impl(
         else jnp.float32
     )
     vol = data.astype(work)
-    if Kp != K:
-        vol = jnp.pad(vol, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Kp - K)))
+    if Kp != K or (Ip, Jp) != (I, J):
+        vol = jnp.pad(
+            vol,
+            (
+                (0, 0), (0, 0),
+                (0, Ip - I), (0, Jp - J), (0, Kp - K),
+            ),
+        )
     # shear all (B, C) volumes with per-element tables; the sheared
     # volume comes back EXTENDED by (pad_si, pad_sj) on the sheared axes
-    voln = vol.reshape(B * C, I, J, Kp)
+    voln = vol.reshape(B * C, Ip, Jp, Kp)
     rep = lambda t: jnp.repeat(t, C, axis=0)
     ext_i = pad_si if need_si else 0
     ext_j = pad_sj if need_sj else 0
@@ -763,7 +776,7 @@ def _shear_resample_impl(
         rep(si_t), rep(sj_t), rep(si_chunk), rep(sj_chunk),
         pad_si if need_si else None,
         pad_sj if need_sj else None,
-    ).reshape(B, C, I + 2 * ext_i, J + 2 * ext_j, Kp)
+    ).reshape(B, C, Ip + 2 * ext_i, Jp + 2 * ext_j, Kp)
     padded = jnp.pad(
         sheared,
         (
@@ -785,7 +798,7 @@ def _shear_resample_impl(
             spatial=spatial, padi_g=padi_g, padj_g=padj_g, maxr=maxr,
             mode=mode_, apply_fill=apply_fill and mode_ != "corners",
             pad_label=pad_label_,
-        )[0, ..., :K]
+        )[0, :I, :J, :K]
 
     if mode == "corners":
         outs = [

@@ -332,10 +332,14 @@ def _tile_bounds(ci, cj, spatial, padi, padj):
     slab's reachable candidate range. ~10 cheap elementwise/reduce
     passes — measured faster than conservative host-side bounds, which
     over-cover (coarse-cell boxes span the full k axis) and inflate the
-    kernel's candidate loop."""
+    kernel's candidate loop.
+
+    ``spatial`` carries the TRUE in-bounds extents (the clamp targets);
+    the tiling grid comes from the coordinate arrays themselves, which
+    may be padded up to tile multiples for non-aligned volumes."""
     I, J, _ = spatial
-    B = ci.shape[0]
-    nti, ntj = I // TI, J // TJ
+    B, Ip, Jp, _ = ci.shape
+    nti, ntj = Ip // TI, Jp // TJ
     ii = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 2)
     oi = jnp.clip(jnp.floor(ci).astype(jnp.int32), -1, I - 1) - ii
@@ -356,11 +360,15 @@ def _tile_bounds(ci, cj, spatial, padi, padj):
 
 def _pallas_window(bounds, fill, vol_padded, ci, cj, ck, *, padi, padj,
                    spatial, mode, apply_fill, pad_label=0.0):
-    """vol_padded (B, I+2padi, J+2padj, 128); coords (B, I, J, 128);
-    bounds (B, nti, ntj, 4) int32; fill (B,) f32. -> (B, I, J, 128)."""
+    """vol_padded (B, Ip+2padi, Jp+2padj, 128); coords (B, Ip, Jp, 128);
+    bounds (B, nti, ntj, 4) int32; fill (B,) f32. -> (B, Ip, Jp, 128).
+
+    (Ip, Jp) is the tile-aligned output grid; ``spatial`` carries the
+    TRUE (I, J, K) used for in-bounds masking — callers crop rows
+    >= I / J from the result."""
     I, J, K = spatial
-    B = ci.shape[0]
-    nti, ntj = I // TI, J // TJ
+    B, Ip, Jp, _ = ci.shape
+    nti, ntj = Ip // TI, Jp // TJ
     nrows = TI + 2 * padi
     ncols = TJ + 2 * padj
 
@@ -395,7 +403,7 @@ def _pallas_window(bounds, fill, vol_padded, ci, cj, ck, *, padi, padj,
     out_dtype = vol_padded.dtype if mode == "corners" else jnp.float32
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, I, J, 128), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ip, Jp, 128), out_dtype),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(bounds, fill, ci, cj, ck, vol_padded)
@@ -446,13 +454,30 @@ def _window_resample_scalar(
 ):
     """(B, C, I, J, K) trilinear bounded-offset resample, one program."""
     B, C, I, J, K = data.shape
+    # tile-align the output grid; the kernel masks with the TRUE
+    # (I, J, K) in ``spatial``, and rows >= I / J are cropped below
+    Ip = TI * (-(-I // TI))
+    Jp = TJ * (-(-J // TJ))
     ci, cj, ck = _build_batch_coords(
         matrices, control_points if has_cp else None, spatial
     )
+    if (Ip, Jp) != (I, J):
+        # replicate the last real row/column's coordinates into the
+        # alignment padding (the elastic field spans the TRUE grid, so
+        # extrapolating the ramps would mis-place it); padded rows are
+        # masked by the true-extent bounds and cropped from the output
+        pad = ((0, 0), (0, Ip - I), (0, Jp - J), (0, 0))
+        ci = jnp.pad(ci, pad, mode="edge")
+        cj = jnp.pad(cj, pad, mode="edge")
+        ck = jnp.pad(ck, pad, mode="edge")
     bounds = _tile_bounds(ci, cj, spatial, padi, padj)
     vol = jnp.pad(
         data.astype(jnp.float32),
-        ((0, 0), (0, 0), (padi, padi), (padj, padj), (0, 128 - K)),
+        (
+            (0, 0), (0, 0),
+            (padi, padi + Ip - I), (padj, padj + Jp - J),
+            (0, 128 - K),
+        ),
     )
     outs = []
     for c in range(C):
@@ -461,7 +486,7 @@ def _window_resample_scalar(
             padi=padi, padj=padj, spatial=spatial, mode=mode,
             apply_fill=apply_fill,
         )
-        outs.append(out[..., :K])
+        outs.append(out[:, :I, :J, :K])
     return jnp.stack(outs, axis=1)
 
 
@@ -477,9 +502,16 @@ def _window_resample_label(
     argmax by summed corner weight (same vote as
     ``_resample_element_label``)."""
     B, C, I, J, K = data.shape
+    Ip = TI * (-(-I // TI))
+    Jp = TJ * (-(-J // TJ))
     ci, cj, ck = _build_batch_coords(
         matrices, control_points if has_cp else None, spatial
     )
+    if (Ip, Jp) != (I, J):
+        pad = ((0, 0), (0, Ip - I), (0, Jp - J), (0, 0))
+        ci = jnp.pad(ci, pad, mode="edge")
+        cj = jnp.pad(cj, pad, mode="edge")
+        ck = jnp.pad(ck, pad, mode="edge")
     bounds = _tile_bounds(ci, cj, spatial, padi, padj)
     # labels ride in int32 — an f32 cast would round values above 2^24
     work = (
@@ -489,14 +521,18 @@ def _window_resample_label(
     )
     vol = jnp.pad(
         data.astype(work),
-        ((0, 0), (0, 0), (padi, padi), (padj, padj), (0, 128 - K)),
+        (
+            (0, 0), (0, 0),
+            (padi, padi + Ip - I), (padj, padj + Jp - J),
+            (0, 128 - K),
+        ),
     )
     fill = jnp.zeros((B,), jnp.float32)
     out = _pallas_window(
         bounds, fill, vol[:, 0], ci, cj, ck,
         padi=padi, padj=padj, spatial=spatial, mode="corners",
         apply_fill=False, pad_label=pad_label,
-    )[..., :K]
+    )[:, :I, :J, :K]
     return out[:, None].astype(data.dtype)
 
 
@@ -546,8 +582,9 @@ def window_eligible(data_shape, out_spatial, matrices, control_points,
 
     Requirements: TPU backend (or interpret override), linear mode, an
     elastic component (affine-only maps already have faster paths),
-    output grid == input grid shape, I/J multiples of 8, K <= 128, and
-    bounded in-plane offsets (:func:`window_bounds`).
+    output grid == input grid shape, K <= 128, and bounded in-plane
+    offsets (:func:`window_bounds`). I/J need NOT be tile multiples —
+    the wrapper tile-aligns the output grid and crops.
     """
     from ..config import window_resample as enabled
 
@@ -562,7 +599,7 @@ def window_eligible(data_shape, out_spatial, matrices, control_points,
     b, c, I, J, K = data_shape
     if tuple(out_spatial) != (I, J, K):
         return None
-    if I % TI or J % TJ or K > 128 or I < 2 or J < 2 or K < 2:
+    if K > 128 or I < 2 or J < 2 or K < 2:
         return None
     bounds = window_bounds(matrices, control_points, (I, J, K))
     if bounds is None:
