@@ -368,3 +368,50 @@ class TestNonAlignedShapes:
         np.testing.assert_allclose(
             np.asarray(out_s), np.asarray(out_g), atol=2e-5
         )
+
+
+class TestAlignmentPaddingBounds:
+    """Regression: edge-replicated alignment rows must not constrain
+    the per-tile candidate window. Their offsets ramp down one per pad
+    row; including them dragged ``lo`` down by up to TI-1, the ``maxr``
+    span clamp then cut real candidates, and the kernel's residual clip
+    misattributed real corners (0.75 max error on (33, 33, 24) under a
+    1.4-degree rotation before the fix). Maximal-pad shapes
+    (I % 16 == 1) with near-identity rotations sit at the minimum
+    ``maxr`` bucket — exactly where the budget was tightest."""
+
+    @staticmethod
+    def _centered(m, spatial):
+        c = (np.asarray(spatial, np.float64) - 1.0) / 2.0
+        m = np.asarray(m, np.float64).copy()
+        m[:3, 3] = c - m[:3, :3] @ c
+        return m
+
+    @pytest.mark.parametrize(
+        "shape,ang",
+        [
+            ((1, 1, 33, 33, 24), (0.02, 0.015, 0.025)),
+            ((1, 1, 17, 49, 24), (0.01, 0.01, 0.01)),
+        ],
+    )
+    def test_maximal_pad_near_identity_rotation(self, shape, ang):
+        rng = np.random.default_rng(0)
+        data = rng.random(shape, np.float32)
+        m = self._centered(_rot(*ang), shape[2:])
+        out_s = resample_fused(data, [m], [None], fill=1.5, mode="linear")
+        out_g = _gather(data, [m], [None], fill=1.5, mode="linear")
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_g), atol=2e-5
+        )
+
+    def test_maximal_pad_label_vote(self):
+        rng = np.random.default_rng(1)
+        lab = rng.integers(0, 5, (1, 1, 33, 33, 24)).astype(np.int32)
+        m = self._centered(_rot(0.02, 0.015, 0.025), (33, 33, 24))
+        out_s = resample_label_fused(lab, [m], [None], pad_label=0)
+        config.use_window_resample = False
+        try:
+            out_g = resample_label_fused(lab, [m], [None], pad_label=0)
+        finally:
+            config.use_window_resample = None
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_g))

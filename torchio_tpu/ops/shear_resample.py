@@ -52,6 +52,7 @@ from .window_resample import (
     _use_interpret,
     ratchet_seen,
     ratchet_statics,
+    tile_align_coords,
 )
 
 #: v2 tile size: 16x16 halves the grid-step count vs the v1 kernel's
@@ -397,6 +398,14 @@ def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, padi_g,
         (fi_raw >= -1) & (fi_raw <= I - 1)
         & (fj_raw >= -1) & (fj_raw <= J - 1)
     )
+    # tile-alignment padding rows/cols (grid index >= true extent) must
+    # not constrain the window: their edge-replicated coordinates keep
+    # fi fixed while the iota keeps growing, dragging lo down by up to
+    # TI-1 — the maxr span clamp on hi then CUTS real candidates and
+    # the kernel's residual clip misattributes real corners (verified:
+    # 0.75 max error on a (33, 33, 24) volume under a 1.4deg rotation).
+    # Their outputs are cropped, so exclusion is free.
+    vij = vij & (ii <= I - 1) & (jj <= J - 1)
     v0 = vij & (fk_raw >= 0) & (fk_raw <= K - 1)
     v1 = vij & (fk_raw + 1 >= 0) & (fk_raw + 1 <= K - 1)
     big = jnp.int32(1 << 20)
@@ -727,21 +736,10 @@ def _shear_resample_impl(
 ):
     B, C, I, J, K = data.shape
     Kp = si_t.shape[-1]
-    # tile-align the output grid; the kernel masks with the TRUE
-    # (I, J, K) in ``spatial``, and rows >= I / J are cropped below
-    Ip = TI * (-(-I // TI))
-    Jp = TJ * (-(-J // TJ))
-    ci, cj, ck = _build_batch_coords(
-        matrices, control_points if has_cp else None, spatial
+    ci, cj, ck, Ip, Jp = tile_align_coords(
+        matrices, control_points if has_cp else None, spatial, TI, TJ,
+        kp=Kp,
     )
-    if Kp != K or (Ip, Jp) != (I, J):
-        # replicate the last real row/column/lane: zero-padded coords
-        # would poison the per-tile candidate bounds with huge fake
-        # offsets (and the elastic field spans the TRUE grid only)
-        pad = ((0, 0), (0, Ip - I), (0, Jp - J), (0, Kp - K))
-        ci = jnp.pad(ci, pad, mode="edge")
-        cj = jnp.pad(cj, pad, mode="edge")
-        ck = jnp.pad(ck, pad, mode="edge")
     nrows = TI + maxr + 7
     ncols = 8 * ((TJ + maxr + 7 + 7) // 8)
     bounds = _tile_bounds2(

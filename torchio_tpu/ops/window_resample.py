@@ -115,19 +115,27 @@ def _tpu_dispatch(data=None) -> bool:
     ``jax.default_device(cpu)`` scope (it still reports the
     highest-priority platform) and for arrays committed to another
     device — jit follows the argument placement, and a Mosaic kernel
-    traced for CPU execution fails to lower.
+    traced for CPU execution fails to lower. The default-device scope
+    is consulted FIRST: with it set to CPU, even TPU-resident but
+    uncommitted arrays execute on CPU. A false negative only costs the
+    gather fallback; a false positive crashes — so ties break to False.
     """
     if os.environ.get("TORCHIO_TPU_WINDOW_INTERPRET"):
         return True
+    default = jax.config.jax_default_device
+    if default is not None:
+        # may be a Device or a platform string ("cpu")
+        platform = (
+            default if isinstance(default, str)
+            else getattr(default, "platform", None)
+        )
+        return platform == "tpu"
     if data is not None:
         devices = getattr(data, "devices", None)
         if devices is not None:
             devs = devices()
             if devs:
                 return all(d.platform == "tpu" for d in devs)
-    default = jax.config.jax_default_device
-    if default is not None:
-        return getattr(default, "platform", None) == "tpu"
     return jax.default_backend() == "tpu"
 
 
@@ -442,6 +450,32 @@ def _build_batch_coords(matrices, control_points, out_spatial):
     return ci, cj, ck
 
 
+def tile_align_coords(matrices, control_points, spatial, ti, tj,
+                      kp=None):
+    """Output-grid coordinates, tile-aligned for the pallas kernels.
+
+    Builds the per-element coordinates over the TRUE ``spatial`` grid
+    (the elastic field spans it — extrapolating the ramps would
+    mis-place the field), then edge-replicates the last real
+    row/column/lane into the alignment padding: zero-padded coordinates
+    would poison the per-tile candidate bounds with huge fake offsets.
+    The padded rows' outputs are meaningless and must be cropped; their
+    offsets must also be EXCLUDED from any bounded candidate window
+    (see ``_tile_bounds2``). Returns ``(ci, cj, ck, Ip, Jp)``.
+    """
+    I, J, K = spatial
+    Ip = ti * (-(-I // ti))
+    Jp = tj * (-(-J // tj))
+    kp = K if kp is None else kp
+    ci, cj, ck = _build_batch_coords(matrices, control_points, spatial)
+    if (Ip, Jp, kp) != (I, J, K):
+        pad = ((0, 0), (0, Ip - I), (0, Jp - J), (0, kp - K))
+        ci = jnp.pad(ci, pad, mode="edge")
+        cj = jnp.pad(cj, pad, mode="edge")
+        ck = jnp.pad(ck, pad, mode="edge")
+    return ci, cj, ck, Ip, Jp
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -454,22 +488,9 @@ def _window_resample_scalar(
 ):
     """(B, C, I, J, K) trilinear bounded-offset resample, one program."""
     B, C, I, J, K = data.shape
-    # tile-align the output grid; the kernel masks with the TRUE
-    # (I, J, K) in ``spatial``, and rows >= I / J are cropped below
-    Ip = TI * (-(-I // TI))
-    Jp = TJ * (-(-J // TJ))
-    ci, cj, ck = _build_batch_coords(
-        matrices, control_points if has_cp else None, spatial
+    ci, cj, ck, Ip, Jp = tile_align_coords(
+        matrices, control_points if has_cp else None, spatial, TI, TJ
     )
-    if (Ip, Jp) != (I, J):
-        # replicate the last real row/column's coordinates into the
-        # alignment padding (the elastic field spans the TRUE grid, so
-        # extrapolating the ramps would mis-place it); padded rows are
-        # masked by the true-extent bounds and cropped from the output
-        pad = ((0, 0), (0, Ip - I), (0, Jp - J), (0, 0))
-        ci = jnp.pad(ci, pad, mode="edge")
-        cj = jnp.pad(cj, pad, mode="edge")
-        ck = jnp.pad(ck, pad, mode="edge")
     bounds = _tile_bounds(ci, cj, spatial, padi, padj)
     vol = jnp.pad(
         data.astype(jnp.float32),
@@ -502,16 +523,9 @@ def _window_resample_label(
     argmax by summed corner weight (same vote as
     ``_resample_element_label``)."""
     B, C, I, J, K = data.shape
-    Ip = TI * (-(-I // TI))
-    Jp = TJ * (-(-J // TJ))
-    ci, cj, ck = _build_batch_coords(
-        matrices, control_points if has_cp else None, spatial
+    ci, cj, ck, Ip, Jp = tile_align_coords(
+        matrices, control_points if has_cp else None, spatial, TI, TJ
     )
-    if (Ip, Jp) != (I, J):
-        pad = ((0, 0), (0, Ip - I), (0, Jp - J), (0, 0))
-        ci = jnp.pad(ci, pad, mode="edge")
-        cj = jnp.pad(cj, pad, mode="edge")
-        ck = jnp.pad(ck, pad, mode="edge")
     bounds = _tile_bounds(ci, cj, spatial, padi, padj)
     # labels ride in int32 — an f32 cast would round values above 2^24
     work = (
