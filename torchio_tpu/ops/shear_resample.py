@@ -359,16 +359,21 @@ def _kernel2(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, si_ref, sj_ref,
         out_ref[0] = acc.reshape(TI, TJ, 128)
 
 
-def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, padi_g,
-                  padj_g, maxr, reach_i, reach_j):
+def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, out_true,
+                  padi_g, padj_g, maxr, reach_i, reach_j):
     """Per-tile residual offset bounds in the sheared frame.
 
     The kernel uses exact host tables for the shear; here the analytic
     f32 form stands in with a +-1 widening (f32 and f64 rounding of
     m*k can differ by one step). Conservative bounds only widen the
     candidate loop; per-element masks keep exactness.
+
+    ``spatial`` is the INPUT extent (in-bounds corner masking);
+    ``out_true`` the true (Io, Jo) output extent — grid rows/cols at or
+    beyond it are tile-alignment padding and excluded from the bounds.
     """
     I, J, K = spatial
+    Io, Jo = out_true
     B, Ip, Jp, _ = ci.shape
     nti, ntj = Ip // TI, Jp // TJ
     ntk = ci.shape[-1] // 128
@@ -405,7 +410,7 @@ def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, padi_g,
     # the kernel's residual clip misattributes real corners (verified:
     # 0.75 max error on a (33, 33, 24) volume under a 1.4deg rotation).
     # Their outputs are cropped, so exclusion is free.
-    vij = vij & (ii <= I - 1) & (jj <= J - 1)
+    vij = vij & (ii <= Io - 1) & (jj <= Jo - 1)
     v0 = vij & (fk_raw >= 0) & (fk_raw <= K - 1)
     v1 = vij & (fk_raw + 1 >= 0) & (fk_raw + 1 <= K - 1)
     big = jnp.int32(1 << 20)
@@ -457,10 +462,17 @@ def _pallas_window2(bounds, fill, vol_sheared_padded, ci, cj, ck,
     tables (B, 8, Kp); bounds (B, nti, ntj, ntk, 4).
 
     (Ip, Jp) is the tile-aligned grid; ``spatial`` carries the TRUE
-    (I, J, K) used for in-bounds masking — callers crop the result."""
+    (I, J, K) used for in-bounds masking — callers crop the result.
+
+    The grid's k dimension iterates OUTPUT 128-lane chunks (from the
+    coordinate arrays); the slab/table/lane-gather chunk count is the
+    INPUT one (from the sheared volume) — out_shape support decouples
+    the two."""
     I, J, K = spatial
-    B, Ip, Jp, Kp = ci.shape
-    ntk = Kp // 128
+    B, Ip, Jp, Kp_out = ci.shape
+    Kp_in = vol_sheared_padded.shape[-1]
+    ntk_out = Kp_out // 128
+    ntk = Kp_in // 128
     nti, ntj = Ip // TI, Jp // TJ
     nrows = TI + maxr + 7
     ncols = 8 * ((TJ + maxr + 7 + 7) // 8)
@@ -474,7 +486,7 @@ def _pallas_window2(bounds, fill, vol_sheared_padded, ci, cj, ck,
         (1, TI, TJ, 128), lambda b, ti, tj, tk, *_: (b, ti, tj, tk)
     )
     table_spec = pl.BlockSpec(
-        (1, 8, Kp), lambda b, ti, tj, tk, *_: (b, 0, 0)
+        (1, 8, Kp_in), lambda b, ti, tj, tk, *_: (b, 0, 0)
     )
 
     def slab_map(b, ti, tj, tk, bnd, fl):
@@ -509,7 +521,7 @@ def _pallas_window2(bounds, fill, vol_sheared_padded, ci, cj, ck,
         slab_specs = [slab_spec, slab_spec]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, nti, ntj, ntk),
+        grid=(B, nti, ntj, ntk_out),
         in_specs=[
             coord_spec,
             coord_spec,
@@ -527,7 +539,7 @@ def _pallas_window2(bounds, fill, vol_sheared_padded, ci, cj, ck,
     )
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, Ip, Jp, Kp), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Ip, Jp, Kp_out), out_dtype),
         grid_spec=grid_spec,
         interpret=_use_interpret(),
     )(bounds, fill, ci, cj, ck, si_t, sj_t, *vols)
@@ -541,11 +553,28 @@ class ShearPlan:
     """Static (shape-defining) and per-call host data for the sheared
     window pipeline."""
 
-    def __init__(self, matrices, control_points, spatial):
+    def __init__(self, matrices, control_points, spatial,
+                 out_spatial=None):
         I, J, K = spatial
+        if out_spatial is None:
+            out_spatial = spatial
+        Io, Jo, Ko = (int(s) for s in out_spatial)
         self.spatial = spatial
+        self.out_spatial = (Io, Jo, Ko)
         self.Kp = 128 * ((K + 127) // 128)
         ks = np.arange(self.Kp, dtype=np.float64)
+        # output-grid corners: bound the map's input-k range so the
+        # kc = clip(floor(ck), 0, K-1) clip distance can be priced into
+        # the k-coupling bounds (clipping can ENLARGE |k_out - kc| when
+        # the map leaves the input k extent)
+        out_corners = np.array(
+            [
+                [io, jo, ko, 1.0]
+                for io in (0.0, Io - 1.0)
+                for jo in (0.0, Jo - 1.0)
+                for ko in (0.0, Ko - 1.0)
+            ]
+        )
         si_list, sj_list = [], []
         res_i = res_j = 0.0
         tile_i = tile_j = 0.0
@@ -566,34 +595,41 @@ class ShearPlan:
                     cpk = float(np.max(np.abs(cpa[..., 2])))
             kres_i = float(np.max(np.abs(m[0, 2] * ks + m[0, 3] - si)))
             kres_j = float(np.max(np.abs(m[1, 2] * ks + m[1, 3] - sj)))
+            # kc-clip allowance: |k_out - kc| <= |k_out - in_k| + the
+            # distance clip moves in_k back into [0, K-1]
+            kin = out_corners @ m[2]
+            clip_allow = max(0.0, -(float(kin.min()) - cpk)) + max(
+                0.0, (float(kin.max()) + cpk) - (K - 1.0)
+            )
             # k-coupling cross-term: the shear table is looked up at the
             # INPUT coordinate kc = clip(floor(ck), 0, K-1), not at the
             # output lane k, so the residual carries m02 * (k - kc).
             # |k - kc| is bounded by the k-row's deviation from identity
-            # (+2: floor and the kc+1 corner); within a tile it varies by
-            # the per-tile spans of that deviation (k spans one 128-lane
-            # chunk, i/j span TI/TJ).
+            # over the OUTPUT grid (+2: floor and the kc+1 corner) plus
+            # the clip allowance; within a tile it varies by the
+            # per-tile spans of that deviation (k spans one 128-lane
+            # chunk of output lanes, i/j span TI/TJ).
             dk_glob = (
-                abs(m[2, 2] - 1.0) * (K - 1)
-                + abs(m[2, 0]) * (I - 1)
-                + abs(m[2, 1]) * (J - 1)
-                + abs(m[2, 3]) + cpk + 2.0
+                abs(m[2, 2] - 1.0) * (Ko - 1)
+                + abs(m[2, 0]) * (Io - 1)
+                + abs(m[2, 1]) * (Jo - 1)
+                + abs(m[2, 3]) + cpk + clip_allow + 2.0
             )
             dk_tile = (
-                abs(m[2, 2] - 1.0) * min(127, K - 1)
+                abs(m[2, 2] - 1.0) * min(127, Ko - 1)
                 + abs(m[2, 0]) * (TI - 1)
                 + abs(m[2, 1]) * (TJ - 1)
-                + 2 * cpk + 2.0
+                + 2 * cpk + clip_allow + 2.0
             )
-            # global residual bound (sheared frame)
+            # global residual bound (sheared frame) over the OUTPUT grid
             ri = (
-                abs(m[0, 0] - 1.0) * (I - 1)
-                + abs(m[0, 1]) * (J - 1)
+                abs(m[0, 0] - 1.0) * (Io - 1)
+                + abs(m[0, 1]) * (Jo - 1)
                 + kres_i + cpi + abs(m[0, 2]) * dk_glob
             )
             rj = (
-                abs(m[1, 0]) * (I - 1)
-                + abs(m[1, 1] - 1.0) * (J - 1)
+                abs(m[1, 0]) * (Io - 1)
+                + abs(m[1, 1] - 1.0) * (Jo - 1)
                 + kres_j + cpj + abs(m[1, 2]) * dk_glob
             )
             res_i = max(res_i, ri)
@@ -622,7 +658,7 @@ class ShearPlan:
         # Level sets respect the kernels' alignment requirements
         # (maxr multiple of 4, shear pads multiple of 8 — _shear_axis
         # needs 8-divisible extended grids — global pads multiple of 16).
-        self._key = ("shear", tuple(spatial), self.Kp)
+        self._key = ("shear", tuple(spatial), self.out_spatial, self.Kp)
         hr = 0 if ratchet_seen(self._key) else 1
         self.maxr = _bucket(
             int(np.ceil(max(tile_i, tile_j))) + 2, (8, 16, 24, 32), hr
@@ -707,11 +743,12 @@ def shear_eligible(data_shape, out_spatial, matrices, control_points,
     if not _tpu_dispatch(data):
         return None
     b, c, I, J, K = data_shape
-    if tuple(out_spatial) != (I, J, K):
-        return None
+    Io, Jo, Ko = (int(s) for s in out_spatial)
     if K > 256 or I < 2 or J < 2 or K < 2:
         return None
-    plan = ShearPlan(matrices, control_points, (I, J, K))
+    if Io < 1 or Jo < 1 or Ko < 1:
+        return None
+    plan = ShearPlan(matrices, control_points, (I, J, K), (Io, Jo, Ko))
     if not plan.ok:
         return None
     return plan
