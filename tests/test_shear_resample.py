@@ -415,3 +415,171 @@ class TestAlignmentPaddingBounds:
         finally:
             config.use_window_resample = None
         np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_g))
+
+class TestOutShape:
+    """Target-space (out_shape != input shape) through the sheared
+    kernel: rotation + resample-to-a-different-grid combos (BASELINE
+    config 3) ride the kernel instead of the per-index gather.
+    Reference target-space resolution:
+    ``/root/reference/src/torchio/transforms/spatial/spatial.py:1392-1501``.
+    """
+
+    @pytest.mark.parametrize(
+        "in_spatial,out_spatial",
+        [
+            # downsample, non-tile-multiple target
+            ((32, 32, 48), (23, 21, 36)),
+            # upsample, target k crosses into the second 128-lane chunk
+            # while the input stays single-chunk (Kp_out != Kp_in)
+            ((24, 24, 100), (30, 28, 150)),
+            # input two-chunk, output single-chunk
+            ((20, 20, 200), (16, 18, 60)),
+        ],
+    )
+    def test_matches_gather_path(self, in_spatial, out_spatial):
+        rng = np.random.default_rng(20)
+        data = rng.random((2, 1) + in_spatial, np.float32)
+        ms = []
+        for _ in range(2):
+            m = _rot(0.1, -0.08, 0.12, scale=0.95)
+            m[:3, 3] = rng.uniform(-2, 2, 3)
+            ms.append(_center(m, in_spatial))
+        cps = [None, rng.uniform(-1.5, 1.5, (3, 3, 3, 3))]
+        plan = shear_eligible(data.shape, out_spatial, ms, cps, "linear")
+        assert plan is not None and plan.out_spatial == out_spatial
+        out = resample_fused(
+            data, ms, cps, out_shape=out_spatial, fill=1.25
+        )
+        ref = _gather(data, ms, cps, out_shape=out_spatial, fill=1.25)
+        assert out.shape == (2, 1) + out_spatial
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_out_shape_label_vote(self):
+        rng = np.random.default_rng(21)
+        lab = rng.integers(0, 4, (1, 1, 24, 24, 40)).astype(np.int32)
+        m = _center(_rot(0.09, 0.07, -0.05), (24, 24, 40))
+        out_spatial = (18, 20, 30)
+        out = resample_label_fused(
+            lab, [m], [None], out_shape=out_spatial, pad_label=2
+        )
+        config.use_window_resample = False
+        try:
+            ref = resample_label_fused(
+                lab, [m], [None], out_shape=out_spatial, pad_label=2
+            )
+        finally:
+            config.use_window_resample = None
+        assert out.shape == (1, 1) + out_spatial
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_nearest_out_shape(self):
+        rng = np.random.default_rng(22)
+        data = rng.random((1, 1, 24, 24, 40), np.float32)
+        m = _center(_rot(0.08, -0.06, 0.1), (24, 24, 40))
+        out_spatial = (30, 26, 50)
+        plan = shear_eligible(
+            data.shape, out_spatial, [m], [None], "nearest"
+        )
+        assert plan is not None
+        out = shear_resample_fused(
+            data, [m], [None], 0.0, plan, mode="nearest", apply_fill=False
+        )
+        ref = _gather(
+            data, [m], [None], out_shape=out_spatial, fill=0.0,
+            mode="nearest",
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestDispatchFallbackGuard:
+    """A kernel bug must degrade to the gather path with a warning, not
+    crash the public transform (round-3 regression: a half-landed
+    kernel change made ``tio.Affine`` raise on TPU)."""
+
+    def test_shear_kernel_exception_falls_back(self, monkeypatch):
+        import torchio_tpu.ops.shear_resample as sr
+
+        def boom(*a, **k):
+            raise TypeError("simulated kernel bug")
+
+        monkeypatch.setattr(sr, "shear_resample_fused", boom)
+        rng = np.random.default_rng(30)
+        data = rng.random((1, 1, 16, 16, 24), np.float32)
+        m = _center(_rot(0.15, 0.1, -0.12), (16, 16, 24))
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            out = resample_fused(data, [m], [None], fill=0.5)
+        ref = _gather(data, [m], [None], fill=0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_label_kernel_exception_falls_back(self, monkeypatch):
+        import torchio_tpu.ops.shear_resample as sr
+
+        def boom(*a, **k):
+            raise ValueError("simulated kernel bug")
+
+        monkeypatch.setattr(sr, "shear_resample_label_fused", boom)
+        rng = np.random.default_rng(31)
+        lab = rng.integers(0, 4, (1, 1, 16, 16, 24)).astype(np.int32)
+        m = _center(_rot(0.12, 0.09, -0.07), (16, 16, 24))
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            out = resample_label_fused(lab, [m], [None], pad_label=0)
+        config.use_window_resample = False
+        try:
+            ref = resample_label_fused(lab, [m], [None], pad_label=0)
+        finally:
+            config.use_window_resample = None
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_window_kernel_exception_falls_back(self, monkeypatch):
+        import torchio_tpu.ops.window_resample as wr
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated kernel bug")
+
+        monkeypatch.setattr(wr, "window_resample_fused", boom)
+        rng = np.random.default_rng(32)
+        data = rng.random((1, 1, 16, 16, 24), np.float32)
+        cps = [rng.uniform(-1.5, 1.5, (3, 3, 3, 3))]
+        with pytest.warns(RuntimeWarning, match="falling back"):
+            out = resample_fused(data, [np.eye(4)], cps, fill=0.5)
+        ref = _gather(data, [np.eye(4)], cps, fill=0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+
+class TestHeadlineEligibility:
+    def test_ten_consecutive_headline_draws_ride_the_kernel(self):
+        """BASELINE north-star draws (+-10 deg, 0.9-1.1 scale, +-5
+        translation, 7.5-voxel elastic at 256^3) must ALL produce ok
+        plans sharing one static tuple — per-draw fallback made the
+        round-3 headline oscillate 0.23 s / 1.0 s per batch."""
+        from torchio_tpu.ops.window_resample import reset_static_ratchet
+
+        reset_static_ratchet()
+        try:
+            rng = np.random.default_rng(0)
+            S = 256
+            statics = set()
+            for _ in range(10):
+                ms, cps = [], []
+                for _ in range(4):
+                    ang = np.deg2rad(rng.uniform(-10, 10, 3))
+                    m = _rot(*ang, scale=1.0 / rng.uniform(0.9, 1.1))
+                    c = np.full(3, S / 2)
+                    m[:3, 3] = c - m[:3, :3] @ c + rng.uniform(-5, 5, 3)
+                    ms.append(m)
+                    cps.append(rng.uniform(-7.5, 7.5, (7, 7, 7, 3)))
+                plan = ShearPlan(ms, cps, (S, S, S))
+                assert plan.ok
+                statics.add(
+                    (plan.maxr, plan.padi_g, plan.padj_g,
+                     plan.pad_si, plan.pad_sj)
+                )
+            assert len(statics) == 1
+        finally:
+            reset_static_ratchet()

@@ -28,11 +28,25 @@ volume is ever materialized.
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _kernel_fallback_warn(name: str, error: Exception) -> None:
+    """A Pallas kernel bug must degrade to the gather path, not crash
+    the public transform (round-3 regression: a half-landed kernel
+    change made ``tio.Affine`` raise on TPU; the legacy pallas path
+    already guards this way — ``spatial/spatial.py`` dispatch)."""
+    warnings.warn(
+        f"{name} failed ({type(error).__name__}: {error});"
+        " falling back to the XLA gather kernel",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _resample_one(
@@ -530,10 +544,13 @@ def resample_fused(
         # bounded-offset elastic maps: the whole batch runs as ONE
         # Pallas program at VPU rate instead of the per-index gather
         padi, padj = window
-        return window_resample_fused(
-            data, matrices, control_points, fill_arr,
-            padi=padi, padj=padj, apply_fill=apply_fill, mode=mode,
-        )
+        try:
+            return window_resample_fused(
+                data, matrices, control_points, fill_arr,
+                padi=padi, padj=padj, apply_fill=apply_fill, mode=mode,
+            )
+        except Exception as error:
+            _kernel_fallback_warn("window_resample_fused", error)
     if not any(
         cp is None
         and (
@@ -552,10 +569,13 @@ def resample_fused(
             data=data,
         )
         if plan is not None:
-            return shear_resample_fused(
-                data, matrices, control_points, fill_arr, plan,
-                mode=mode, apply_fill=apply_fill,
-            )
+            try:
+                return shear_resample_fused(
+                    data, matrices, control_points, fill_arr, plan,
+                    mode=mode, apply_fill=apply_fill,
+                )
+            except Exception as error:
+                _kernel_fallback_warn("shear_resample_fused", error)
     outs = []
     for bi in range(b):
         cp = control_points[bi]
@@ -703,10 +723,13 @@ def resample_label_fused(
     )
     if window is not None:
         padi, padj = window
-        return window_resample_label_fused(
-            data, matrices, control_points, pad_label,
-            padi=padi, padj=padj,
-        )
+        try:
+            return window_resample_label_fused(
+                data, matrices, control_points, pad_label,
+                padi=padi, padj=padj,
+            )
+        except Exception as error:
+            _kernel_fallback_warn("window_resample_label_fused", error)
     from .shear_resample import (
         shear_eligible,
         shear_resample_label_fused,
@@ -717,9 +740,12 @@ def resample_label_fused(
         data=data,
     )
     if plan is not None:
-        return shear_resample_label_fused(
-            data, matrices, control_points, pad_label, plan
-        )
+        try:
+            return shear_resample_label_fused(
+                data, matrices, control_points, pad_label, plan
+            )
+        except Exception as error:
+            _kernel_fallback_warn("shear_resample_label_fused", error)
     outs = []
     for bi in range(data.shape[0]):
         m = jnp.asarray(np.asarray(matrices[bi], np.float64), jnp.float32)

@@ -62,10 +62,16 @@ TI = 16
 TJ = 16
 
 #: cost guard on the in-tile candidate range per axis (the loop uses
-#: exact per-tile bounds; this only sizes the static slab/clamp window)
-MAX_RANGE = 32
-#: memory guard on the global residual pad of the sheared volume
-MAX_PAD = 128
+#: exact per-tile bounds; this only sizes the static slab/clamp window
+#: — the VMEM slab is (TI + maxr + 7) x ~(TJ + maxr + 14) x 128 f32
+#: per k-chunk, ~2.3 MiB at 40)
+MAX_RANGE = 40
+#: capacity guard on the global residual pad of the sheared volume;
+#: costs pad HBM traffic only (slab size is maxr-bound), and 192 covers
+#: the real corner deviation of +-10-degree/0.9-1.1-scale draws at
+#: 256^3 (measured res_j ~90: caps of 128 rejected ~3/10 headline
+#: draws and forced the gather path)
+MAX_PAD = 192
 
 
 # --------------------------------------------------------------------
@@ -563,18 +569,6 @@ class ShearPlan:
         self.out_spatial = (Io, Jo, Ko)
         self.Kp = 128 * ((K + 127) // 128)
         ks = np.arange(self.Kp, dtype=np.float64)
-        # output-grid corners: bound the map's input-k range so the
-        # kc = clip(floor(ck), 0, K-1) clip distance can be priced into
-        # the k-coupling bounds (clipping can ENLARGE |k_out - kc| when
-        # the map leaves the input k extent)
-        out_corners = np.array(
-            [
-                [io, jo, ko, 1.0]
-                for io in (0.0, Io - 1.0)
-                for jo in (0.0, Jo - 1.0)
-                for ko in (0.0, Ko - 1.0)
-            ]
-        )
         si_list, sj_list = [], []
         res_i = res_j = 0.0
         tile_i = tile_j = 0.0
@@ -595,31 +589,33 @@ class ShearPlan:
                     cpk = float(np.max(np.abs(cpa[..., 2])))
             kres_i = float(np.max(np.abs(m[0, 2] * ks + m[0, 3] - si)))
             kres_j = float(np.max(np.abs(m[1, 2] * ks + m[1, 3] - sj)))
-            # kc-clip allowance: |k_out - kc| <= |k_out - in_k| + the
-            # distance clip moves in_k back into [0, K-1]
-            kin = out_corners @ m[2]
-            clip_allow = max(0.0, -(float(kin.min()) - cpk)) + max(
-                0.0, (float(kin.max()) + cpk) - (K - 1.0)
-            )
             # k-coupling cross-term: the shear table is looked up at the
             # INPUT coordinate kc = clip(floor(ck), 0, K-1), not at the
             # output lane k, so the residual carries m02 * (k - kc).
-            # |k - kc| is bounded by the k-row's deviation from identity
-            # over the OUTPUT grid (+2: floor and the kc+1 corner) plus
-            # the clip allowance; within a tile it varies by the
+            # These bounds only need to cover corners that can actually
+            # constrain the device candidate window, and _tile_bounds2's
+            # v0/v1 masks admit a corner ONLY when its floor(ck) (resp.
+            # floor(ck)+1) already lies in [0, K-1] — where the clip is
+            # a no-op and kc equals the unclipped floor. So |k - kc| is
+            # bounded by the k-row's deviation from identity over the
+            # OUTPUT grid (+2: floor and the kc+1 corner); no clip
+            # allowance (pricing the clip distance in was measured to
+            # push maxr to 44 and padj_g past MAX_PAD on the 256^3
+            # +-10-degree headline draws, disabling the kernel for maps
+            # it handles exactly). Within a tile the term varies by the
             # per-tile spans of that deviation (k spans one 128-lane
             # chunk of output lanes, i/j span TI/TJ).
             dk_glob = (
                 abs(m[2, 2] - 1.0) * (Ko - 1)
                 + abs(m[2, 0]) * (Io - 1)
                 + abs(m[2, 1]) * (Jo - 1)
-                + abs(m[2, 3]) + cpk + clip_allow + 2.0
+                + abs(m[2, 3]) + cpk + 2.0
             )
             dk_tile = (
                 abs(m[2, 2] - 1.0) * min(127, Ko - 1)
                 + abs(m[2, 0]) * (TI - 1)
                 + abs(m[2, 1]) * (TJ - 1)
-                + 2 * cpk + clip_allow + 2.0
+                + 2 * cpk + 2.0
             )
             # global residual bound (sheared frame) over the OUTPUT grid
             ri = (
@@ -661,25 +657,28 @@ class ShearPlan:
         self._key = ("shear", tuple(spatial), self.out_spatial, self.Kp)
         hr = 0 if ratchet_seen(self._key) else 1
         self.maxr = _bucket(
-            int(np.ceil(max(tile_i, tile_j))) + 2, (8, 16, 24, 32), hr
+            int(np.ceil(max(tile_i, tile_j))) + 2, (8, 16, 24, 32, 40), hr
         )
         pad_si = _bucket(
-            int(max(np.max(np.abs(self.si)), 1)), (8, 16, 32, 64, 128), hr
+            int(max(np.max(np.abs(self.si)), 1)),
+            (8, 16, 32, 64, 128, 192), hr,
         )
         pad_sj = _bucket(
-            int(max(np.max(np.abs(self.sj)), 1)), (8, 16, 32, 64, 128), hr
+            int(max(np.max(np.abs(self.sj)), 1)),
+            (8, 16, 32, 64, 128, 192), hr,
         )
         self.pad_si = pad_si
         self.pad_sj = pad_sj
+        pad_levels = (32, 64, 96, 128, 160, 192)
         self.padi_g = max(
             _bucket(
-                int(np.ceil(res_i)) + self.maxr + 10, (32, 64, 96, 128), hr
+                int(np.ceil(res_i)) + self.maxr + 10, pad_levels, hr
             ),
             pad_si,
         )
         self.padj_g = max(
             _bucket(
-                int(np.ceil(res_j)) + self.maxr + 18, (32, 64, 96, 128), hr
+                int(np.ceil(res_j)) + self.maxr + 18, pad_levels, hr
             ),
             pad_sj,
         )
@@ -761,21 +760,25 @@ def shear_eligible(data_shape, out_spatial, matrices, control_points,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "spatial", "padi_g", "padj_g", "maxr", "pad_si", "pad_sj",
-        "need_si", "need_sj", "has_cp", "apply_fill", "mode",
+        "spatial", "out_spatial", "padi_g", "padj_g", "maxr", "pad_si",
+        "pad_sj", "need_si", "need_sj", "has_cp", "apply_fill", "mode",
         "pad_label",
     ),
 )
 def _shear_resample_impl(
     data, matrices, control_points, fill, si_t, sj_t, si_chunk, sj_chunk,
-    *, spatial, padi_g, padj_g, maxr, pad_si, pad_sj, need_si, need_sj,
-    has_cp, apply_fill, mode, pad_label,
+    *, spatial, out_spatial, padi_g, padj_g, maxr, pad_si, pad_sj,
+    need_si, need_sj, has_cp, apply_fill, mode, pad_label,
 ):
     B, C, I, J, K = data.shape
-    Kp = si_t.shape[-1]
+    Io, Jo, Ko = out_spatial
+    # the shear tables / slab ride at the INPUT k chunking; the grid and
+    # coordinates at the OUTPUT one — out_shape support decouples them
+    Kp_in = si_t.shape[-1]
+    Kp_out = 128 * ((Ko + 127) // 128)
     ci, cj, ck, Ip, Jp = tile_align_coords(
-        matrices, control_points if has_cp else None, spatial, TI, TJ,
-        kp=Kp,
+        matrices, control_points if has_cp else None, out_spatial, TI, TJ,
+        kp=Kp_out,
     )
     nrows = TI + maxr + 7
     ncols = 8 * ((TJ + maxr + 7 + 7) // 8)
@@ -783,7 +786,8 @@ def _shear_resample_impl(
         ci, cj, ck,
         matrices[:, 0, 2], matrices[:, 0, 3],
         matrices[:, 1, 2], matrices[:, 1, 3],
-        spatial, padi_g, padj_g, maxr, nrows - TI, ncols - TJ,
+        spatial, (Io, Jo),
+        padi_g, padj_g, maxr, nrows - TI, ncols - TJ,
     )
     # labels ride in int32 — an f32 cast would round values above 2^24
     work = (
@@ -792,17 +796,22 @@ def _shear_resample_impl(
         else jnp.float32
     )
     vol = data.astype(work)
-    if Kp != K or (Ip, Jp) != (I, J):
+    # the slab's clamped index maps reach rows up to Ipad + 2*padi_g
+    # where Ipad is the OUTPUT tile grid — pad the input volume to at
+    # least that extent (zero rows carry zero weight)
+    Ipad = max(Ip, TI * (-(-I // TI)))
+    Jpad = max(Jp, TJ * (-(-J // TJ)))
+    if (Ipad, Jpad, Kp_in) != (I, J, K):
         vol = jnp.pad(
             vol,
             (
                 (0, 0), (0, 0),
-                (0, Ip - I), (0, Jp - J), (0, Kp - K),
+                (0, Ipad - I), (0, Jpad - J), (0, Kp_in - K),
             ),
         )
     # shear all (B, C) volumes with per-element tables; the sheared
     # volume comes back EXTENDED by (pad_si, pad_sj) on the sheared axes
-    voln = vol.reshape(B * C, Ip, Jp, Kp)
+    voln = vol.reshape(B * C, Ipad, Jpad, Kp_in)
     rep = lambda t: jnp.repeat(t, C, axis=0)
     ext_i = pad_si if need_si else 0
     ext_j = pad_sj if need_sj else 0
@@ -811,7 +820,7 @@ def _shear_resample_impl(
         rep(si_t), rep(sj_t), rep(si_chunk), rep(sj_chunk),
         pad_si if need_si else None,
         pad_sj if need_sj else None,
-    ).reshape(B, C, Ip + 2 * ext_i, Jp + 2 * ext_j, Kp)
+    ).reshape(B, C, Ipad + 2 * ext_i, Jpad + 2 * ext_j, Kp_in)
     padded = jnp.pad(
         sheared,
         (
@@ -833,7 +842,7 @@ def _shear_resample_impl(
             spatial=spatial, padi_g=padi_g, padj_g=padj_g, maxr=maxr,
             mode=mode_, apply_fill=apply_fill and mode_ != "corners",
             pad_label=pad_label_,
-        )[0, :I, :J, :K]
+        )[0, :Io, :Jo, :Ko]
 
     if mode == "corners":
         outs = [
@@ -865,7 +874,8 @@ def shear_resample_fused(data, matrices, control_points, fill, plan,
         data, m, cps, _fill_bc(fill, B, C),
         t8(plan.si), t8(plan.sj),
         jnp.asarray(plan.si_chunk), jnp.asarray(plan.sj_chunk),
-        spatial=(I, J, K), padi_g=plan.padi_g, padj_g=plan.padj_g,
+        spatial=(I, J, K), out_spatial=plan.out_spatial,
+        padi_g=plan.padi_g, padj_g=plan.padj_g,
         maxr=plan.maxr, pad_si=plan.pad_si, pad_sj=plan.pad_sj,
         need_si=plan.need_si, need_sj=plan.need_sj, has_cp=has_cp,
         apply_fill=apply_fill, mode=mode, pad_label=0.0,
@@ -883,7 +893,8 @@ def shear_resample_label_fused(data, matrices, control_points, pad_label,
         data, m, cps, jnp.zeros((B, C), jnp.float32),
         t8(plan.si), t8(plan.sj),
         jnp.asarray(plan.si_chunk), jnp.asarray(plan.sj_chunk),
-        spatial=(I, J, K), padi_g=plan.padi_g, padj_g=plan.padj_g,
+        spatial=(I, J, K), out_spatial=plan.out_spatial,
+        padi_g=plan.padi_g, padj_g=plan.padj_g,
         maxr=plan.maxr, pad_si=plan.pad_si, pad_sj=plan.pad_sj,
         need_si=plan.need_si, need_sj=plan.need_sj, has_cp=has_cp,
         apply_fill=False, mode="corners", pad_label=float(pad_label),
