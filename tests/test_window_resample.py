@@ -400,3 +400,177 @@ class TestNonAlignedShapes:
             data, [np.eye(4)], cps, fill=0.5, mode="nearest"
         )
         np.testing.assert_array_equal(np.asarray(out_w), np.asarray(out_g))
+
+
+class TestCubicMode:
+    """Order-3 B-spline windowed kernel vs the ops.bspline oracle."""
+
+    @staticmethod
+    def _dense_coords(matrices, cps, out_spatial):
+        from torchio_tpu.ops.resample import build_coords, upsample_field
+
+        coords = []
+        for m, cp in zip(matrices, cps):
+            cc = build_coords(out_spatial, m)
+            if cp is not None:
+                cc = cc + upsample_field(
+                    jnp.asarray(np.asarray(cp), jnp.float32), out_spatial
+                )
+            coords.append(cc)
+        return jnp.stack(coords)
+
+    def _run_pair(self, data, matrices, cps, fill):
+        from torchio_tpu.ops.bspline import bspline_resample
+        from torchio_tpu.ops.window_resample import (
+            cubic_resample_fused,
+            cubic_window_eligible,
+        )
+
+        spatial = data.shape[2:]
+        pads = cubic_window_eligible(
+            data.shape, spatial, matrices, cps, data=jnp.asarray(data)
+        )
+        assert pads is not None
+        out = cubic_resample_fused(
+            data, matrices, cps, fill, padi=pads[0], padj=pads[1]
+        )
+        ref = bspline_resample(
+            data, self._dense_coords(matrices, cps, spatial), order=3,
+            fill=fill,
+        )
+        return np.asarray(out), np.asarray(ref)
+
+    def test_matches_bspline_oracle_affine_plus_elastic(self):
+        rng = np.random.default_rng(0)
+        b, c = 2, 2
+        data = rng.random((b, c, 16, 24, 20), np.float32)
+        ms = []
+        for bi in range(b):
+            th = 0.03 * (bi + 1)
+            m = np.eye(4)
+            m[0, 0] = m[1, 1] = np.cos(th)
+            m[0, 1] = -np.sin(th)
+            m[1, 0] = np.sin(th)
+            m[0, 3] = 0.7
+            m[2, 3] = -0.4
+            ms.append(m)
+        cps = [rng.uniform(-2.0, 2.0, (4, 5, 4, 3)), None]
+        out, ref = self._run_pair(data, ms, cps, np.float32(0.25))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_matches_oracle_non_tile_multiple_extents(self):
+        rng = np.random.default_rng(1)
+        data = rng.random((1, 1, 13, 19, 17), np.float32)
+        cps = [rng.uniform(-1.5, 1.5, (3, 4, 3, 3))]
+        out, ref = self._run_pair(data, [np.eye(4)], cps, 0.0)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_identity_reproduces_input(self):
+        # interpolating-spline property: prefiltered coefficients
+        # reproduce the samples exactly at integer coordinates
+        rng = np.random.default_rng(2)
+        data = rng.random((1, 1, 12, 16, 14), np.float32)
+        out, ref = self._run_pair(data, [np.eye(4)], [None], 0.0)
+        np.testing.assert_allclose(out[0, 0], data[0, 0], atol=2e-5)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_per_element_device_fill(self):
+        rng = np.random.default_rng(3)
+        b = 2
+        data = rng.random((b, 1, 12, 16, 12), np.float32)
+        m = np.eye(4)
+        m[0, 3] = 4.5  # pushes a band out of bounds
+        fill = jnp.asarray(np.array([[1.5], [-2.0]], np.float32))
+        out, ref = self._run_pair(data, [m] * b, [None] * b, fill)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+        assert np.any(np.isclose(out[0], 1.5))
+        assert np.any(np.isclose(out[1], -2.0))
+
+    def test_affine_only_is_eligible(self):
+        from torchio_tpu.ops.window_resample import cubic_window_eligible
+
+        # no elastic component: cubic has no faster path to defer to
+        shape = (1, 1, 16, 16, 16)
+        m = np.eye(4)
+        m[0, 3] = 2.0
+        assert cubic_window_eligible(shape, (16, 16, 16), [m], [None]) \
+            is not None
+
+    def test_large_deviation_not_eligible(self):
+        from torchio_tpu.ops.window_resample import cubic_window_eligible
+
+        shape = (1, 1, 64, 64, 64)
+        m = np.eye(4)
+        m[0, 3] = 30.0
+        assert cubic_window_eligible(shape, (64, 64, 64), [m], [None]) is None
+
+    def test_shape_change_and_large_k_not_eligible(self):
+        from torchio_tpu.ops.window_resample import cubic_window_eligible
+
+        m = np.eye(4)
+        assert cubic_window_eligible(
+            (1, 1, 16, 16, 16), (12, 16, 16), [m], [None]
+        ) is None
+        assert cubic_window_eligible(
+            (1, 1, 16, 16, 130), (16, 16, 130), [m], [None]
+        ) is None
+
+    def test_spatial_order3_routes_through_cubic_kernel(self, monkeypatch):
+        import torchio_tpu.ops.window_resample as wr
+
+        calls = []
+        orig = wr.cubic_resample_fused
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(wr, "cubic_resample_fused", spy)
+        tio.seed(0)
+        subject = tio.Subject(
+            t1=tio.ScalarImage(
+                np.random.default_rng(0).random((1, 16, 16, 16), np.float32)
+            )
+        )
+        elastic = tio.ElasticDeformation(
+            max_displacement=3.0, num_control_points=5, image_interpolation=3
+        )
+        out = elastic(subject)
+        assert calls, "order-3 elastic did not dispatch to the cubic kernel"
+        assert out.t1.data.shape == (1, 16, 16, 16)
+
+    def test_spatial_order3_matches_bspline_path_end_to_end(self):
+        rng = np.random.default_rng(7)
+        data = rng.random((1, 16, 16, 16), np.float32)
+        subject = tio.Subject(t1=tio.ScalarImage(data))
+        elastic = tio.ElasticDeformation(
+            max_displacement=3.0, num_control_points=5, image_interpolation=3
+        )
+        tio.seed(123)
+        out_k = np.asarray(elastic(subject).t1.data)
+        config.use_window_resample = False
+        try:
+            tio.seed(123)
+            out_b = np.asarray(elastic(subject).t1.data)
+        finally:
+            config.use_window_resample = None
+        np.testing.assert_allclose(out_k, out_b, atol=2e-5)
+
+    def test_fallback_guard_degrades_to_bspline(self, monkeypatch):
+        import torchio_tpu.ops.window_resample as wr
+
+        def boom(*a, **k):
+            raise RuntimeError("injected kernel failure")
+
+        monkeypatch.setattr(wr, "cubic_resample_fused", boom)
+        subject = tio.Subject(
+            t1=tio.ScalarImage(
+                np.random.default_rng(0).random((1, 16, 16, 16), np.float32)
+            )
+        )
+        elastic = tio.ElasticDeformation(
+            max_displacement=3.0, num_control_points=5, image_interpolation=3
+        )
+        with pytest.warns(RuntimeWarning, match="cubic_resample_fused"):
+            out = elastic(subject)
+        assert out.t1.data.shape == (1, 16, 16, 16)

@@ -161,6 +161,49 @@ def _offsets(ci, cj, ck, spatial):
     return fi, fj, fk, mi0, mi1, mj0, mj1, mk0, mk1
 
 
+def _fold_mirror(x, n: int):
+    """Fold a coordinate into [0, n-1] under mirror (dct1) symmetry —
+    same model as :func:`..bspline._fold_coord`, reproduced here so the
+    kernel can run it on (sublane, lane) tiles."""
+    period = 2.0 * (n - 1)
+    y = jnp.mod(jnp.abs(x), period)
+    return jnp.where(y > n - 1, period - y, y)
+
+
+def _reflect_idx(idx, n: int):
+    """Mirror (dct1) reflection of an INTEGER tap index: -1 -> 1,
+    n -> n-2. Taps of a folded coordinate lie in [-1, n+1], so one
+    select pair per side suffices (no modular fold needed)."""
+    idx = jnp.where(idx < 0, -idx, idx)
+    return jnp.where(idx > n - 1, 2 * (n - 1) - idx, idx)
+
+
+def _b3_weights(t):
+    """Cubic cardinal B-spline B_3 evaluated at the 4 taps of a folded
+    coordinate: ``t`` is the fractional part (x - floor(x)); returns
+    weights for taps floor(x)-1 .. floor(x)+2 (Cox-de Boor closed
+    form; matches :func:`..bspline._bspline_kernel` order 3)."""
+    # u = distance from the tap: tap0 -> t+1 in [1,2); tap1 -> t in
+    # [0,1); tap2 -> 1-t in (0,1]; tap3 -> 2-t in (1,2]
+    w0 = (2.0 - (t + 1.0)) ** 3 / 6.0
+    w1 = (4.0 - 6.0 * t * t + 3.0 * t * t * t) / 6.0
+    u2 = 1.0 - t
+    w2 = (4.0 - 6.0 * u2 * u2 + 3.0 * u2 * u2 * u2) / 6.0
+    w3 = (2.0 - (2.0 - t)) ** 3 / 6.0
+    return w0, w1, w2, w3
+
+
+def _cubic_taps(c, n: int):
+    """Folded-coordinate cubic taps: 4 reflected integer indices (each
+    in [0, n-1]) and their B-spline weights."""
+    cf = _fold_mirror(c, n)
+    base = jnp.floor(cf)
+    t = cf - base
+    base = base.astype(jnp.int32)
+    idx = tuple(_reflect_idx(base + d, n) for d in (-1, 0, 1, 2))
+    return idx, _b3_weights(t)
+
+
 def _fill_bc(fill, b, c):
     """Normalize a scalar / (C,) / (B, C) fill — host array or device
     array — to a broadcast (B, C) float32 device array."""
@@ -232,6 +275,7 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
     """One (TI, TJ, 128) output tile; see module docstring."""
     I, J, K = spatial
     corners = mode == "corners"
+    cubic = mode == "cubic"
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -240,6 +284,9 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
     cj = cj_ref[0].reshape(TI * TJ, 128)
     ck = ck_ref[0].reshape(TI * TJ, 128)
 
+    # the raw-coordinate bilinear corner weights double as the
+    # out-of-bounds fill mask for every mode (incl. cubic, matching
+    # ops.bspline.bspline_resample's mask-and-fill semantics)
     fi, fj, fk, mi0, mi1, mj0, mj1, mk0, mk1 = _offsets(
         ci, cj, ck, spatial
     )
@@ -252,6 +299,18 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
         TI * TJ, 128) + tj * TJ
     oi = jnp.clip(fi, -1, I - 1) - iout
     oj = jnp.clip(fj, -1, J - 1) - jout
+
+    if cubic:
+        # 4-tap B-spline windows over mirror-folded coordinates: the
+        # reflected tap indices all lie in [0, n-1], so the per-tile
+        # candidate bounds (computed by _tile_bounds_cubic over the
+        # same taps) cover every contribution exactly and the k taps
+        # need no halo
+        itaps, wi_taps = _cubic_taps(ci, I)
+        jtaps, wj_taps = _cubic_taps(cj, J)
+        ktaps, wk_taps = _cubic_taps(ck, K)
+        oi_taps = tuple(t - iout for t in itaps)
+        oj_taps = tuple(t - jout for t in jtaps)
 
     if mode == "nearest":
         # rounded single-corner pick (same semantics as the gather
@@ -293,6 +352,19 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
             ln = jnp.take_along_axis(rows, rkc, axis=1)
             sel = ((oin == cio) & (ojn == cjo)).astype(jnp.float32)
             return (accs[0] + sel * valid * ln,), cio
+        if cubic:
+            kv = wk_taps[0] * jnp.take_along_axis(rows, ktaps[0], axis=1)
+            for t in range(1, 4):
+                kv = kv + wk_taps[t] * jnp.take_along_axis(
+                    rows, ktaps[t], axis=1
+                )
+            mi = jnp.zeros_like(kv)
+            for o, w in zip(oi_taps, wi_taps):
+                mi = mi + jnp.where(o == cio, w, 0.0)
+            mj = jnp.zeros_like(kv)
+            for o, w in zip(oj_taps, wj_taps):
+                mj = mj + jnp.where(o == cjo, w, 0.0)
+            return (accs[0] + (mi * mj) * kv,), cio
         l0 = jnp.take_along_axis(rows, kc0, axis=1)
         l1 = jnp.take_along_axis(rows, kc1, axis=1)
         if corners:
@@ -318,11 +390,17 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
             new = (accs[0] + (mi * mj) * (mk0 * l0 + mk1 * l1),)
         return new, cio
 
+    # linear/corner bounds track only the floor corner (+2 covers the
+    # +1 corner); cubic bounds already cover all four taps (+1)
+    extend = 1 if cubic else 2
+
     def ibody(cio, accs):
-        accs, _ = jax.lax.fori_loop(oj_lo, oj_hi + 2, jbody, (accs, cio))
+        accs, _ = jax.lax.fori_loop(
+            oj_lo, oj_hi + extend, jbody, (accs, cio)
+        )
         return accs
 
-    accs = jax.lax.fori_loop(oi_lo, oi_hi + 2, ibody, init)
+    accs = jax.lax.fori_loop(oi_lo, oi_hi + extend, ibody, init)
 
     if corners:
         out = _corner_vote(accs, mi0, mi1, mj0, mj1, mk0, mk1, pad_label)
@@ -360,6 +438,46 @@ def _tile_bounds(ci, cj, spatial, padi, padj):
             jnp.clip(oi_t.max(axis=(2, 4, 5)), -padi, padi - 1),
             jnp.clip(oj_t.min(axis=(2, 4, 5)), -padj, padj - 1),
             jnp.clip(oj_t.max(axis=(2, 4, 5)), -padj, padj - 1),
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    return bounds
+
+
+def _tile_bounds_cubic(ci, cj, spatial, padi, padj):
+    """(B, nti, ntj, 4) per-tile offset bounds over ALL FOUR reflected
+    cubic taps (min of tap 0 / max of tap 3 do not suffice: reflection
+    at the boundary reorders taps). Clamped to [-pad, pad] — the slab
+    carries ``pad`` rows each side and the kernel's inclusive loop end
+    reaches ``pad``."""
+    I, J, _ = spatial
+    B, Ip, Jp, _ = ci.shape
+    nti, ntj = Ip // TI, Jp // TJ
+    ii = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 2)
+
+    def tap_minmax(c, n, pos):
+        taps, _ = _cubic_taps(c, n)
+        lo = taps[0]
+        hi = taps[0]
+        for t in taps[1:]:
+            lo = jnp.minimum(lo, t)
+            hi = jnp.maximum(hi, t)
+        return lo - pos, hi - pos
+
+    oi_lo, oi_hi = tap_minmax(ci, I, ii)
+    oj_lo, oj_hi = tap_minmax(cj, J, jj)
+
+    def per_tile(arr, reduce_max: bool):
+        t = arr.reshape(B, nti, TI, ntj, TJ, -1)
+        return t.max(axis=(2, 4, 5)) if reduce_max else t.min(axis=(2, 4, 5))
+
+    bounds = jnp.stack(
+        [
+            jnp.clip(per_tile(oi_lo, False), -padi, padi),
+            jnp.clip(per_tile(oi_hi, True), -padi, padi),
+            jnp.clip(per_tile(oj_lo, False), -padj, padj),
+            jnp.clip(per_tile(oj_hi, True), -padj, padj),
         ],
         axis=-1,
     ).astype(jnp.int32)
@@ -548,6 +666,102 @@ def _window_resample_label(
         apply_fill=False, pad_label=pad_label,
     )[:, :I, :J, :K]
     return out[:, None].astype(data.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spatial", "padi", "padj", "has_cp"),
+)
+def _window_resample_cubic(
+    data, matrices, control_points, fill, *,
+    spatial, padi, padj, has_cp,
+):
+    """(B, C, I, J, K) cubic B-spline bounded-offset resample: the IIR
+    prefilter (ops.bspline.prefilter) and the 4-tap windowed evaluation
+    run in ONE program. Boundary model: mirror (dct1), identical to
+    :func:`..bspline.bspline_resample`; out-of-bounds voxels are
+    replaced through the same raw-coordinate bilinear mask, so the fill
+    is ALWAYS applied (without it the mirror-folded sample would leak
+    outside the volume)."""
+    from .bspline import prefilter
+
+    B, C, I, J, K = data.shape
+    ci, cj, ck, Ip, Jp = tile_align_coords(
+        matrices, control_points if has_cp else None, spatial, TI, TJ
+    )
+    bounds = _tile_bounds_cubic(ci, cj, spatial, padi, padj)
+    coeffs = prefilter(data.astype(jnp.float32), 3)
+    vol = jnp.pad(
+        coeffs,
+        (
+            (0, 0), (0, 0),
+            (padi, padi + Ip - I), (padj, padj + Jp - J),
+            (0, 128 - K),
+        ),
+    )
+    outs = []
+    for c in range(C):
+        out = _pallas_window(
+            bounds, fill[:, c], vol[:, c], ci, cj, ck,
+            padi=padi, padj=padj, spatial=spatial, mode="cubic",
+            apply_fill=True,
+        )
+        outs.append(out[:, :I, :J, :K])
+    return jnp.stack(outs, axis=1)
+
+
+#: cubic candidate windows are ~3x the linear deviation bound (mirror
+#: folding of boundary-overhanging coordinates plus the 4-tap reach),
+#: and the candidate loop is O(range^2) per tile — cap the padding
+MAX_BOUND_CUBIC = 32
+
+
+def cubic_window_eligible(data_shape, out_spatial, matrices,
+                          control_points, data=None):
+    """Dispatch decision for the cubic windowed kernel: (padi, padj)
+    paddings, or None. Unlike the linear kernel, affine-only maps are
+    accepted too — there is no faster cubic path to defer to."""
+    from ..config import window_resample as enabled
+
+    if not enabled():
+        return None
+    if not _tpu_dispatch(data):
+        return None
+    b, c, I, J, K = data_shape
+    if tuple(out_spatial) != (I, J, K):
+        return None
+    if K > 128 or min(I, J, K) < 2:
+        return None
+    bounds = window_bounds(matrices, control_points, (I, J, K))
+    if bounds is None:
+        return None
+    # worst case |fold(x) - out|: the overhang e <= dev reflects to
+    # 2e inside, on top of the in-range deviation -> 3*dev; +2 taps
+    bci = 3 * bounds[0] + 2
+    bcj = 3 * bounds[1] + 2
+    if bci > MAX_BOUND_CUBIC or bcj > MAX_BOUND_CUBIC:
+        return None
+    key = ("cubic", tuple(data_shape), tuple(out_spatial))
+    hr = 0 if ratchet_seen(key) else 1
+    padi = _bucket(bci + 1, (6, 10, 16, 24, 33), hr)
+    padj = _bucket(8 * ((bcj + 1 + 7) // 8), (8, 16, 24, 32, 40), hr)
+    return ratchet_statics(key, (padi, padj))
+
+
+def cubic_resample_fused(data, matrices, control_points, fill,
+                         *, padi, padj):
+    """Batched bounded-offset cubic B-spline resample (order 3).
+
+    Same contract as :func:`window_resample_fused`; parity oracle is
+    :func:`torchio_tpu.ops.bspline.bspline_resample` (order=3).
+    """
+    data = jnp.asarray(data)
+    B, C, I, J, K = data.shape
+    m, cps, has_cp = _marshal_maps(matrices, control_points)
+    return _window_resample_cubic(
+        data, m, cps, _fill_bc(fill, B, C),
+        spatial=(I, J, K), padi=padi, padj=padj, has_cp=has_cp,
+    )
 
 
 def window_bounds(matrices, control_points, spatial):

@@ -506,6 +506,40 @@ def _dispatch_resample(data, grid, plans, *, mode: str, fill, sharding=None):
     if order >= 2:
         from ...ops.bspline import bspline_resample
 
+        if order == 3 and _is_lazy_grid(grid) and sharding is None:
+            # cubic B-spline with bounded offsets rides the windowed
+            # Pallas kernel (prefilter + 4-tap evaluation in one
+            # program) instead of the gather-bound bspline path
+            from ...ops.resample import _kernel_fallback_warn
+            from ...ops.window_resample import (
+                cubic_resample_fused,
+                cubic_window_eligible,
+            )
+
+            grids = grid if isinstance(grid, list) else [grid] * data.shape[0]
+            out_shape = grids[0].out_shape
+            if all(g.out_shape == out_shape for g in grids):
+                data = as_jnp(data)
+                pads = cubic_window_eligible(
+                    data.shape,
+                    out_shape,
+                    [g.matrix for g in grids],
+                    [g.control_points for g in grids],
+                    data=data,
+                )
+                if pads is not None:
+                    try:
+                        return cubic_resample_fused(
+                            data,
+                            [g.matrix for g in grids],
+                            [g.control_points for g in grids],
+                            fill,
+                            padi=pads[0],
+                            padj=pads[1],
+                        )
+                    except Exception as error:
+                        _kernel_fallback_warn("cubic_resample_fused", error)
+
         return bspline_resample(
             as_jnp(data), _materialize_grid(grid), order=order, fill=fill
         )
