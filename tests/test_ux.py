@@ -449,3 +449,117 @@ class TestPlottingDepth:
         subject = self._subject(rng)
         fig = subject.plot(show=False, coordinates=(1.0, 2.0, 3.0))
         assert len(fig.get_axes()) == 6
+
+
+class TestVisualizationDepth:
+    """Round-4 reference-parity features (VERDICT r3 item 9):
+    linked Slicer-colored intersections, >3-image transposed grids,
+    voxels/savefig/imshow passthrough, anatomical sweep directions."""
+
+    @pytest.fixture
+    def rng(self):
+        return np.random.default_rng(0)
+
+    def _subject(self, rng, n_images: int):
+        images = {
+            f"im{i}": tio.ScalarImage(
+                rng.random((1, 12, 14, 10), np.float32)
+            )
+            for i in range(n_images)
+        }
+        return tio.Subject(**images)
+
+    def test_linked_intersections_use_slicer_colors(self, rng, tmp_path):
+        from torchio_tpu.visualization import _SLICE_AXIS_COLOR, plot_image
+
+        img = tio.ScalarImage(rng.random((1, 12, 14, 10), np.float32))
+        fig = plot_image(
+            img, show=False, intersections=True, output_path=tmp_path / "x.png"
+        )
+        # each pane carries one vline + one hline, colored by the view
+        # they locate (sagittal blue / coronal green / axial red)
+        colors = set()
+        for ax in fig.axes:
+            for line in ax.lines:
+                colors.add(line.get_color())
+        assert colors == set(_SLICE_AXIS_COLOR.values())
+
+    def test_many_images_transpose_to_columns(self, rng, tmp_path):
+        from torchio_tpu.visualization import plot_subject
+
+        subject = self._subject(rng, 5)
+        fig = plot_subject(
+            subject, show=False, output_path=tmp_path / "grid.png"
+        )
+        assert len(fig.axes) == 15
+        # transposed grid: image names become column titles
+        titles = {ax.get_title() for ax in fig.axes}
+        assert {"im0", "im4"} <= titles
+
+    def test_three_or_fewer_keeps_rows_with_width_ratios(self, rng, tmp_path):
+        from torchio_tpu.visualization import plot_subject
+
+        subject = self._subject(rng, 2)
+        fig = plot_subject(
+            subject, show=False, output_path=tmp_path / "rows.png",
+            intersections=True,
+        )
+        assert len(fig.axes) == 6
+        titles = [ax.get_title() for ax in fig.axes[:3]]
+        assert titles == ["Sagittal", "Coronal", "Axial"]
+
+    def test_voxels_kwarg_matches_units_voxel(self, rng, tmp_path):
+        from torchio_tpu.visualization import plot_image
+
+        img = tio.ScalarImage(rng.random((1, 12, 14, 10), np.float32))
+        fig = plot_image(
+            img, show=False, voxels=True, output_path=tmp_path / "v.png"
+        )
+        assert "(voxel)" in fig.axes[0].get_xlabel()
+
+    def test_imshow_kwargs_forwarded(self, rng, tmp_path):
+        from torchio_tpu.visualization import plot_image
+
+        img = tio.ScalarImage(rng.random((1, 12, 14, 10), np.float32))
+        fig = plot_image(
+            img, show=False, alpha=0.5, output_path=tmp_path / "a.png"
+        )
+        assert fig.axes[0].get_images()[0].get_alpha() == 0.5
+
+    def test_savefig_kwargs_forwarded(self, rng, tmp_path):
+        from torchio_tpu.visualization import plot_image
+
+        img = tio.ScalarImage(rng.random((1, 12, 14, 10), np.float32))
+        plot_image(
+            img, show=False, output_path=tmp_path / "d.png",
+            savefig_kwargs={"dpi": 40},
+        )
+        from PIL import Image as PILImage
+
+        with PILImage.open(tmp_path / "d.png") as im:
+            width_40 = im.size[0]
+        assert width_40 > 0  # low-dpi save succeeded
+
+    def test_gif_direction_sweeps_anatomically(self, rng, tmp_path):
+        from torchio_tpu.visualization import make_gif
+
+        img = tio.ScalarImage(rng.random((1, 8, 9, 10), np.float32))
+        out = make_gif(img, tmp_path / "sweep.gif", direction="S", seconds=1.0)
+        from PIL import Image as PILImage
+
+        with PILImage.open(out) as gif:
+            # sweep along S: one frame per superior-axis slice
+            assert gif.n_frames == 10
+        # reversed sweep has the same frame count
+        out2 = make_gif(
+            img, tmp_path / "rev.gif", direction="I", reverse=True
+        )
+        with PILImage.open(out2) as gif:
+            assert gif.n_frames == 10
+
+    def test_gif_bad_direction_raises(self, rng, tmp_path):
+        from torchio_tpu.visualization import make_gif
+
+        img = tio.ScalarImage(rng.random((1, 8, 9, 10), np.float32))
+        with pytest.raises(ValueError, match="direction"):
+            make_gif(img, tmp_path / "x.gif", direction="Q")

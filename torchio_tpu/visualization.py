@@ -165,6 +165,25 @@ def _draw_crosshair(ax, plane_name, shape_ras, indices, *, flip_x, color="lime")
     ax.axhline(disp_y, color=color, lw=0.8, alpha=0.8)
 
 
+#: Intersection-line colors keyed by the RAS axis the located plane
+#: slices (0 = sagittal, 1 = coronal, 2 = axial); the 3D Slicer
+#: convention the reference adopted (``visualization.py:68-77``).
+_SLICE_AXIS_COLOR = {0: "#42A5F5", 1: "#8FE561", 2: "#FF8372"}
+
+
+def _draw_intersections(ax, plane_name, shape_ras, indices, *, flip_x):
+    """Linked slice-intersection lines on one plane, each colored by
+    the view it locates (reference ``visualization.py:799-831``): the
+    vertical line marks the plane slicing this pane's x data axis, the
+    horizontal one the plane slicing its y data axis."""
+    ax_x, ax_y = _PLANE_AXES[plane_name]
+    n_x, n_y = shape_ras[ax_x], shape_ras[ax_y]
+    disp_x = (n_x - 1 - indices[ax_x]) if flip_x else indices[ax_x]
+    disp_y = n_y - 1 - indices[ax_y]
+    ax.axvline(disp_x, color=_SLICE_AXIS_COLOR[ax_x], lw=0.8, alpha=0.8)
+    ax.axhline(disp_y, color=_SLICE_AXIS_COLOR[ax_y], lw=0.8, alpha=0.8)
+
+
 def plot_image(
     image: Image,
     axes=None,
@@ -178,8 +197,14 @@ def plot_image(
     title: str | None = None,
     radiological: bool = True,
     units: str | None = "mm",
+    voxels: bool = False,
     crosshair: bool = False,
+    intersections: bool = False,
     percentiles: tuple[float, float] | None = (0.5, 99.5),
+    figsize: tuple[float, float] | None = None,
+    savefig_kwargs: dict[str, Any] | None = None,
+    show_titles: bool = True,
+    **imshow_kwargs: Any,
 ) -> Any:
     """Plot mid-volume sagittal/coronal/axial slices.
 
@@ -197,13 +222,21 @@ def plot_image(
         units: tick labels in ``"mm"`` (world coordinates), ``"voxel"``,
             or ``None`` for no ticks. Axes are labeled with anatomical
             directions (e.g. ``P → A (mm)``).
-        crosshair: draw intersection lines at ``indices`` on each pane.
+        voxels: shorthand for ``units="voxel"`` (reference kwarg).
+        crosshair: draw single-color intersection lines at ``indices``.
+        intersections: draw LINKED intersection lines, each colored by
+            the view whose slice position it marks (the 3D Slicer
+            palette the reference uses, ``visualization.py:68-77``).
         percentiles: display window for scalar images (robust to
             outliers, the nnU-Net (0.5, 99.5) convention); ``None``
             uses the full range.
+        savefig_kwargs: extra keyword arguments for ``fig.savefig``.
+        imshow_kwargs: forwarded to ``ax.imshow``.
     """
     plt = _get_matplotlib()
     is_label = isinstance(image, LabelMap)
+    if voxels:
+        units = "voxel"
     data, affine_ras = _reorient_ras_with_affine(image)
     shape_ras = data.shape[1:]
     if coordinates is not None:
@@ -214,7 +247,7 @@ def plot_image(
         indices = tuple(s // 2 for s in shape_ras)
     sag, cor, axi = _slices(data, indices, channel)
     if axes is None:
-        fig, axes = plt.subplots(1, 3, figsize=(10, 3.4))
+        fig, axes = plt.subplots(1, 3, figsize=figsize or (10, 3.4))
     else:
         fig = axes[0].figure
     names = ("Sagittal", "Coronal", "Axial")
@@ -238,13 +271,15 @@ def plot_image(
             lo, hi = np.percentile(data, percentiles)
             if hi > lo:
                 kwargs["vmin"], kwargs["vmax"] = float(lo), float(hi)
+    kwargs.update(imshow_kwargs)
     for ax, name, plane, aspect in zip(axes, names, (sag, cor, axi), aspects):
         disp = np.rot90(plane)
         flip_x = radiological and name in ("Coronal", "Axial")
         if flip_x:
             disp = np.fliplr(disp)
         ax.imshow(disp, aspect=aspect, **kwargs)
-        ax.set_title(name, fontsize=9)
+        if show_titles:
+            ax.set_title(name, fontsize=9)
         if units in ("mm", "voxel"):
             _apply_ticks(
                 ax, name, shape_ras, affine_ras, units=units, flip_x=flip_x
@@ -252,13 +287,15 @@ def plot_image(
         else:
             ax.set_xticks([])
             ax.set_yticks([])
-        if crosshair:
+        if intersections:
+            _draw_intersections(ax, name, shape_ras, indices, flip_x=flip_x)
+        elif crosshair:
             _draw_crosshair(ax, name, shape_ras, indices, flip_x=flip_x)
     if title:
         fig.suptitle(title)
     fig.tight_layout()
     if output_path is not None:
-        fig.savefig(output_path, dpi=120, bbox_inches="tight")
+        fig.savefig(output_path, **({"dpi": 120, "bbox_inches": "tight"} | (savefig_kwargs or {})))
     if show and output_path is None:  # pragma: no cover - interactive only
         plt.show()
     return fig
@@ -272,31 +309,37 @@ def plot_subject(
     indices=None,
     coordinates=None,
     crosshair: bool = False,
+    intersections: bool = False,
     cmap_dict: dict[str, Any] | None = None,
     title: str | None = None,
     figsize: tuple[float, float] | None = None,
+    figsize_multiplier: float = 1.0,
+    savefig_kwargs: dict[str, Any] | None = None,
     **kwargs: Any,
 ) -> Any:
     """Grid of 3-plane views, one row per image in the subject.
 
     All rows share the same slice point — given as RAS voxel ``indices``
     or world-mm ``coordinates``, resolved in the FIRST image's space and
-    mapped through each image's affine — so a ``crosshair=True``
-    intersection marks the same WORLD point in every image (the
-    reference's shared-crosshair subject grid,
-    ``visualization.py:556-691``). ``cmap_dict`` overrides the colormap
-    per image name.
+    mapped through each image's affine — so ``crosshair=True`` /
+    ``intersections=True`` lines mark the same WORLD point in every
+    image (the reference's linked-crosshair subject grid,
+    ``visualization.py:556-691``; ``intersections`` uses the 3D Slicer
+    per-view colors). ``cmap_dict`` overrides the colormap per image
+    name. Up to 3 images get a row each, with column widths
+    proportional to the first image's physical extents
+    (``visualization.py:692-727``); more than 3 images transpose the
+    grid to one COLUMN per image so wide subjects stay readable.
+    Extra keyword arguments are forwarded to :func:`plot_image` (and
+    through it to ``ax.imshow``).
     """
     plt = _get_matplotlib()
+    import matplotlib.gridspec as gridspec
+
     images = list(subject.images.items())
     if not images:
         raise RuntimeError("Subject has no images to plot")
-    fig, axes = plt.subplots(
-        len(images),
-        3,
-        figsize=figsize or (10, 3.4 * len(images)),
-        squeeze=False,
-    )
+    many = len(images) > 3
 
     # resolve the shared world point from the first image
     first_data, first_affine = _reorient_ras_with_affine(images[0][1])
@@ -310,7 +353,40 @@ def plot_subject(
         indices = tuple(s // 2 for s in first_data.shape[1:])
     world = first_affine @ np.array([*indices, 1.0])
 
-    for row, (name, image) in enumerate(images):
+    if many:
+        # transposed grid: 3 view rows, one column per image
+        figsize = figsize or (
+            3.4 * len(images) * figsize_multiplier,
+            10 * figsize_multiplier,
+        )
+        fig = plt.figure(figsize=figsize)
+        gs = gridspec.GridSpec(3, len(images))
+        axes_for = [
+            [fig.add_subplot(gs[v, c]) for v in range(3)]
+            for c in range(len(images))
+        ]
+    else:
+        # column widths proportional to the first image's physical
+        # extents: sagittal shows (A, S), coronal/axial (R, *)
+        spacing = np.linalg.norm(first_affine[:3, :3], axis=0)
+        extents_mm = [
+            s * sp for s, sp in zip(first_data.shape[1:], spacing)
+        ]
+        width_ratios = [extents_mm[1], extents_mm[0], extents_mm[0]]
+        figsize = figsize or (
+            10 * figsize_multiplier,
+            3.4 * len(images) * figsize_multiplier,
+        )
+        fig = plt.figure(figsize=figsize)
+        gs = gridspec.GridSpec(
+            len(images), 3, width_ratios=width_ratios
+        )
+        axes_for = [
+            [fig.add_subplot(gs[r, v]) for v in range(3)]
+            for r in range(len(images))
+        ]
+
+    for idx, (name, image) in enumerate(images):
         _, affine_ras = _reorient_ras_with_affine(image)
         voxel = np.linalg.inv(affine_ras) @ world
         img_indices = tuple(
@@ -322,30 +398,35 @@ def plot_subject(
             row_kwargs["cmap"] = cmap_dict[name]
         plot_image(
             image,
-            axes=axes[row],
+            axes=axes_for[idx],
             show=False,
             title=None,
             indices=img_indices,
             crosshair=crosshair,
+            intersections=intersections,
+            show_titles=not many,
             **row_kwargs,
         )
-        axes[row][0].annotate(
-            name,
-            xy=(0, 0.5),
-            xytext=(-axes[row][0].yaxis.labelpad - 24, 0),
-            xycoords=axes[row][0].yaxis.label,
-            textcoords="offset points",
-            ha="right",
-            va="center",
-            fontsize=10,
-            fontweight="bold",
-            rotation=90,
-        )
+        if many:
+            axes_for[idx][0].set_title(name, fontsize=10)
+        else:
+            axes_for[idx][0].annotate(
+                name,
+                xy=(0, 0.5),
+                xytext=(-axes_for[idx][0].yaxis.labelpad - 24, 0),
+                xycoords=axes_for[idx][0].yaxis.label,
+                textcoords="offset points",
+                ha="right",
+                va="center",
+                fontsize=10,
+                fontweight="bold",
+                rotation=90,
+            )
     if title is not None:
         fig.suptitle(title)
     fig.tight_layout()
     if output_path is not None:
-        fig.savefig(output_path, dpi=120, bbox_inches="tight")
+        fig.savefig(output_path, **({"dpi": 120, "bbox_inches": "tight"} | (savefig_kwargs or {})))
     if show and output_path is None:  # pragma: no cover
         plt.show()
     return fig
@@ -362,20 +443,80 @@ def _frames_along_axis(image: Image, axis: int) -> list[np.ndarray]:
     return frames
 
 
+#: Sweep-direction letter -> target orientation whose FIRST axis is the
+#: sweep and whose remaining axes give an anatomically upright 2-D view
+#: (reference ``visualization.py:1110-1117``).
+_SWEEP_ORIENTATIONS = {
+    "I": "IPL",
+    "S": "SPL",
+    "A": "AIL",
+    "P": "PIL",
+    "R": "RIP",
+    "L": "LIP",
+}
+
+
+def _frames_for_direction(
+    image: Image, direction: str, *, reverse: bool = False
+) -> list[np.ndarray]:
+    """uint8 frames sweeping anatomically along ``direction`` (one of
+    I/S/A/P/R/L): the image is reoriented so the sweep is the first
+    spatial axis and each frame is already upright."""
+    from .transforms.spatial.reorient import Reorient
+
+    direction = direction.upper()
+    if direction not in _SWEEP_ORIENTATIONS:
+        raise ValueError(
+            f"direction must be one of {sorted(_SWEEP_ORIENTATIONS)},"
+            f" got {direction!r}"
+        )
+    oriented = Reorient(orientation=_SWEEP_ORIENTATIONS[direction])(image)
+    data = np.asarray(oriented.data)[0]
+    lo, hi = float(data.min()), float(data.max())
+    scale = 255.0 / (hi - lo) if hi > lo else 1.0
+    frames = [
+        ((data[idx] - lo) * scale).astype(np.uint8)
+        for idx in range(data.shape[0])
+    ]
+    return frames[::-1] if reverse else frames
+
+
+def _sweep_frames(image, axis, direction, reverse) -> list[np.ndarray]:
+    if direction is not None:
+        return _frames_for_direction(image, direction, reverse=reverse)
+    frames = _frames_along_axis(image, axis)
+    return frames[::-1] if reverse else frames
+
+
 def make_gif(
     image: Image,
     output_path: str | Path,
     *,
     axis: int = 2,
+    direction: str | None = None,
     duration_ms: int = 40,
+    seconds: float | None = None,
+    reverse: bool = False,
     loop: int = 0,
+    optimize: bool = True,
 ) -> Path:
-    """Animated GIF sweeping through slices along an axis (Pillow)."""
+    """Animated GIF sweeping through slices (Pillow).
+
+    Either a RAS ``axis`` (0/1/2) or an anatomical ``direction``
+    (``"I"``, ``"S"``, ``"A"``, ``"P"``, ``"R"``, ``"L"`` — the
+    reference's kwarg, ``visualization.py:924-951``); ``seconds`` sets
+    the full-animation duration (overrides ``duration_ms``; GIF delays
+    quantize to 10 ms with a 20 ms floor for viewer compatibility)."""
     try:
         from PIL import Image as PILImage
     except ImportError as e:  # pragma: no cover
         raise ImportError("Install Pillow to export GIFs") from e
-    frames = [PILImage.fromarray(f) for f in _frames_along_axis(image, axis)]
+    frames = [
+        PILImage.fromarray(f)
+        for f in _sweep_frames(image, axis, direction, reverse)
+    ]
+    if seconds is not None:
+        duration_ms = max(round(seconds / len(frames) * 100) * 10, 20)
     output_path = Path(output_path)
     frames[0].save(
         output_path,
@@ -383,6 +524,7 @@ def make_gif(
         append_images=frames[1:],
         duration=duration_ms,
         loop=loop,
+        optimize=optimize,
     )
     return output_path
 
@@ -392,9 +534,15 @@ def make_video(
     output_path: str | Path,
     *,
     axis: int = 2,
+    direction: str | None = None,
     fps: int = 25,
+    seconds: float | None = None,
+    reverse: bool = False,
 ) -> Path:
-    """MP4 slice sweep (requires the ffmpeg binary)."""
+    """MP4 slice sweep (requires the ffmpeg binary).
+
+    ``direction`` sweeps anatomically (see :func:`make_gif`);
+    ``seconds`` derives the frame rate from the slice count."""
     import shutil as _shutil
     import subprocess
     import tempfile
@@ -404,8 +552,11 @@ def make_video(
     from PIL import Image as PILImage
 
     output_path = Path(output_path)
+    frames = _sweep_frames(image, axis, direction, reverse)
+    if seconds is not None:
+        fps = max(1, round(len(frames) / seconds))
     with tempfile.TemporaryDirectory() as tmp:
-        for idx, frame in enumerate(_frames_along_axis(image, axis)):
+        for idx, frame in enumerate(frames):
             PILImage.fromarray(frame).save(f"{tmp}/{idx:05d}.png")
         subprocess.run(  # noqa: S603
             [
