@@ -725,3 +725,88 @@ class TestDeviceBatchesReviewRegressions:
         )
         with pytest.raises(ValueError, match="same image names"):
             list(queue.device_batches(batch_size=2))
+
+
+class TestBatchedFetch:
+    """GridSampler.get_batch + the loader's batched-fetch fast path."""
+
+    @pytest.fixture
+    def device_subject(self, rng):
+        data = jnp.asarray(rng.normal(size=(1, 16, 18, 20)).astype(np.float32))
+        seg = np.zeros((1, 16, 18, 20), np.int32)
+        seg[0, 6:10, 6:10, 6:10] = 1
+        return tio.Subject(
+            t1=tio.ScalarImage(data), seg=tio.LabelMap(jnp.asarray(seg))
+        )
+
+    def test_get_batch_matches_per_item_extraction(self, device_subject):
+        from torchio_tpu.data.loader import collate_subjects
+
+        sampler = tio.GridSampler(device_subject, patch_size=8, patch_overlap=2)
+        idx = [0, 3, len(sampler) - 1]
+        fast = sampler.get_batch(idx)
+        slow = collate_subjects([sampler[i] for i in idx])
+        for name in ("t1", "seg"):
+            np.testing.assert_array_equal(
+                np.asarray(fast.images[name].data),
+                np.asarray(slow.images[name].data),
+            )
+            for a_f, a_s in zip(
+                fast.images[name].affines, slow.images[name].affines
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a_f.data), np.asarray(a_s.data)
+                )
+        assert fast.metadata["patch_location"] == slow.metadata["patch_location"]
+
+    def test_get_batch_host_subject_falls_back(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8)
+        batch = sampler.get_batch([0, 1])
+        assert batch.batch_size == 2
+        np.testing.assert_array_equal(
+            np.asarray(batch.images["t1"].data[0]),
+            np.asarray(sampler[0].images["t1"].data),
+        )
+
+    def test_loader_uses_batched_fetch(self, device_subject, monkeypatch):
+        sampler = tio.GridSampler(device_subject, patch_size=8, patch_overlap=2)
+        calls = []
+        orig = sampler.get_batch
+
+        def spy(indices):
+            calls.append(list(indices))
+            return orig(indices)
+
+        monkeypatch.setattr(sampler, "get_batch", spy)
+        loader = tio.SubjectsLoader(sampler, batch_size=4)
+        total = sum(b.batch_size for b in loader)
+        assert total == len(sampler)
+        assert calls and all(len(c) <= 4 for c in calls)
+
+    def test_loader_fast_path_respects_drop_last_and_shuffle(
+        self, device_subject
+    ):
+        sampler = tio.GridSampler(device_subject, patch_size=8, patch_overlap=2)
+        n = len(sampler)
+        loader = tio.SubjectsLoader(
+            sampler, batch_size=4, drop_last=True, shuffle=True
+        )
+        total = sum(b.batch_size for b in loader)
+        assert total == (n // 4) * 4
+
+    def test_grid_to_aggregator_roundtrip_through_fast_path(
+        self, device_subject
+    ):
+        sampler = tio.GridSampler(device_subject, patch_size=8, patch_overlap=4)
+        loader = tio.SubjectsLoader(sampler, batch_size=4)
+        agg = tio.PatchAggregator(
+            device_subject.spatial_shape, overlap_mode="hann"
+        )
+        for batch in loader:
+            agg.add_batch(
+                batch.images["t1"].data, batch.metadata["patch_location"]
+            )
+        out = agg.get_output()
+        np.testing.assert_allclose(
+            out, np.asarray(device_subject.t1.data), atol=1e-5
+        )

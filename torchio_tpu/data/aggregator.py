@@ -22,24 +22,40 @@ import numpy as np
 from .patch import PatchLocation
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _scatter_add_kernel(buf, patches, corners):
-    """Scatter-add (B, C, p, p, p) patches at dynamic (B, 3) corners.
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_add_pair_kernel(out, cnt, patches, window, corners):
+    """Scatter-add (B, C, p, p, p) patches at dynamic (B, 3) corners:
+    weighted-patch and count scatters fused into ONE program.
 
     One compiled program per (buffer, batch) SHAPE — corner positions
     are traced values, so every grid location reuses the same
     executable (concrete ``.at[slice].add`` updates would recompile per
-    distinct location). The donated buffer updates in place in HBM.
+    distinct location). The donated buffers update in place in HBM.
+
+    ``window`` broadcasts against a (C, p, p, p) patch (the separable
+    Hann window, or a scalar 1.0 for ``average``); the weighting
+    multiply happens in-kernel too, so an ``add_batch`` call is a
+    single dispatch — through a high-latency link (the tunneled
+    backend) this is 3x fewer round trips than weighted-multiply +
+    two scatter programs.
     """
 
-    def body(buf, xs):
+    def body(carry, xs):
+        out, cnt = carry
         patch, corner = xs
         start = (jnp.int32(0), corner[0], corner[1], corner[2])
-        region = jax.lax.dynamic_slice(buf, start, patch.shape)
-        return jax.lax.dynamic_update_slice(buf, region + patch, start), None
+        region = jax.lax.dynamic_slice(out, start, patch.shape)
+        out = jax.lax.dynamic_update_slice(
+            out, region + patch * window, start
+        )
+        regc = jax.lax.dynamic_slice(cnt, start, patch.shape)
+        cnt = jax.lax.dynamic_update_slice(
+            cnt, regc + jnp.broadcast_to(window, patch.shape), start
+        )
+        return (out, cnt), None
 
-    buf, _ = jax.lax.scan(body, buf, (patches, corners))
-    return buf
+    (out, cnt), _ = jax.lax.scan(body, (out, cnt), (patches, corners))
+    return out, cnt
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -134,17 +150,11 @@ class PatchAggregator:
                 np.asarray([loc.index for loc in locs], np.int32)
             )
             if self.overlap_mode == "average":
-                weighted = tensor
-                count_patch = jnp.ones_like(tensor)
+                window = jnp.float32(1.0)
             else:  # hann
                 window = self._get_hann(tuple(tensor.shape[-3:]))
-                weighted = tensor * window
-                count_patch = jnp.broadcast_to(window, tensor.shape)
-            self._outputs[key] = _scatter_add_kernel(
-                self._outputs[key], weighted, corners
-            )
-            self._counts[key] = _scatter_add_kernel(
-                self._counts[key], count_patch, corners
+            self._outputs[key], self._counts[key] = _scatter_add_pair_kernel(
+                self._outputs[key], self._counts[key], tensor, window, corners
             )
 
     def get_output(self, key: str | None = None) -> np.ndarray:

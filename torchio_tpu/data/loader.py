@@ -89,6 +89,25 @@ class _Loader:
             yield from self.dataset
 
     def __iter__(self):
+        get_batch = getattr(self.dataset, "get_batch", None)
+        if (
+            get_batch is not None
+            and type(self)._collate is collate_subjects
+            and self.num_workers == 0
+            and hasattr(self.dataset, "__len__")
+        ):
+            # batched-fetch fast path (GridSampler): the dataset
+            # extracts the whole chunk in one program per image, so
+            # dispatch count per batch is constant instead of O(B)
+            indices = list(range(len(self.dataset)))
+            if self.shuffle:
+                _pyrandom.shuffle(indices)
+            for start in range(0, len(indices), self.batch_size):
+                chunk_idx = indices[start : start + self.batch_size]
+                if len(chunk_idx) < self.batch_size and self.drop_last:
+                    break
+                yield get_batch(chunk_idx)
+            return
         chunk: list[Any] = []
         for item in self._item_iter():
             chunk.append(item)
