@@ -563,3 +563,53 @@ class TestVisualizationDepth:
         img = tio.ScalarImage(rng.random((1, 8, 9, 10), np.float32))
         with pytest.raises(ValueError, match="direction"):
             make_gif(img, tmp_path / "x.gif", direction="Q")
+
+    def test_plot_image_title(self, rng, tmp_path):
+        from torchio_tpu.visualization import plot_image
+
+        img = tio.ScalarImage(rng.random((1, 8, 9, 10), np.float32))
+        fig = plot_image(
+            img, show=False, title="hello", output_path=tmp_path / "t.png"
+        )
+        assert fig._suptitle.get_text() == "hello"
+
+    def test_plot_subject_indices_and_coordinates_conflict(self, rng):
+        from torchio_tpu.visualization import plot_subject
+
+        subject = self._subject(rng, 1)
+        with pytest.raises(ValueError, match="indices OR coordinates"):
+            plot_subject(
+                subject, show=False, indices=(1, 1, 1),
+                coordinates=(0.0, 0.0, 0.0),
+            )
+
+    def test_make_video_assembles_ffmpeg_command(
+        self, rng, tmp_path, monkeypatch
+    ):
+        import shutil as _shutil
+        import subprocess
+
+        from torchio_tpu import visualization as viz
+
+        monkeypatch.setattr(_shutil, "which", lambda name: "/usr/bin/ffmpeg")
+        calls = []
+
+        def fake_run(cmd, check, capture_output):
+            calls.append(cmd)
+
+            class R:
+                returncode = 0
+
+            return R()
+
+        monkeypatch.setattr(subprocess, "run", fake_run)
+        img = tio.ScalarImage(rng.random((1, 6, 7, 8), np.float32))
+        out = viz.make_video(
+            img, tmp_path / "clip.mp4", direction="A", seconds=2.0,
+            reverse=True,
+        )
+        assert out == tmp_path / "clip.mp4"
+        (cmd,) = calls
+        assert cmd[0] == "ffmpeg"
+        # seconds=2.0 over the 7 anterior-axis slices -> fps round(7/2)=4
+        assert cmd[cmd.index("-framerate") + 1] == "4"

@@ -574,3 +574,81 @@ class TestCubicMode:
         with pytest.warns(RuntimeWarning, match="cubic_resample_fused"):
             out = elastic(subject)
         assert out.t1.data.shape == (1, 16, 16, 16)
+
+
+class TestQuadraticMode:
+    """Order-2 B-spline windowed kernel vs the ops.bspline oracle."""
+
+    def test_matches_bspline_oracle(self):
+        from torchio_tpu.ops.bspline import bspline_resample
+        from torchio_tpu.ops.window_resample import (
+            cubic_resample_fused,
+            cubic_window_eligible,
+        )
+
+        rng = np.random.default_rng(4)
+        b = 2
+        data = rng.random((b, 1, 14, 18, 16), np.float32)
+        m = np.eye(4)
+        m[1, 3] = -1.3
+        cps = [rng.uniform(-1.5, 1.5, (3, 4, 3, 3)), None]
+        spatial = data.shape[2:]
+        pads = cubic_window_eligible(
+            data.shape, spatial, [m] * b, cps,
+            data=jnp.asarray(data), order=2,
+        )
+        assert pads is not None
+        out = cubic_resample_fused(
+            data, [m] * b, cps, 0.5, padi=pads[0], padj=pads[1], order=2
+        )
+        coords = jnp.stack(
+            [TestCubicMode._dense_coords([m] * b, cps, spatial)[i] for i in range(b)]
+        )
+        ref = bspline_resample(data, coords, order=2, fill=0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_identity_reproduces_input(self):
+        from torchio_tpu.ops.window_resample import cubic_resample_fused
+
+        rng = np.random.default_rng(5)
+        data = rng.random((1, 1, 12, 16, 12), np.float32)
+        out = cubic_resample_fused(
+            data, [np.eye(4)], [None], 0.0, padi=6, padj=8, order=2
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[0, 0], data[0, 0], atol=2e-5
+        )
+
+    def test_order2_transform_routes_through_kernel(self, monkeypatch):
+        import torchio_tpu.ops.window_resample as wr
+
+        orders = []
+        orig = wr.cubic_resample_fused
+
+        def spy(*a, **k):
+            orders.append(k.get("order"))
+            return orig(*a, **k)
+
+        monkeypatch.setattr(wr, "cubic_resample_fused", spy)
+        tio.seed(0)
+        subject = tio.Subject(
+            t1=tio.ScalarImage(
+                np.random.default_rng(0).random((1, 16, 16, 16), np.float32)
+            )
+        )
+        elastic = tio.ElasticDeformation(
+            max_displacement=3.0, num_control_points=5, image_interpolation=2
+        )
+        elastic(subject)
+        assert orders == [2]
+
+    def test_bad_order_raises(self):
+        from torchio_tpu.ops.window_resample import cubic_resample_fused
+
+        with pytest.raises(ValueError, match="orders 2-3"):
+            cubic_resample_fused(
+                np.zeros((1, 1, 8, 8, 8), np.float32),
+                [np.eye(4)], [None], 0.0, padi=6, padj=8, order=5,
+            )

@@ -59,10 +59,44 @@ def stop() -> None:
     sys.monitoring.free_tool_id(_TOOL)
 
 
-def executable_lines(path: Path) -> set[int]:
-    """All line numbers that carry bytecode in any code object of the file."""
+def _excluded_lines(source: str, path: str) -> set[int]:
+    """Lines excluded by ``# pragma: no cover`` — coverage.py semantics
+    (the reference's ``fail_under = 100`` gate relies on them): the
+    marked line is excluded, and when it opens a block (a def/if/except
+    header), so is the whole block. For an ``if`` with an ``else``,
+    only the marked branch's body is excluded."""
+    import ast
+
+    marked = {
+        i + 1
+        for i, text in enumerate(source.splitlines())
+        if "pragma: no cover" in text
+    }
+    if not marked:
+        return set()
+    excluded: set[int] = set(marked)
     try:
-        top = compile(path.read_text(), str(path), "exec")
+        tree = ast.parse(source, path)
+    except SyntaxError:
+        return excluded
+    for node in ast.walk(tree):
+        lineno = getattr(node, "lineno", None)
+        if lineno not in marked:
+            continue
+        if isinstance(node, ast.If) and node.orelse:
+            end = node.body[-1].end_lineno
+        else:
+            end = getattr(node, "end_lineno", lineno)
+        excluded.update(range(lineno, (end or lineno) + 1))
+    return excluded
+
+
+def executable_lines(path: Path) -> set[int]:
+    """All line numbers that carry bytecode in any code object of the
+    file, minus ``# pragma: no cover`` exclusions."""
+    source = path.read_text()
+    try:
+        top = compile(source, str(path), "exec")
     except SyntaxError:
         return set()
     lines: set[int] = set()
@@ -78,7 +112,7 @@ def executable_lines(path: Path) -> set[int]:
         for const in code.co_consts:
             if hasattr(const, "co_code"):
                 stack.append(const)
-    return lines
+    return lines - _excluded_lines(source, str(path))
 
 
 def report(fail_under: float | None = None, show_missing: str | None = None) -> int:

@@ -193,15 +193,41 @@ def _b3_weights(t):
     return w0, w1, w2, w3
 
 
-def _cubic_taps(c, n: int):
-    """Folded-coordinate cubic taps: 4 reflected integer indices (each
-    in [0, n-1]) and their B-spline weights."""
+def _b2_weights(t):
+    """Quadratic cardinal B-spline B_2 at the 3 taps of a folded
+    coordinate: ``t = x - start`` where ``start = floor(x+0.5) - 1``
+    (even-order centered base, matching :mod:`..bspline`)."""
+    # tap distances: u0 = t in [0.5, 1.5); u1 = t-1 in [-0.5, 0.5);
+    # u2 = t-2 in [-1.5, -0.5)
+    w0 = (t - 1.5) ** 2 / 2.0
+    u1 = t - 1.0
+    w1 = 0.75 - u1 * u1
+    w2 = (t - 0.5) ** 2 / 2.0
+    return w0, w1, w2
+
+
+def _spline_taps(c, n: int, order: int):
+    """Folded-coordinate B-spline taps: ``order + 1`` reflected integer
+    indices (each in [0, n-1]) and their basis weights."""
     cf = _fold_mirror(c, n)
-    base = jnp.floor(cf)
-    t = cf - base
-    base = base.astype(jnp.int32)
-    idx = tuple(_reflect_idx(base + d, n) for d in (-1, 0, 1, 2))
-    return idx, _b3_weights(t)
+    if order == 2:
+        start = jnp.floor(cf + 0.5) - 1.0
+        t = cf - start
+        start = start.astype(jnp.int32)
+        offs = (0, 1, 2)
+        weights = _b2_weights(t)
+    else:
+        start = jnp.floor(cf).astype(jnp.int32)
+        offs = (-1, 0, 1, 2)
+        weights = _b3_weights(cf - jnp.floor(cf))
+    # clip after reflection: the outermost tap can land one past the
+    # single-reflection range exactly where its weight is zero (e.g.
+    # cubic tap floor+2 at cf == n-1) — the clamp keeps the gather
+    # index defined without changing the weighted sum
+    idx = tuple(
+        jnp.clip(_reflect_idx(start + d, n), 0, n - 1) for d in offs
+    )
+    return idx, weights
 
 
 def _fill_bc(fill, b, c):
@@ -275,7 +301,8 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
     """One (TI, TJ, 128) output tile; see module docstring."""
     I, J, K = spatial
     corners = mode == "corners"
-    cubic = mode == "cubic"
+    spline_order = {"quadratic": 2, "cubic": 3}.get(mode)
+    cubic = spline_order is not None
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -306,9 +333,9 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
         # candidate bounds (computed by _tile_bounds_cubic over the
         # same taps) cover every contribution exactly and the k taps
         # need no halo
-        itaps, wi_taps = _cubic_taps(ci, I)
-        jtaps, wj_taps = _cubic_taps(cj, J)
-        ktaps, wk_taps = _cubic_taps(ck, K)
+        itaps, wi_taps = _spline_taps(ci, I, spline_order)
+        jtaps, wj_taps = _spline_taps(cj, J, spline_order)
+        ktaps, wk_taps = _spline_taps(ck, K, spline_order)
         oi_taps = tuple(t - iout for t in itaps)
         oj_taps = tuple(t - jout for t in jtaps)
 
@@ -354,7 +381,7 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
             return (accs[0] + sel * valid * ln,), cio
         if cubic:
             kv = wk_taps[0] * jnp.take_along_axis(rows, ktaps[0], axis=1)
-            for t in range(1, 4):
+            for t in range(1, len(ktaps)):
                 kv = kv + wk_taps[t] * jnp.take_along_axis(
                     rows, ktaps[t], axis=1
                 )
@@ -444,7 +471,7 @@ def _tile_bounds(ci, cj, spatial, padi, padj):
     return bounds
 
 
-def _tile_bounds_cubic(ci, cj, spatial, padi, padj):
+def _tile_bounds_spline(ci, cj, spatial, padi, padj, order):
     """(B, nti, ntj, 4) per-tile offset bounds over ALL FOUR reflected
     cubic taps (min of tap 0 / max of tap 3 do not suffice: reflection
     at the boundary reorders taps). Clamped to [-pad, pad] — the slab
@@ -457,7 +484,7 @@ def _tile_bounds_cubic(ci, cj, spatial, padi, padj):
     jj = jax.lax.broadcasted_iota(jnp.int32, ci.shape, 2)
 
     def tap_minmax(c, n, pos):
-        taps, _ = _cubic_taps(c, n)
+        taps, _ = _spline_taps(c, n, order)
         lo = taps[0]
         hi = taps[0]
         for t in taps[1:]:
@@ -670,27 +697,27 @@ def _window_resample_label(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spatial", "padi", "padj", "has_cp"),
+    static_argnames=("spatial", "padi", "padj", "has_cp", "order"),
 )
-def _window_resample_cubic(
+def _window_resample_spline(
     data, matrices, control_points, fill, *,
-    spatial, padi, padj, has_cp,
+    spatial, padi, padj, has_cp, order,
 ):
-    """(B, C, I, J, K) cubic B-spline bounded-offset resample: the IIR
-    prefilter (ops.bspline.prefilter) and the 4-tap windowed evaluation
-    run in ONE program. Boundary model: mirror (dct1), identical to
-    :func:`..bspline.bspline_resample`; out-of-bounds voxels are
-    replaced through the same raw-coordinate bilinear mask, so the fill
-    is ALWAYS applied (without it the mirror-folded sample would leak
-    outside the volume)."""
+    """(B, C, I, J, K) B-spline (order 2-3) bounded-offset resample:
+    the IIR prefilter (ops.bspline.prefilter) and the (order+1)-tap
+    windowed evaluation run in ONE program. Boundary model: mirror
+    (dct1), identical to :func:`..bspline.bspline_resample`;
+    out-of-bounds voxels are replaced through the same raw-coordinate
+    bilinear mask, so the fill is ALWAYS applied (without it the
+    mirror-folded sample would leak outside the volume)."""
     from .bspline import prefilter
 
     B, C, I, J, K = data.shape
     ci, cj, ck, Ip, Jp = tile_align_coords(
         matrices, control_points if has_cp else None, spatial, TI, TJ
     )
-    bounds = _tile_bounds_cubic(ci, cj, spatial, padi, padj)
-    coeffs = prefilter(data.astype(jnp.float32), 3)
+    bounds = _tile_bounds_spline(ci, cj, spatial, padi, padj, order)
+    coeffs = prefilter(data.astype(jnp.float32), order)
     vol = jnp.pad(
         coeffs,
         (
@@ -703,7 +730,8 @@ def _window_resample_cubic(
     for c in range(C):
         out = _pallas_window(
             bounds, fill[:, c], vol[:, c], ci, cj, ck,
-            padi=padi, padj=padj, spatial=spatial, mode="cubic",
+            padi=padi, padj=padj, spatial=spatial,
+            mode="quadratic" if order == 2 else "cubic",
             apply_fill=True,
         )
         outs.append(out[:, :I, :J, :K])
@@ -717,10 +745,11 @@ MAX_BOUND_CUBIC = 32
 
 
 def cubic_window_eligible(data_shape, out_spatial, matrices,
-                          control_points, data=None):
-    """Dispatch decision for the cubic windowed kernel: (padi, padj)
-    paddings, or None. Unlike the linear kernel, affine-only maps are
-    accepted too — there is no faster cubic path to defer to."""
+                          control_points, data=None, order: int = 3):
+    """Dispatch decision for the spline (order 2-3) windowed kernel:
+    (padi, padj) paddings, or None. Unlike the linear kernel,
+    affine-only maps are accepted too — there is no faster high-order
+    path to defer to."""
     from ..config import window_resample as enabled
 
     if not enabled():
@@ -741,7 +770,7 @@ def cubic_window_eligible(data_shape, out_spatial, matrices,
     bcj = 3 * bounds[1] + 2
     if bci > MAX_BOUND_CUBIC or bcj > MAX_BOUND_CUBIC:
         return None
-    key = ("cubic", tuple(data_shape), tuple(out_spatial))
+    key = ("spline", order, tuple(data_shape), tuple(out_spatial))
     hr = 0 if ratchet_seen(key) else 1
     padi = _bucket(bci + 1, (6, 10, 16, 24, 33), hr)
     padj = _bucket(8 * ((bcj + 1 + 7) // 8), (8, 16, 24, 32, 40), hr)
@@ -749,18 +778,21 @@ def cubic_window_eligible(data_shape, out_spatial, matrices,
 
 
 def cubic_resample_fused(data, matrices, control_points, fill,
-                         *, padi, padj):
-    """Batched bounded-offset cubic B-spline resample (order 3).
+                         *, padi, padj, order: int = 3):
+    """Batched bounded-offset B-spline resample (order 2 or 3).
 
     Same contract as :func:`window_resample_fused`; parity oracle is
-    :func:`torchio_tpu.ops.bspline.bspline_resample` (order=3).
+    :func:`torchio_tpu.ops.bspline.bspline_resample` at the same order.
     """
+    if order not in (2, 3):
+        raise ValueError(f"spline kernel supports orders 2-3, got {order}")
     data = jnp.asarray(data)
     B, C, I, J, K = data.shape
     m, cps, has_cp = _marshal_maps(matrices, control_points)
-    return _window_resample_cubic(
+    return _window_resample_spline(
         data, m, cps, _fill_bc(fill, B, C),
         spatial=(I, J, K), padi=padi, padj=padj, has_cp=has_cp,
+        order=order,
     )
 
 

@@ -506,10 +506,11 @@ def _dispatch_resample(data, grid, plans, *, mode: str, fill, sharding=None):
     if order >= 2:
         from ...ops.bspline import bspline_resample
 
-        if order == 3 and _is_lazy_grid(grid) and sharding is None:
-            # cubic B-spline with bounded offsets rides the windowed
-            # Pallas kernel (prefilter + 4-tap evaluation in one
-            # program) instead of the gather-bound bspline path
+        if order in (2, 3) and _is_lazy_grid(grid) and sharding is None:
+            # quadratic/cubic B-spline with bounded offsets rides the
+            # windowed Pallas kernel (prefilter + (order+1)-tap
+            # evaluation in one program) instead of the gather-bound
+            # bspline path
             from ...ops.resample import _kernel_fallback_warn
             from ...ops.window_resample import (
                 cubic_resample_fused,
@@ -526,6 +527,7 @@ def _dispatch_resample(data, grid, plans, *, mode: str, fill, sharding=None):
                     [g.matrix for g in grids],
                     [g.control_points for g in grids],
                     data=data,
+                    order=order,
                 )
                 if pads is not None:
                     try:
@@ -536,6 +538,7 @@ def _dispatch_resample(data, grid, plans, *, mode: str, fill, sharding=None):
                             fill,
                             padi=pads[0],
                             padj=pads[1],
+                            order=order,
                         )
                     except Exception as error:
                         _kernel_fallback_warn("cubic_resample_fused", error)
