@@ -139,10 +139,13 @@ def report(fail_under: float | None = None, show_missing: str | None = None) -> 
 
     if show_missing:
         for path in sorted(PACKAGE.rglob("*.py")):
-            if show_missing not in str(path):
+            # "--missing all" prints every incomplete module
+            if show_missing != "all" and show_missing not in str(path):
                 continue
             exec_lines = executable_lines(path)
             missing = sorted(exec_lines - _hits.get(str(path), set()))
+            if show_missing == "all" and not missing:
+                continue
             print(f"\n{path.relative_to(REPO)} missing {len(missing)} lines:")
             print(_compress_ranges(missing))
 
