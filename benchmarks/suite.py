@@ -209,7 +209,8 @@ def config5() -> dict:
         "value": round(bench_queue_device(), 2),
         "unit": "patches/sec",
         "loader_path_patches_per_sec": round(bench_queue(), 2),
-        "aggregator_patches_per_sec": round(bench_aggregator(), 2),
+        "aggregator_patches_per_sec": round(bench_aggregator(device_output=True), 2),
+        "aggregator_host_materialize_pps": round(bench_aggregator(), 2),
     }
 
 

@@ -201,6 +201,21 @@ class TestAggregator:
         out = agg.get_output()
         np.testing.assert_allclose(out, np.asarray(subject.t1.data), rtol=1e-5)
 
+    def test_get_output_device(self, subject):
+        import jax
+
+        sampler = tio.GridSampler(subject, patch_size=8, patch_overlap=4)
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="hann")
+        for patch in sampler:
+            agg.add_batch(
+                np.asarray(patch.t1.data)[None], [patch.patch_location]
+            )
+        dev = agg.get_output(device=True)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_allclose(
+            np.asarray(dev), agg.get_output(), rtol=0, atol=0
+        )
+
     def test_multi_output_dict(self, subject):
         sampler = tio.GridSampler(subject, patch_size=8)
         agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="average")

@@ -58,6 +58,13 @@ def _scatter_add_pair_kernel(out, cnt, patches, window, corners):
     return out, cnt
 
 
+@jax.jit
+def _normalize_kernel(out, cnt):
+    """sum/weight division as ONE program (op-by-op clip+divide would
+    cost two dispatch round trips through a high-latency link)."""
+    return out / jnp.clip(cnt, 1e-8)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _scatter_set_kernel(buf, patches, corners):
     """Like :func:`_scatter_add_kernel` but overwriting (crop mode)."""
@@ -105,6 +112,7 @@ class PatchAggregator:
         overlap_mode: str = "crop",
         patch_overlap=0,
         output_shape=None,
+        flush_bytes: int = 256 * 1024**2,
     ) -> None:
         if overlap_mode not in ("crop", "average", "hann"):
             raise ValueError(
@@ -127,6 +135,14 @@ class PatchAggregator:
         self._outputs: dict[str, jax.Array] = {}
         self._counts: dict[str, jax.Array] = {}
         self._hann_cache: dict[tuple[int, int, int], jax.Array] = {}
+        # add/average scatters are deferred: batches accumulate here
+        # (device arrays — holding them is free) and flush as ONE
+        # scatter program per patch shape at get_output (or when the
+        # buffered bytes exceed ``flush_bytes``), so an inference pass
+        # pays O(1) scatter dispatches instead of one per add_batch
+        self._flush_bytes = int(flush_bytes)
+        self._pending: dict[str, list[tuple[jax.Array, Any, np.ndarray]]] = {}
+        self._pending_bytes: dict[str, int] = {}
 
     def add_batch(self, batch: Any, locations: list[PatchLocation]) -> None:
         """Accumulate a (B, C, i, j, k) array (or dict of them).
@@ -146,30 +162,72 @@ class PatchAggregator:
                 for idx, loc in enumerate(locs):
                     self._add_crop(key, tensor[idx], loc)
                 continue
-            corners = jnp.asarray(
-                np.asarray([loc.index for loc in locs], np.int32)
-            )
+            # corners stay host numpy until flush: one (N_total, 3)
+            # upload per flush instead of one tiny transfer per call
+            corners = np.asarray([loc.index for loc in locs], np.int32)
             if self.overlap_mode == "average":
                 window = jnp.float32(1.0)
             else:  # hann
                 window = self._get_hann(tuple(tensor.shape[-3:]))
-            self._outputs[key], self._counts[key] = _scatter_add_pair_kernel(
-                self._outputs[key], self._counts[key], tensor, window, corners
+            self._pending.setdefault(key, []).append((tensor, window, corners))
+            self._pending_bytes[key] = (
+                self._pending_bytes.get(key, 0) + tensor.nbytes
             )
+            if self._pending_bytes[key] >= self._flush_bytes:
+                self._flush(key)
 
-    def get_output(self, key: str | None = None) -> np.ndarray:
-        """Aggregated (C, I, J, K) volume (host numpy)."""
+    def get_output(
+        self, key: str | None = None, *, device: bool = False
+    ) -> np.ndarray | jax.Array:
+        """Aggregated (C, I, J, K) volume.
+
+        By default the volume materializes as host numpy (one transfer —
+        the only host sync of the aggregation). With ``device=True`` the
+        normalized volume stays in HBM as a ``jax.Array`` so a
+        device-side consumer (inverse spatial transform, argmax,
+        metrics) never pays the device→host pull; through a
+        low-bandwidth link the pull dwarfs the reassembly itself.
+        """
         resolved = key if key is not None else "__default__"
         if resolved not in self._outputs:
             available = [k for k in self._outputs if k != "__default__"]
             raise KeyError(f"No output for key {key!r}. Available: {available}")
+        self._flush(resolved)
         output = self._outputs[resolved]
         if self.overlap_mode in ("average", "hann"):
-            counts = jnp.clip(self._counts[resolved], 1e-8)
-            output = output / counts
+            output = _normalize_kernel(output, self._counts[resolved])
+        if device:
+            return output
         return np.asarray(output)
 
     # --- internals ---
+
+    def _flush(self, key: str) -> None:
+        pending = self._pending.pop(key, None)
+        self._pending_bytes.pop(key, None)
+        if not pending:
+            return
+        # one scatter program per distinct patch shape (usually one):
+        # batches of the same grid concatenate into a single scan
+        groups: dict[tuple, list[tuple[jax.Array, Any, np.ndarray]]] = {}
+        for tensor, window, corners in pending:
+            groups.setdefault(tuple(tensor.shape[1:]), []).append(
+                (tensor, window, corners)
+            )
+        for entries in groups.values():
+            if len(entries) == 1:
+                tensor, window, corners = entries[0]
+            else:
+                tensor = jnp.concatenate([e[0] for e in entries])
+                window = entries[0][1]
+                corners = np.concatenate([e[2] for e in entries])
+            self._outputs[key], self._counts[key] = _scatter_add_pair_kernel(
+                self._outputs[key],
+                self._counts[key],
+                tensor,
+                window,
+                jnp.asarray(corners),
+            )
 
     def _ensure_buffer(self, key: str, patch) -> None:
         if key in self._outputs:

@@ -127,14 +127,18 @@ class GridSampler(PatchSampler):
             return collate_subjects([self[i] for i in indices])
 
         from ..core.affine import AffineMatrix
-        from ..ops.patches import extract_patches
+        from ..ops.patches import extract_patches_multi
         from .batch import ImagesBatch, SubjectsBatch
 
         locs = [self.locations[i] for i in indices]
         corners = np.asarray([loc.index for loc in locs], np.int32)
+        # one extraction program for ALL images of the subject (t1 +
+        # seg + ... share the scan over corners), not one per image
+        all_patches = extract_patches_multi(
+            [img.data for img in images.values()], corners, self.patch_size
+        )
         batched: dict[str, ImagesBatch] = {}
-        for name, img in images.items():
-            patches = extract_patches(img.data, corners, self.patch_size)
+        for (name, img), patches in zip(images.items(), all_patches):
             aff = np.asarray(img.affine.data, np.float64)
             affines = []
             for corner in corners:

@@ -31,6 +31,45 @@ def _extract_patches_kernel(volume, corners, patch_size):
     return patches
 
 
+@partial(jax.jit, static_argnames=("patch_size",))
+def _extract_patches_multi_kernel(volumes, corners, patch_size):
+    def one(_, corner):
+        start = jnp.concatenate([jnp.zeros((1,), jnp.int32), corner])
+        outs = tuple(
+            jax.lax.dynamic_slice(v, start, (v.shape[0], *patch_size))
+            for v in volumes
+        )
+        return None, outs
+
+    _, patches = jax.lax.scan(one, None, corners)
+    return patches
+
+
+def extract_patches_multi(volumes, corners, patch_size) -> tuple:
+    """Slice the same patch grid from several same-spatial-shape volumes
+    in ONE compiled program.
+
+    A multi-image subject (e.g. t1 + seg) otherwise pays one dispatch
+    per image per loader batch; through a high-latency link the
+    dispatch submissions dominate reassembly. Dtypes are preserved
+    per volume (scalar f32 and label int volumes share the program).
+
+    Args:
+        volumes: sequence of (C_i, I, J, K) device arrays (equal
+            spatial shape, any channel counts/dtypes).
+        corners: (N, 3) int32 patch corner indices.
+        patch_size: static (pi, pj, pk).
+
+    Returns:
+        tuple of (N, C_i, *patch_size) arrays, one per input volume.
+    """
+    volumes = tuple(jnp.asarray(v) for v in volumes)
+    corners = jnp.asarray(np.asarray(corners), jnp.int32)
+    return _extract_patches_multi_kernel(
+        volumes, corners, tuple(int(p) for p in patch_size)
+    )
+
+
 def extract_patches(volume, corners, patch_size) -> jax.Array:
     """Slice ``(N, C, *patch_size)`` patches from a ``(C, I, J, K)`` volume.
 
