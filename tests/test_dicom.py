@@ -539,6 +539,20 @@ class TestJpegLossless:
             back = decode_lossless_jpeg(encode_lossless_jpeg(img))
             np.testing.assert_array_equal(back, img)
 
+    def test_all_predictors_round_trip(self):
+        from torchio_tpu.io.jpeg_lossless import (
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 4000, (11, 9)).astype(np.uint16)
+        for predictor in range(1, 8):
+            stream = encode_lossless_jpeg(img, predictor=predictor)
+            np.testing.assert_array_equal(decode_lossless_jpeg(stream), img)
+        with pytest.raises(ValueError, match="predictor"):
+            encode_lossless_jpeg(img, predictor=8)
+
     def test_dicom_round_trip_jpeg_lossless(self, tmp_path):
         from torchio_tpu.io.dicom import (
             read_dicom_dir,

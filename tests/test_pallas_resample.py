@@ -112,3 +112,23 @@ def test_elastic_bounds(rng):
         )
     )
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_launch_matches_single(rng, monkeypatch):
+    """Grids above _MAX_TILES_PER_LAUNCH split into padded chunk
+    launches; forcing a tiny cap must not change any output voxel."""
+    import torchio_tpu.ops.pallas_resample as pr
+
+    vol, matrix, coords = make_case(rng)
+    expected = np.asarray(
+        pallas_resample(
+            jnp.asarray(vol), jnp.asarray(coords), matrix, interpret=True
+        )
+    )
+    monkeypatch.setattr(pr, "_MAX_TILES_PER_LAUNCH", 3)
+    got = np.asarray(
+        pallas_resample(
+            jnp.asarray(vol), jnp.asarray(coords), matrix, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, expected)

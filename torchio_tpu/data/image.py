@@ -103,8 +103,11 @@ class Image(Invertible):
 
         if source is None:
             pass
-        elif isinstance(source, (np.ndarray, jax.Array, list, tuple)) or hasattr(
-            source, "detach"
+        elif isinstance(source, (np.ndarray, jax.Array, list, tuple)) or (
+            # torch tensors expose .detach(); so do buffered file
+            # objects (io.BufferedReader.detach) — those must route to
+            # the file-like branch below
+            hasattr(source, "detach") and not hasattr(source, "read")
         ):
             if isinstance(source, jax.Array):
                 # keep device arrays on device; backend views are lazy

@@ -219,9 +219,17 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
 
         def push_subject(subject: Subject, staged: dict[str, Any]) -> int:
             nonlocal cursor, filled
-            locations = self.patch_sampler.sample_locations(
-                subject, self.patches_per_volume
-            )
+            try:
+                locations = self.patch_sampler.sample_locations(
+                    subject, self.patches_per_volume
+                )
+            except NotImplementedError:
+                raise ValueError(
+                    "device_batches needs a sampler that can produce"
+                    " corner locations (sample_locations); "
+                    f"{type(self.patch_sampler).__name__} only supports"
+                    " host iteration — use the SubjectsLoader path"
+                ) from None
             if not locations:
                 return 0
             # keep voxel ring and metadata ring in lockstep: the buffer
@@ -378,8 +386,8 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
     @property
     def max_memory_pretty(self) -> str:
         size = float(self.max_memory)
-        for unit in ("B", "KiB", "MiB", "GiB", "TiB"):
-            if size < 1024 or unit == "TiB":
+        for unit in ("B", "KiB", "MiB", "GiB"):
+            if size < 1024:
                 return f"{size:.1f} {unit}"
             size /= 1024
         return f"{size:.1f} TiB"

@@ -86,15 +86,15 @@ class ImageDataBackend(Protocol):
 
     @property
     def shape(self) -> tuple[int, int, int, int]:  # (C, I, J, K)
-        ...
+        ...  # pragma: no cover - protocol stub
 
     @property
     def affine(self) -> np.ndarray:  # float64 (4, 4)
-        ...
+        ...  # pragma: no cover - protocol stub
 
     @property
     def dtype(self) -> np.dtype:  # on-disk dtype
-        ...
+        ...  # pragma: no cover - protocol stub
 
     def __getitem__(self, slices: Type4Slices) -> np.ndarray: ...
 

@@ -286,14 +286,19 @@ def encode_lossless_jpeg(
     image: np.ndarray,
     precision: int | None = None,
     restart_interval: int = 0,
+    predictor: int = 1,
 ) -> bytes:
-    """Encode a 2D uint8/uint16 array as JPEG lossless, predictor 1.
+    """Encode a 2D uint8/uint16 array as JPEG lossless (process 14).
 
-    ``restart_interval`` emits a DRI segment and RSTn markers every that
-    many samples (used to test the decoder's restart path; DICOM writers
-    leave it 0).
+    ``predictor`` selects the T.81 H.1.2.1 prediction mode (1-7; DICOM
+    transfer syntax 1.2.840.10008.1.2.4.70 pins selection value 1,
+    which stays the default). ``restart_interval`` emits a DRI segment
+    and RSTn markers every that many samples (used to test the
+    decoder's restart path; DICOM writers leave it 0).
     """
     image = np.asarray(image)
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
     if precision is None:
         precision = 16 if image.dtype.itemsize == 2 else 8
     height, width = image.shape
@@ -339,10 +344,23 @@ def encode_lossless_jpeg(
             )
             if fresh:
                 pred = default
-            elif c == 0:
-                pred = int(image[r - 1, 0])
-            else:
+            elif r == 0:
                 pred = int(image[r, c - 1])
+            elif c == 0:
+                pred = int(image[r - 1, c])
+            else:
+                a = int(image[r, c - 1])
+                b = int(image[r - 1, c])
+                cc = int(image[r - 1, c - 1])
+                pred = {
+                    1: a,
+                    2: b,
+                    3: cc,
+                    4: a + b - cc,
+                    5: a + ((b - cc) >> 1),
+                    6: b + ((a - cc) >> 1),
+                    7: (a + b) >> 1,
+                }[predictor]
             count += 1
             diff = (int(image[r, c]) - pred) & 0xFFFF
             if diff >= 32768:
@@ -362,7 +380,8 @@ def encode_lossless_jpeg(
 
     sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([0x00, 0x11, 0x00])
     dht_payload = bytes([0x00]) + bytes(bits) + bytes(dht_values)
-    sos = bytes([1, 0x00, 0x00, 1, 0, 0])  # 1 comp, table 0; Ss=1 Se=0 AhAl=0
+    # 1 component, table 0; Ss carries the predictor selection value
+    sos = bytes([1, 0x00, 0x00, predictor, 0, 0])
     dri = (
         seg(DRI, struct.pack(">H", restart_interval))
         if restart_interval

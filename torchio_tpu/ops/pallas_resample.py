@@ -34,6 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = (8, 8, 128)
 
+# Mosaic's scalar-prefetch SMEM footprint scales with grid steps; big
+# grids split into back-to-back launches of at most this many tiles
+# (module-level so tests can exercise the chunked path on tiny inputs).
+_MAX_TILES_PER_LAUNCH = 512
+
 
 def _roundup(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -268,7 +273,7 @@ def resample_tiles(
 
     # Mosaic's SMEM footprint grows with the grid extent; cap tiles per
     # launch (chunks pipeline back-to-back, compile caches per size).
-    max_tiles = 512
+    max_tiles = _MAX_TILES_PER_LAUNCH
     if nt <= max_tiles:
         out_tiled = launch(ci, cj, ck, bases, nt)
     else:
