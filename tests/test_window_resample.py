@@ -647,8 +647,104 @@ class TestQuadraticMode:
     def test_bad_order_raises(self):
         from torchio_tpu.ops.window_resample import cubic_resample_fused
 
-        with pytest.raises(ValueError, match="orders 2-3"):
+        with pytest.raises(ValueError, match="orders 2-7"):
             cubic_resample_fused(
                 np.zeros((1, 1, 8, 8, 8), np.float32),
-                [np.eye(4)], [None], 0.0, padi=6, padj=8, order=5,
+                [np.eye(4)], [None], 0.0, padi=6, padj=8, order=8,
             )
+
+
+class TestHighOrderSplineModes:
+    """Orders 4-7 in the windowed kernel vs the ops.bspline oracle
+    (the reference serves 2-7 via interpol.grid_pull in its hot path,
+    /root/reference/src/torchio/transforms/spatial/spatial.py:1746-1761)."""
+
+    def _run_pair(self, data, matrices, cps, fill, order):
+        from torchio_tpu.ops.bspline import bspline_resample
+        from torchio_tpu.ops.window_resample import (
+            cubic_resample_fused,
+            cubic_window_eligible,
+        )
+
+        spatial = data.shape[2:]
+        pads = cubic_window_eligible(
+            data.shape, spatial, matrices, cps,
+            data=jnp.asarray(data), order=order,
+        )
+        assert pads is not None
+        out = cubic_resample_fused(
+            data, matrices, cps, fill,
+            padi=pads[0], padj=pads[1], order=order,
+        )
+        ref = bspline_resample(
+            data, TestCubicMode._dense_coords(matrices, cps, spatial),
+            order=order, fill=fill,
+        )
+        return np.asarray(out), np.asarray(ref)
+
+    @pytest.mark.parametrize("order", [4, 5, 6, 7])
+    def test_matches_oracle_elastic(self, order):
+        rng = np.random.default_rng(10 + order)
+        data = rng.random((1, 1, 14, 18, 16), np.float32)
+        cps = [rng.uniform(-1.5, 1.5, (3, 4, 3, 3))]
+        out, ref = self._run_pair(data, [np.eye(4)], cps, 0.25, order)
+        np.testing.assert_allclose(out, ref, atol=5e-5)
+
+    @pytest.mark.parametrize("order", [4, 7])
+    def test_matches_oracle_affine_rotation(self, order):
+        rng = np.random.default_rng(20 + order)
+        data = rng.random((2, 1, 13, 17, 15), np.float32)
+        th = 0.05
+        m = np.eye(4)
+        m[0, 0] = m[1, 1] = np.cos(th)
+        m[0, 1] = -np.sin(th)
+        m[1, 0] = np.sin(th)
+        m[0, 3] = 0.6
+        out, ref = self._run_pair(data, [m, np.eye(4)], [None, None], 0.0, order)
+        np.testing.assert_allclose(out, ref, atol=5e-5)
+
+    @pytest.mark.parametrize("order", [4, 6])
+    def test_identity_reproduces_input(self, order):
+        rng = np.random.default_rng(30 + order)
+        data = rng.random((1, 1, 12, 14, 12), np.float32)
+        out, _ = self._run_pair(data, [np.eye(4)], [None], 0.0, order)
+        np.testing.assert_allclose(out[0, 0], data[0, 0], atol=5e-5)
+
+    def test_tiny_axis_not_eligible_for_wide_taps(self):
+        from torchio_tpu.ops.window_resample import cubic_window_eligible
+
+        shape = (1, 1, 6, 16, 16)
+        assert (
+            cubic_window_eligible(
+                shape, (6, 16, 16), [np.eye(4)], [None], order=7
+            )
+            is None
+        )
+
+    def test_public_transform_rides_kernel(self, monkeypatch, rng):
+        """tio.ElasticDeformation at order 5 dispatches to the windowed
+        spline kernel (spied), matching the gather-path output."""
+        import torchio_tpu as tio
+        import torchio_tpu.ops.window_resample as wr
+
+        calls = []
+        orig = wr.cubic_resample_fused
+
+        def spy(*args, **kwargs):
+            calls.append(kwargs.get("order"))
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(wr, "cubic_resample_fused", spy)
+        monkeypatch.setattr(
+            "torchio_tpu.transforms.spatial.spatial.cubic_resample_fused",
+            spy,
+            raising=False,
+        )
+        data = rng.random((1, 20, 20, 20)).astype(np.float32)
+        subject = tio.Subject(t1=tio.ScalarImage(jnp.asarray(data)))
+        tio.seed(5)
+        out = tio.ElasticDeformation(
+            max_displacement=2.0, image_interpolation="fifth"
+        )(subject)
+        assert calls and calls[0] == 5
+        assert np.asarray(out.t1.data).shape == (1, 20, 20, 20)

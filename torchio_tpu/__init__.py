@@ -10,9 +10,12 @@ __version__ = "0.1.0"
 
 import os as _os
 
-# XLA compiles of 256^3-scale kernels take minutes on slow hosts; the
-# persistent compilation cache amortizes them across processes.
-if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+def _setup_compilation_cache() -> None:
+    """XLA compiles of 256^3-scale kernels take minutes on slow hosts;
+    the persistent compilation cache amortizes them across processes.
+    JAX_COMPILATION_CACHE_DIR in the environment takes precedence."""
+    if "JAX_COMPILATION_CACHE_DIR" in _os.environ:
+        return
     try:
         import jax as _jax
 
@@ -24,6 +27,9 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
+
+
+_setup_compilation_cache()
 
 from . import datasets, profiling, random  # noqa: A004  (random named like stdlib on purpose, like torch)
 from . import external, types

@@ -170,6 +170,20 @@ def _fold_mirror(x, n: int):
     return jnp.where(y > n - 1, period - y, y)
 
 
+#: static kernel-mode strings for the spline orders the windowed kernel
+#: serves (the reference reaches 2-7 via interpol.grid_pull,
+#: /root/reference/src/torchio/transforms/spatial/spatial.py:1746-1761)
+_MODE_TO_SPLINE = {
+    "quadratic": 2,
+    "cubic": 3,
+    "spline4": 4,
+    "spline5": 5,
+    "spline6": 6,
+    "spline7": 7,
+}
+_SPLINE_TO_MODE = {v: k for k, v in _MODE_TO_SPLINE.items()}
+
+
 def _reflect_idx(idx, n: int):
     """Mirror (dct1) reflection of an INTEGER tap index: -1 -> 1,
     n -> n-2. Taps of a folded coordinate lie in [-1, n+1], so one
@@ -208,18 +222,32 @@ def _b2_weights(t):
 
 def _spline_taps(c, n: int, order: int):
     """Folded-coordinate B-spline taps: ``order + 1`` reflected integer
-    indices (each in [0, n-1]) and their basis weights."""
+    indices (each in [0, n-1]) and their basis weights.
+
+    Tap base matches :func:`..bspline._sample_element`: even orders
+    center on ``floor(x + 0.5)``, odd orders on ``floor(x)``; the
+    (order + 1) taps start ``order // 2`` below the base. Orders 2-3
+    use closed-form weights; 4-7 evaluate the Cox-de Boor recursion
+    (pure elementwise jnp — Mosaic-safe on (sublane, lane) tiles)."""
     cf = _fold_mirror(c, n)
-    if order == 2:
-        start = jnp.floor(cf + 0.5) - 1.0
-        t = cf - start
-        start = start.astype(jnp.int32)
-        offs = (0, 1, 2)
-        weights = _b2_weights(t)
+    if order % 2 == 0:
+        base = jnp.floor(cf + 0.5)
     else:
-        start = jnp.floor(cf).astype(jnp.int32)
-        offs = (-1, 0, 1, 2)
-        weights = _b3_weights(cf - jnp.floor(cf))
+        base = jnp.floor(cf)
+    start_f = base - float(order // 2)
+    t = cf - start_f
+    start = start_f.astype(jnp.int32)
+    offs = tuple(range(order + 1))
+    if order == 2:
+        weights = _b2_weights(t)
+    elif order == 3:
+        weights = _b3_weights(t - 1.0)
+    else:
+        from .bspline import _bspline_kernel
+
+        weights = tuple(
+            _bspline_kernel(t - float(o), order) for o in offs
+        )
     # clip after reflection: the outermost tap can land one past the
     # single-reflection range exactly where its weight is zero (e.g.
     # cubic tap floor+2 at cf == n-1) — the clamp keeps the gather
@@ -301,7 +329,7 @@ def _kernel(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, vol_ref, out_ref,
     """One (TI, TJ, 128) output tile; see module docstring."""
     I, J, K = spatial
     corners = mode == "corners"
-    spline_order = {"quadratic": 2, "cubic": 3}.get(mode)
+    spline_order = _MODE_TO_SPLINE.get(mode)
     cubic = spline_order is not None
     b = pl.program_id(0)
     ti = pl.program_id(1)
@@ -703,7 +731,7 @@ def _window_resample_spline(
     data, matrices, control_points, fill, *,
     spatial, padi, padj, has_cp, order,
 ):
-    """(B, C, I, J, K) B-spline (order 2-3) bounded-offset resample:
+    """(B, C, I, J, K) B-spline (order 2-7) bounded-offset resample:
     the IIR prefilter (ops.bspline.prefilter) and the (order+1)-tap
     windowed evaluation run in ONE program. Boundary model: mirror
     (dct1), identical to :func:`..bspline.bspline_resample`;
@@ -731,7 +759,7 @@ def _window_resample_spline(
         out = _pallas_window(
             bounds, fill[:, c], vol[:, c], ci, cj, ck,
             padi=padi, padj=padj, spatial=spatial,
-            mode="quadratic" if order == 2 else "cubic",
+            mode=_SPLINE_TO_MODE[order],
             apply_fill=True,
         )
         outs.append(out[:, :I, :J, :K])
@@ -746,7 +774,7 @@ MAX_BOUND_CUBIC = 32
 
 def cubic_window_eligible(data_shape, out_spatial, matrices,
                           control_points, data=None, order: int = 3):
-    """Dispatch decision for the spline (order 2-3) windowed kernel:
+    """Dispatch decision for the spline (order 2-7) windowed kernel:
     (padi, padj) paddings, or None. Unlike the linear kernel,
     affine-only maps are accepted too — there is no faster high-order
     path to defer to."""
@@ -756,18 +784,27 @@ def cubic_window_eligible(data_shape, out_spatial, matrices,
         return None
     if not _tpu_dispatch(data):
         return None
+    if order not in _SPLINE_TO_MODE:
+        return None
     b, c, I, J, K = data_shape
     if tuple(out_spatial) != (I, J, K):
         return None
     if K > 128 or min(I, J, K) < 2:
         return None
+    if order >= 4 and min(I, J, K) < order + 2:
+        # wide taps need axes long enough that one mirror reflection
+        # pass covers every tap index (the kernel's _reflect_idx does
+        # not fold modularly)
+        return None
     bounds = window_bounds(matrices, control_points, (I, J, K))
     if bounds is None:
         return None
     # worst case |fold(x) - out|: the overhang e <= dev reflects to
-    # 2e inside, on top of the in-range deviation -> 3*dev; +2 taps
-    bci = 3 * bounds[0] + 2
-    bcj = 3 * bounds[1] + 2
+    # 2e inside, on top of the in-range deviation -> 3*dev; plus the
+    # tap reach past the base (order // 2 + 1)
+    reach = order // 2 + 1
+    bci = 3 * bounds[0] + reach
+    bcj = 3 * bounds[1] + reach
     if bci > MAX_BOUND_CUBIC or bcj > MAX_BOUND_CUBIC:
         return None
     key = ("spline", order, tuple(data_shape), tuple(out_spatial))
@@ -779,13 +816,13 @@ def cubic_window_eligible(data_shape, out_spatial, matrices,
 
 def cubic_resample_fused(data, matrices, control_points, fill,
                          *, padi, padj, order: int = 3):
-    """Batched bounded-offset B-spline resample (order 2 or 3).
+    """Batched bounded-offset B-spline resample (orders 2-7).
 
     Same contract as :func:`window_resample_fused`; parity oracle is
     :func:`torchio_tpu.ops.bspline.bspline_resample` at the same order.
     """
-    if order not in (2, 3):
-        raise ValueError(f"spline kernel supports orders 2-3, got {order}")
+    if order not in _SPLINE_TO_MODE:
+        raise ValueError(f"spline kernel supports orders 2-7, got {order}")
     data = jnp.asarray(data)
     B, C, I, J, K = data.shape
     m, cps, has_cp = _marshal_maps(matrices, control_points)

@@ -506,8 +506,8 @@ def _dispatch_resample(data, grid, plans, *, mode: str, fill, sharding=None):
     if order >= 2:
         from ...ops.bspline import bspline_resample
 
-        if order in (2, 3) and _is_lazy_grid(grid) and sharding is None:
-            # quadratic/cubic B-spline with bounded offsets rides the
+        if 2 <= order <= 7 and _is_lazy_grid(grid) and sharding is None:
+            # B-spline orders 2-7 with bounded offsets ride the
             # windowed Pallas kernel (prefilter + (order+1)-tap
             # evaluation in one program) instead of the gather-bound
             # bspline path
