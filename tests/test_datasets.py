@@ -270,6 +270,14 @@ class TestFPG:
         assert subject.t1.rigid_matrix.shape == (4, 4)
         assert subject.t1.affine_matrix.shape == (4, 4)
         assert any("t1_to_mni.tfm" in u for u in urls)
+        # seg carries the GIF parcellation palette and plot() uses it
+        assert subject.seg.color_map is datasets.FPG.GIF_COLORS
+        assert len(datasets.FPG.GIF_COLORS) == 161
+        assert datasets.FPG.GIF_COLORS[5] == (127, 255, 212)
+        assert datasets.FPG.GIF_COLORS[208] == (0, 0, 128)
+        fig = subject.plot(show=False, output_path=tmp_path / "fpg.png")
+        seg_shown = np.asarray(fig.axes[3].images[0].get_array())
+        assert seg_shown.ndim == 3 and seg_shown.shape[-1] == 3
 
 
 class TestPediatricAndSheep:

@@ -107,6 +107,51 @@ class TestVisualization:
         out = img.to_gif(tmp_path / "x.gif")
         assert out.stat().st_size > 0
 
+    def test_label_color_table_dict_cmap(self, rng, tmp_path):
+        # cmap as {label: rgb} colorizes the slices to RGB uint8
+        from torchio_tpu.visualization import plot_image
+
+        seg = tio.LabelMap(rng.integers(0, 3, (1, 8, 9, 10)).astype(np.int32))
+        fig = plot_image(
+            seg,
+            cmap={1: (10, 20, 30), 2: (200, 100, 0)},
+            show=False,
+            output_path=tmp_path / "c.png",
+        )
+        shown = np.asarray(fig.axes[0].images[0].get_array())
+        assert shown.ndim == 3 and shown.shape[-1] == 3
+        assert set(map(tuple, shown.reshape(-1, 3))) <= {
+            (0, 0, 0),
+            (10, 20, 30),
+            (200, 100, 0),
+        }
+
+    def test_image_carried_color_map_auto_used(self, rng, tmp_path):
+        # a LabelMap constructed with color_map= colorizes itself
+        seg = tio.LabelMap(
+            rng.integers(0, 2, (1, 6, 6, 6)).astype(np.int32),
+            color_map={0: (0, 0, 0), 1: (255, 0, 0)},
+        )
+        fig = seg.plot(show=False, output_path=tmp_path / "cm.png")
+        shown = np.asarray(fig.axes[0].images[0].get_array())
+        assert shown.ndim == 3
+        # explicit string cmap overrides the carried table
+        fig2 = seg.plot(cmap="viridis", show=False, output_path=tmp_path / "v.png")
+        assert np.asarray(fig2.axes[0].images[0].get_array()).ndim == 2
+
+    def test_subject_cmap_dict_color_table(self, rng, tmp_path):
+        sub = tio.Subject(
+            t1=tio.ScalarImage(rng.normal(size=(1, 8, 8, 8)).astype(np.float32)),
+            seg=tio.LabelMap(rng.integers(0, 2, size=(1, 8, 8, 8)).astype(np.int32)),
+        )
+        fig = sub.plot(
+            cmap_dict={"seg": {1: (1, 2, 3)}},
+            show=False,
+            output_path=tmp_path / "sub.png",
+        )
+        seg_shown = np.asarray(fig.axes[3].images[0].get_array())
+        assert seg_shown.ndim == 3 and seg_shown.shape[-1] == 3
+
     def test_crosshair_ticks_and_conventions(self, rng, tmp_path):
         # reference-parity features: crosshair intersections, mm/voxel
         # tick labels, radiological vs neurological convention

@@ -104,6 +104,20 @@ def _label_cmap(num_labels: int):
         return ListedColormap(colors)
 
 
+def _colorize_labels(plane: np.ndarray, color_map: dict) -> np.ndarray:
+    """Label slice -> RGB uint8 via one LUT gather (reference colorizes
+    with a per-label boolean loop, ``visualization.py:252-264``; a LUT
+    index is equivalent and O(pixels)). Labels absent from the map
+    render black."""
+    labels = np.rint(plane).astype(np.int64)
+    lut = np.zeros((max(int(labels.max()), max(color_map, default=0)) + 1, 3),
+                   dtype=np.uint8)
+    for label, rgb in color_map.items():
+        if 0 <= int(label) < lut.shape[0]:
+            lut[int(label)] = rgb
+    return lut[np.clip(labels, 0, lut.shape[0] - 1)]
+
+
 #: (display-x data axis, display-y data axis) per plane after the
 #: np.rot90 used for display; data axes are RAS indices 0=R, 1=A, 2=S.
 _PLANE_AXES = {"Sagittal": (1, 2), "Coronal": (0, 2), "Axial": (0, 1)}
@@ -191,7 +205,7 @@ def plot_image(
     indices=None,
     coordinates=None,
     channel: int = 0,
-    cmap: str | None = None,
+    cmap: str | dict | None = None,
     output_path: str | Path | None = None,
     show: bool = True,
     title: str | None = None,
@@ -217,6 +231,11 @@ def plot_image(
             exclusive with ``indices``; ``None`` components keep the
             mid-volume slice).
         channel: which image channel to display.
+        cmap: a matplotlib colormap name, or a ``{label: (r, g, b)}``
+            dict that colorizes a label map to RGB (the reference's
+            color-table plotting, ``visualization.py:190-264``). When
+            omitted, a label image carrying a ``color_map`` dict (e.g.
+            :class:`datasets.FPG`'s GIF palette) colorizes itself.
         radiological: show the patient's left on the image right
             (coronal/axial panes flipped; ``False`` = neurological).
         units: tick labels in ``"mm"`` (world coordinates), ``"voxel"``,
@@ -257,7 +276,17 @@ def plot_image(
         spacing[2] / spacing[0],
         spacing[1] / spacing[0],
     )
-    if is_label:
+    color_map = None
+    if isinstance(cmap, dict):
+        color_map = cmap
+    elif cmap is None and isinstance(getattr(image, "color_map", None), dict):
+        # e.g. datasets.FPG carries the GIF parcellation palette
+        # (reference ``visualization.py:190-210``)
+        color_map = image.color_map
+    if color_map is not None:
+        sag, cor, axi = (_colorize_labels(p, color_map) for p in (sag, cor, axi))
+        kwargs = {"interpolation": "none"}
+    elif is_label:
         num = int(data.max())
         kwargs = {
             "cmap": _label_cmap(num),
@@ -326,7 +355,9 @@ def plot_subject(
     image (the reference's linked-crosshair subject grid,
     ``visualization.py:556-691``; ``intersections`` uses the 3D Slicer
     per-view colors). ``cmap_dict`` overrides the colormap per image
-    name. Up to 3 images get a row each, with column widths
+    name; a ``{label: (r, g, b)}`` dict value colorizes that label map
+    with its color table (e.g. ``cmap_dict={"seg": FPG.GIF_COLORS}``).
+    Up to 3 images get a row each, with column widths
     proportional to the first image's physical extents
     (``visualization.py:692-727``); more than 3 images transpose the
     grid to one COLUMN per image so wide subjects stay readable.
