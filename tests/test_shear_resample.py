@@ -265,6 +265,37 @@ class TestEligibility:
 
 
 class TestStaticRatchet:
+    def test_concurrent_ratchet_never_loses_a_max(self):
+        # concurrent pipelines (loader worker threads) race on the
+        # process-level high-water marks; an interleaved
+        # read-modify-write must not regress a component
+        import threading
+
+        from torchio_tpu.ops.window_resample import (
+            _STATIC_RATCHET,
+            ratchet_statics,
+            reset_static_ratchet,
+        )
+
+        reset_static_ratchet()
+        try:
+            n = 500
+
+            def worker(tid):
+                for i in range(n):
+                    ratchet_statics(("race",), (i, n - i, tid))
+
+            threads = [
+                threading.Thread(target=worker, args=(t,)) for t in range(8)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert _STATIC_RATCHET[("race",)] == (n - 1, n, 7)
+        finally:
+            reset_static_ratchet()
+
     def test_plans_in_one_range_share_one_static_tuple(self):
         from torchio_tpu.ops.window_resample import reset_static_ratchet
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +53,13 @@ TJ = 8
 MAX_BOUND = 24
 
 #: process-level high-water marks for shape statics (see
-#: :func:`ratchet_statics`) keyed by (kernel, shape...) tuples
+#: :func:`ratchet_statics`) keyed by (kernel, shape...) tuples.
+#: Guarded by a lock: concurrent pipelines (e.g. SubjectsLoader worker
+#: threads) must not lose a componentwise max to an interleaved
+#: read-modify-write, which would resurrect the per-draw recompiles
+#: the ratchet exists to prevent.
 _STATIC_RATCHET: dict = {}
+_RATCHET_LOCK = threading.Lock()
 
 
 def _bucket(x: int, levels: tuple, headroom: int = 0) -> int:
@@ -89,16 +95,18 @@ def ratchet_statics(key, needed):
     boundaries; the componentwise running maximum makes the statics
     converge after the first few draws, at a small slack-DMA cost.
     """
-    cur = _STATIC_RATCHET.get(key)
-    if cur is not None:
-        needed = tuple(max(a, b) for a, b in zip(cur, needed))
-    _STATIC_RATCHET[key] = needed
+    with _RATCHET_LOCK:
+        cur = _STATIC_RATCHET.get(key)
+        if cur is not None:
+            needed = tuple(max(a, b) for a, b in zip(cur, needed))
+        _STATIC_RATCHET[key] = needed
     return needed
 
 
 def reset_static_ratchet() -> None:
     """Forget the high-water marks (tests)."""
-    _STATIC_RATCHET.clear()
+    with _RATCHET_LOCK:
+        _STATIC_RATCHET.clear()
 
 
 def _use_interpret() -> bool:
