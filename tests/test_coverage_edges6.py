@@ -336,3 +336,23 @@ class TestCompilationCacheBootstrap:
         import jax
 
         assert jax.config.jax_compilation_cache_dir is not None
+
+
+class TestOptionalImportGetters:
+    def test_every_getter_resolves_or_hints(self):
+        # each convenience getter either returns the module or raises
+        # the hint-bearing ImportError (external/imports.py)
+        from torchio_tpu.external import imports as ext
+
+        for getter in (
+            ext.get_matplotlib,
+            ext.get_pil,
+            ext.get_zarr,
+            ext.get_monai,
+            ext.get_h5py,
+            ext.get_ipyniivue,
+        ):
+            try:
+                assert getter() is not None
+            except ImportError as e:
+                assert "Install it with" in str(e)

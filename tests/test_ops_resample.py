@@ -5,13 +5,14 @@ padding_mode="zeros")``; our jnp gather kernel must match it to well
 below the 1e-3 accuracy bar (BASELINE.md).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
 import torch.nn.functional as F
 
 from torchio_tpu.ops.gaussian import gaussian_blur, gaussian_blur_per_element, gaussian_kernel_1d
-from torchio_tpu.ops.resample import build_coords, resample, upsample_field
+from torchio_tpu.ops.resample import build_coords, resample, resample_fused, upsample_field
 
 
 def torch_grid_sample_oracle(data, coords, mode):
@@ -438,3 +439,61 @@ class TestPlaneDispatch:
         params = out.applied_transforms[-1].params
         replay = tio.Affine(degrees=(0.0, 0.0, 15.0), scales=1.0)
         assert params is not None
+
+
+class TestSingletonAxes:
+    """Size-1 spatial axes clamp their coordinates (align_corners
+    semantics) in every sampling path."""
+
+    def test_dense_grid_singleton_axes_identity(self):
+        rng = np.random.default_rng(3)
+        data = rng.random((1, 2, 1, 5, 1), np.float32)
+        io_, jo, ko = 1, 5, 1
+        ii, jj, kk = np.meshgrid(
+            np.arange(io_), np.arange(jo), np.arange(ko), indexing="ij"
+        )
+        coords = np.stack([ii, jj, kk], -1).astype(np.float32)[None]
+        out = resample(jnp.asarray(data), jnp.asarray(coords))
+        np.testing.assert_allclose(np.asarray(out), data, atol=1e-6)
+
+    def test_fused_singleton_axes_with_elastic(self):
+        rng = np.random.default_rng(4)
+        data = rng.random((2, 1, 1, 6, 1), np.float32)
+        cps = [rng.uniform(-0.5, 0.5, (3, 4, 3, 3)) for _ in range(2)]
+        out = resample_fused(
+            data, [np.eye(4)] * 2, cps, use_f16=False
+        )
+        assert np.asarray(out).shape == data.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_plane_rotation_with_singleton_in_plane_axis(self):
+        # single-plane rotation mixing axes (0, 1) while axis 0 is
+        # size 1: the plane kernel's in-plane singleton guards
+        rng = np.random.default_rng(5)
+        data = rng.random((1, 1, 1, 8, 8), np.float32)
+        ang = 0.3
+        m = np.eye(4)
+        m[0, 0] = m[1, 1] = np.cos(ang)
+        m[0, 1] = -np.sin(ang)
+        m[1, 0] = np.sin(ang)
+        out = resample_fused(data, [m], [None], use_f16=False)
+        assert np.asarray(out).shape == data.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_device_fill_1d_reshapes(self):
+        rng = np.random.default_rng(6)
+        data = rng.random((2, 1, 4, 4, 4), np.float32)
+        m = np.eye(4)
+        m[:3, 3] = 10.0  # everything lands out of bounds
+        fill = jnp.asarray([7.0, 9.0], jnp.float32)  # (B,) device array
+        out = np.asarray(
+            resample_fused(data, [m] * 2, [None] * 2, fill=fill, use_f16=False)
+        )
+        assert np.isfinite(out).all()
+
+    def test_upsample_volume_singleton_output_axis(self):
+        from torchio_tpu.ops.resample import upsample_volume
+
+        x = jnp.asarray(np.random.default_rng(7).random((2, 5, 6, 7), np.float32))
+        out = upsample_volume(x, (1, 3, 1))
+        assert out.shape == (2, 1, 3, 1)

@@ -267,3 +267,29 @@ class TestPointsConversionEdges:
         ijk = pts.to_axes("IJK")
         # LPI -> RAS flips all three signs; identity affine -> voxel == world
         np.testing.assert_allclose(ijk.data, [[-1.0, -2.0, -3.0]], atol=1e-6)
+
+
+def test_bbox_permuted_voxel_axes_world_round_trip():
+    # non-IJK voxel axes through a world convention that differs from
+    # the affine's orientation, and back (bboxes.py conversion branches)
+    import numpy as np
+
+    from torchio_tpu.data.bboxes import BoundingBoxes, BoundingBoxFormat
+
+    affine = np.diag([2.0, 3.0, 4.0, 1.0])
+    affine[:3, 3] = (10.0, -5.0, 7.0)
+    boxes = BoundingBoxes(
+        [[0.0, 1.0, 2.0, 5.0, 6.0, 7.0]],
+        format=BoundingBoxFormat("KJI"),
+        affine=affine,
+    )
+    assert boxes.affine.data.shape == (4, 4)
+    world = boxes.to_format(BoundingBoxFormat("LPS"))
+    # K-first corners map through the affine: voxel (2, 1, 0) -> RAS
+    # (14, -2, 15) -> LPS mins/maxes
+    ras_lo = affine @ np.array([2.0, 1.0, 0.0, 1.0])
+    ras_hi = affine @ np.array([7.0, 6.0, 5.0, 1.0])
+    lo = np.minimum(-ras_lo[:2], -ras_hi[:2])
+    np.testing.assert_allclose(world.data[0, :2], lo)
+    back = world.to_format(BoundingBoxFormat("KJI"))
+    np.testing.assert_allclose(back.data, boxes.data, atol=1e-5)
