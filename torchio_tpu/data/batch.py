@@ -234,7 +234,13 @@ class SubjectsBatch(Invertible):
 
     @property
     def batch_size(self) -> int:
-        return next(iter(self._images.values())).batch_size
+        if self._images:
+            return next(iter(self._images.values())).batch_size
+        # imageless subjects (metadata-only) still batch and transform
+        # (as no-ops); infer the element count from any metadata list
+        for values in self._metadata.values():
+            return len(values)
+        raise ValueError("Batch has no images or metadata")
 
     @property
     def images(self) -> dict[str, ImagesBatch]:
