@@ -240,3 +240,17 @@ class TestMonaiAdapter:
 
     def test_not_invertible(self):
         assert tio.MonaiAdapter(lambda t: t).invertible is False
+
+
+class TestMonaiImageless:
+    def test_dict_transform_skips_imageless_subject(self, monai_stub):
+        # an imageless (metadata-only) subject passes through the dict
+        # path untouched (monai_adapter imageless-continue branch)
+        class Identity(_MapTransform):
+            def __call__(self, data):
+                return data
+
+        subject = tio.Subject(label=3)
+        result = tio.MonaiAdapter(Identity())(subject)
+        assert result.label == 3
+        assert not result.images

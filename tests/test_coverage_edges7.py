@@ -116,3 +116,33 @@ class TestMultiChannelIntegerLabels:
         )
         out = tio.Resample(target=2.0)(seg)
         assert np.asarray(out.data).shape[0] == 2
+
+    def test_antialiased_downsample_multichannel_int(self, rng):
+        # the one-hot path smooths channels before sampling and returns
+        # the integer dtype unchanged (spatial.py multi-channel branch)
+        seg = tio.LabelMap(
+            rng.integers(0, 2, (2, 8, 8, 8)).astype(np.int32)
+        )
+        out = tio.Resample(target=2.0, antialias=True)(seg)
+        arr = np.asarray(out.data)
+        assert arr.shape[0] == 2
+        assert arr.dtype == np.int32
+
+
+class TestGridBuilderDefaults:
+    def test_build_grid_infers_max_displacement(self, rng):
+        from torchio_tpu.core.affine import AffineMatrix
+        from torchio_tpu.transforms.spatial.spatial import _build_grid
+
+        cp = rng.uniform(-0.5, 0.5, (3, 3, 3, 3))
+        grid, plan = _build_grid(
+            input_shape=(8, 8, 8),
+            input_affine=AffineMatrix(np.eye(4)),
+            output_shape=(8, 8, 8),
+            output_affine=AffineMatrix(np.eye(4)),
+            affine_matrix=np.eye(4),
+            control_points=cp,
+            max_displacement=None,
+            affine_first=True,
+        )
+        assert grid.control_points is not None
