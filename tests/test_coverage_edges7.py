@@ -146,3 +146,30 @@ class TestGridBuilderDefaults:
             affine_first=True,
         )
         assert grid.control_points is not None
+
+
+class TestHelperBranches:
+    def test_reflect_index_mirrors(self):
+        from torchio_tpu.ops.bspline import _reflect_index
+
+        idx = jnp.asarray([-3, -1, 0, 4, 5, 9])
+        out = np.asarray(_reflect_index(idx, 5))
+        # period 8: -1 -> 1, 5 -> 3, 9 -> |9| mod 8 = 1
+        np.testing.assert_array_equal(out, [3, 1, 0, 4, 3, 1])
+        np.testing.assert_array_equal(
+            np.asarray(_reflect_index(jnp.asarray([2, -7]), 1)), [0, 0]
+        )
+
+    def test_nifti_disk_to_cijk_odd_ranks(self):
+        from torchio_tpu.io.nifti import _disk_to_cijk
+
+        header = None  # unused by the rank logic
+        five_d = np.zeros((4, 5, 6, 1, 3))
+        out = _disk_to_cijk(five_d, header)
+        assert out.shape == (3, 4, 5, 6)
+        two_d = np.zeros((7, 9))
+        assert _disk_to_cijk(two_d, header).shape == (1, 7, 9, 1)
+        one_d = np.zeros((7,))
+        assert _disk_to_cijk(one_d, header).shape == (1, 7, 1, 1)
+        with pytest.raises(ValueError, match="ndim"):
+            _disk_to_cijk(np.zeros(()), header)

@@ -132,3 +132,33 @@ def test_chunked_launch_matches_single(rng, monkeypatch):
         )
     )
     np.testing.assert_array_equal(got, expected)
+
+
+def test_chunked_launch_with_padded_tail(rng, monkeypatch):
+    # force multi-launch chunking with a ragged tail so the pad-to-
+    # bucket branch runs (pallas_resample tail-chunk padding)
+    import torchio_tpu.ops.pallas_resample as mod
+
+    monkeypatch.setattr(mod, "_MAX_TILES_PER_LAUNCH", 4)
+    vol, matrix, coords = make_case(rng)
+    expected = np.asarray(resample(vol[None], coords, mode="linear", fill=0.0))[0]
+    got = np.asarray(
+        pallas_resample(
+            jnp.asarray(vol), jnp.asarray(coords), matrix, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_matmul_dtype_and_auto_interpret(rng):
+    # matmul_dtype=bf16 exercises the DEFAULT-precision MXU branch;
+    # interpret=None auto-detects the CPU platform
+    vol, matrix, coords = make_case(rng, shape=(16, 16, 128))
+    expected = np.asarray(resample(vol[None], coords, mode="linear", fill=0.0))[0]
+    got = np.asarray(
+        pallas_resample(
+            jnp.asarray(vol), jnp.asarray(coords), matrix,
+            matmul_dtype=jnp.bfloat16, interpret=None,
+        )
+    )
+    np.testing.assert_allclose(got, expected, rtol=3e-2, atol=3e-2)
