@@ -216,6 +216,45 @@ class TestAggregator:
             np.asarray(dev), agg.get_output(), rtol=0, atol=0
         )
 
+    def test_crop_device_output_survives_donation(self, subject):
+        # crop mode has no normalize copy, so get_output(device=True)
+        # must hand back a fresh buffer: a later add_batch donates the
+        # internal one, which would otherwise delete the caller's array
+        sampler = tio.GridSampler(subject, patch_size=8)
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="crop")
+        batches = [
+            (np.asarray(p.t1.data)[None], [p.patch_location]) for p in sampler
+        ]
+        for data, locs in batches:
+            agg.add_batch(data, locs)
+        dev = agg.get_output(device=True)
+        for data, locs in batches:
+            agg.add_batch(data, locs)
+        np.testing.assert_allclose(
+            np.asarray(dev), np.asarray(subject.t1.data), rtol=1e-5
+        )
+
+    def test_uneven_flush_lengths_bucket(self, subject):
+        # distinct pending totals (odd splits, partial final batches)
+        # pad to bucketed scan lengths; results stay exact
+        sampler = tio.GridSampler(subject, patch_size=8, patch_overlap=4)
+        patches = list(sampler)
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="hann")
+        start = 0
+        for count in (1, 3, 5, len(patches)):
+            chunk = patches[start : start + count]
+            if not chunk:
+                break
+            agg.add_batch(
+                np.stack([np.asarray(p.t1.data) for p in chunk]),
+                [p.patch_location for p in chunk],
+            )
+            start += len(chunk)
+        out = agg.get_output()
+        np.testing.assert_allclose(
+            out, np.asarray(subject.t1.data), rtol=1e-3, atol=1e-4
+        )
+
     def test_multi_output_dict(self, subject):
         sampler = tio.GridSampler(subject, patch_size=8)
         agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="average")

@@ -126,6 +126,19 @@ class TestVisualization:
             (200, 100, 0),
         }
 
+    def test_colorize_huge_intensity_no_giant_lut(self):
+        # a corrupt/non-label plane carrying a huge value must not size
+        # the LUT from the data (multi-GB allocation); out-of-map labels
+        # render black, negatives included
+        from torchio_tpu.visualization import _colorize_labels
+
+        plane = np.array([[0.0, 1.0], [1e9, -3.0]], np.float32)
+        rgb = _colorize_labels(plane, {1: (10, 20, 30)})
+        assert rgb.shape == (2, 2, 3)
+        assert tuple(rgb[0, 1]) == (10, 20, 30)
+        assert tuple(rgb[1, 0]) == (0, 0, 0)
+        assert tuple(rgb[1, 1]) == (0, 0, 0)
+
     def test_image_carried_color_map_auto_used(self, rng, tmp_path):
         # a LabelMap constructed with color_map= colorizes itself
         seg = tio.LabelMap(

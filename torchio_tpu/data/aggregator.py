@@ -23,7 +23,7 @@ from .patch import PatchLocation
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _scatter_add_pair_kernel(out, cnt, patches, window, corners):
+def _scatter_add_pair_kernel(out, cnt, patches, window, corners, valid):
     """Scatter-add (B, C, p, p, p) patches at dynamic (B, 3) corners:
     weighted-patch and count scatters fused into ONE program.
 
@@ -38,23 +38,31 @@ def _scatter_add_pair_kernel(out, cnt, patches, window, corners):
     single dispatch — through a high-latency link (the tunneled
     backend) this is 3x fewer round trips than weighted-multiply +
     two scatter programs.
+
+    ``valid`` is a per-patch f32 multiplier: flushes pad the scan to a
+    bucketed length with zero-valid filler rows so the number of
+    distinct compiled lengths stays O(log N) rather than one per
+    distinct pending total (the filler contributes exactly zero to both
+    buffers).
     """
 
     def body(carry, xs):
         out, cnt = carry
-        patch, corner = xs
+        patch, corner, keep = xs
         start = (jnp.int32(0), corner[0], corner[1], corner[2])
         region = jax.lax.dynamic_slice(out, start, patch.shape)
         out = jax.lax.dynamic_update_slice(
-            out, region + patch * window, start
+            out, region + patch * (window * keep), start
         )
         regc = jax.lax.dynamic_slice(cnt, start, patch.shape)
         cnt = jax.lax.dynamic_update_slice(
-            cnt, regc + jnp.broadcast_to(window, patch.shape), start
+            cnt, regc + jnp.broadcast_to(window * keep, patch.shape), start
         )
         return (out, cnt), None
 
-    (out, cnt), _ = jax.lax.scan(body, (out, cnt), (patches, corners))
+    (out, cnt), _ = jax.lax.scan(
+        body, (out, cnt), (patches, corners, valid)
+    )
     return out, cnt
 
 
@@ -196,6 +204,12 @@ class PatchAggregator:
         output = self._outputs[resolved]
         if self.overlap_mode in ("average", "hann"):
             output = _normalize_kernel(output, self._counts[resolved])
+        elif device:
+            # crop mode has no normalize step, so ``output`` IS the
+            # internal buffer — a later add_batch donates it to
+            # _scatter_set_kernel, which would invalidate the array the
+            # caller holds; hand out a fresh device copy instead
+            output = output.copy()
         if device:
             return output
         return np.asarray(output)
@@ -221,12 +235,27 @@ class PatchAggregator:
                 tensor = jnp.concatenate([e[0] for e in entries])
                 window = entries[0][1]
                 corners = np.concatenate([e[2] for e in entries])
+            # pad the scan to the next power-of-two length with
+            # zero-valid filler rows at corner (0,0,0): varying pending
+            # totals (partial final batches, different grids) then share
+            # O(log N) compiled lengths instead of one executable each
+            n = tensor.shape[0]
+            padded = 1 << max(n - 1, 0).bit_length()
+            valid = np.zeros(padded, np.float32)
+            valid[:n] = 1.0
+            if padded > n:
+                pad_width = [(0, padded - n)] + [(0, 0)] * (tensor.ndim - 1)
+                tensor = jnp.pad(tensor, pad_width)
+                corners = np.concatenate(
+                    [corners, np.zeros((padded - n, 3), np.int32)]
+                )
             self._outputs[key], self._counts[key] = _scatter_add_pair_kernel(
                 self._outputs[key],
                 self._counts[key],
                 tensor,
                 window,
                 jnp.asarray(corners),
+                jnp.asarray(valid),
             )
 
     def _ensure_buffer(self, key: str, patch) -> None:
@@ -238,32 +267,29 @@ class PatchAggregator:
             self._counts[key] = jnp.zeros((c, *self.spatial_shape), jnp.float32)
 
     def _add_crop(self, key: str, patch, location: PatchLocation) -> None:
-        scaled_overlap = tuple(
-            round(o * s) for o, s in zip(self.patch_overlap, self._scale)
+        # trim = overlap/2 per axis, applied only at faces interior to
+        # the volume (patches flush with a volume boundary keep their
+        # full extent there so the assembly leaves no gap); vectorized
+        # over (3,) axis arrays instead of a per-axis loop
+        trim = (
+            np.rint(
+                np.asarray(self.patch_overlap, np.float64)
+                * np.asarray(self._scale, np.float64)
+            ).astype(np.int64)
+            // 2
         )
-        half = [o // 2 for o in scaled_overlap]
-        ini = list(location.index_ini)
-        fin = list(location.index_fin)
-        crop_ini = [0, 0, 0]
-        crop_fin = list(location.size)
-        for d in range(3):
-            if ini[d] > 0:
-                ini[d] += half[d]
-                crop_ini[d] += half[d]
-            if fin[d] < self.spatial_shape[d]:
-                fin[d] -= half[d]
-                crop_fin[d] -= half[d]
-        cropped = patch[
-            :,
-            crop_ini[0] : crop_fin[0],
-            crop_ini[1] : crop_fin[1],
-            crop_ini[2] : crop_fin[2],
-        ]
+        start = np.asarray(location.index_ini, np.int64)
+        stop = np.asarray(location.index_fin, np.int64)
+        lo_trim = np.where(start > 0, trim, 0)
+        hi_trim = np.where(stop < np.asarray(self.spatial_shape), trim, 0)
+        keep = tuple(
+            slice(int(lo), int(size - hi))
+            for lo, size, hi in zip(lo_trim, location.size, hi_trim)
+        )
+        cropped = patch[(slice(None), *keep)]
         # dynamic start, static cropped shape: one executable per
         # boundary-crop variant (<= 8) instead of one per location
-        corner = jnp.asarray(
-            np.asarray([ini], np.int32)
-        )
+        corner = jnp.asarray((start + lo_trim)[None].astype(np.int32))
         self._outputs[key] = _scatter_set_kernel(
             self._outputs[key], cropped[None], corner
         )

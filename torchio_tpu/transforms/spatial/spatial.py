@@ -258,7 +258,7 @@ def _check_folding(control_points, max_displacement, shape, spacing) -> None:
         )
 
 
-def _max_abs_displacement(control_points) -> tuple[float, float, float]:
+def _field_displacement_extent(control_points) -> tuple[float, float, float]:
     cp = np.asarray(control_points)
     m = np.abs(cp).reshape(-1, 3).max(axis=0)
     return (float(m[0]), float(m[1]), float(m[2]))
@@ -455,7 +455,7 @@ def _build_grid(
     if control_points is None:
         return _LazyGrid(mapping, None, out_shape), _GridPlan(mapping)
     if max_displacement is None:
-        max_displacement = _max_abs_displacement(control_points)
+        max_displacement = _field_displacement_extent(control_points)
     _check_folding(
         np.asarray(control_points),
         max_displacement,
@@ -819,7 +819,7 @@ class Spatial(SpatialTransform):
         )
         if self.control_points is not None:
             cp = self.control_points.copy()
-            disp = _max_abs_displacement(cp)
+            disp = _field_displacement_extent(cp)
         else:
             sampled = self.max_displacement.sample()
             if all(v == 0.0 for v in sampled):
@@ -934,7 +934,7 @@ class Spatial(SpatialTransform):
             and per_sample is None
         ):
             return batch
-        _apply_spatial_to_batch(
+        _run_spatial_pipeline(
             batch=batch,
             image_names=selected,
             target_space=target_space,
@@ -1038,7 +1038,7 @@ def _check_shared_space(images, reference_shape, reference_affine) -> None:
             )
 
 
-def _apply_spatial_to_batch(
+def _run_spatial_pipeline(
     *,
     batch: SubjectsBatch,
     image_names,
@@ -1279,8 +1279,8 @@ class _SpatialInverse(SpatialTransform):
     ) -> SubjectsBatch:
         max_displacement = None
         if self.per_sample is None and self.control_points is not None:
-            max_displacement = _max_abs_displacement(self.control_points)
-        _apply_spatial_to_batch(
+            max_displacement = _field_displacement_extent(self.control_points)
+        _run_spatial_pipeline(
             batch=batch,
             image_names=list(self._get_images(batch)),
             target_space=self.target,

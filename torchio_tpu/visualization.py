@@ -110,12 +110,17 @@ def _colorize_labels(plane: np.ndarray, color_map: dict) -> np.ndarray:
     index is equivalent and O(pixels)). Labels absent from the map
     render black."""
     labels = np.rint(plane).astype(np.int64)
-    lut = np.zeros((max(int(labels.max()), max(color_map, default=0)) + 1, 3),
-                   dtype=np.uint8)
+    # LUT sized by the color map alone (not the plane's max value): a
+    # corrupt volume carrying a huge intensity must not trigger a
+    # multi-GB allocation; labels beyond the map clip and render black
+    # (index 0 stays black unless the map colors it)
+    size = max((int(k) for k in color_map if int(k) >= 0), default=0) + 1
+    lut = np.zeros((size + 1, 3), dtype=np.uint8)  # last row = out-of-map
     for label, rgb in color_map.items():
-        if 0 <= int(label) < lut.shape[0]:
+        if 0 <= int(label) < size:
             lut[int(label)] = rgb
-    return lut[np.clip(labels, 0, lut.shape[0] - 1)]
+    mapped = np.where((labels >= 0) & (labels < size), labels, size)
+    return lut[mapped]
 
 
 #: (display-x data axis, display-y data axis) per plane after the
