@@ -81,7 +81,12 @@ MAX_PAD = 192
 def _shear_kernel(bnd_ref, vol_ref, table_ref, out_ref, *, pad_s):
     """out (1, 8, J, 128) of the EXTENDED sheared volume: extended row
     r' = orig + pad_s reads source-padded row r' + s (source pre-padded
-    by 2*pad_s) on lanes where table[k] == s."""
+    by 2*pad_s) on lanes where table[k] == s.
+
+    The slab block holds only the rows this (tile, chunk) can touch:
+    its index_map starts at the chunk's own s_lo (8-aligned), so slab
+    DMA tracks the LOCAL shift range instead of the full 2*pad_s + 8
+    extent (measured 33x row over-fetch on 256^3 rotations before)."""
     n = pl.program_id(0)
     tk = pl.program_id(3)
     s_lo = bnd_ref[n, tk, 0]
@@ -89,9 +94,15 @@ def _shear_kernel(bnd_ref, vol_ref, table_ref, out_ref, *, pad_s):
     nj = out_ref.shape[2]
     dt = vol_ref.dtype
     s_of_k = jnp.broadcast_to(table_ref[0, 0:1, :], (8 * nj, 128))
+    # the index_map aligned the slab base down to a multiple of 8;
+    # recover the intra-8 remainder with the same arithmetic
+    base = pl.program_id(1) * 8 + s_lo + pad_s
+    rem = base - (base // 8) * 8
 
     def body(s, acc):
-        rows = vol_ref[0, pl.ds(s + pad_s, 8), :, :].reshape(8 * nj, 128)
+        rows = vol_ref[0, pl.ds(rem + (s - s_lo), 8), :, :].reshape(
+            8 * nj, 128
+        )
         return acc + (s_of_k == s).astype(dt) * rows
 
     acc = jax.lax.fori_loop(
@@ -104,7 +115,7 @@ def _round4(x: int) -> int:
     return 4 * ((x + 3) // 4)
 
 
-def _shear_axis(vol, tables, chunk_bounds, pad_s):
+def _shear_axis(vol, tables, chunk_bounds, pad_s, max_chunk_range):
     """vol (N, I, J, Kp) -> out (N, I + 2*pad_s, J, Kp) with
     out[n, r, j, k] = vol[n, r - pad_s + tables[n, k], j, k] (OOB zero).
 
@@ -112,13 +123,17 @@ def _shear_axis(vol, tables, chunk_bounds, pad_s):
     frame, real data lives at rows [-max(si), I + max(-si)) — the
     window kernel reads those rows with nonzero weight near volume
     edges. pad_s must be a multiple of 4 (8-divisible grid) and
-    >= max |shift|.
+    >= max |shift|. ``max_chunk_range`` is a static bound on
+    ``s_hi - s_lo`` over every (element, k-chunk) — it sizes the slab.
     """
     N, I, J, Kp = vol.shape
     ntk = Kp // 128
     i_ext = I + 2 * pad_s
-    vp = jnp.pad(vol, ((0, 0), (2 * pad_s, 2 * pad_s), (0, 0), (0, 0)))
-    nrows = 8 + 2 * pad_s
+    # slab rows: 8 output rows + the chunk's shift range + 8 alignment
+    nrows = 8 * ((8 + max_chunk_range + 7 + 7) // 8)
+    # trailing extra pad: the last tiles' slab blocks extend up to
+    # nrows - 8 rows past the sheared extent (zero rows, never matched)
+    vp = jnp.pad(vol, ((0, 0), (2 * pad_s, 2 * pad_s + nrows), (0, 0), (0, 0)))
     # tile J so the slab stays within VMEM at large shift ranges;
     # tiles must divide J and be multiples of 8
     budget = 4 * 1024 * 1024 // (nrows * 128 * 4)
@@ -128,6 +143,11 @@ def _shear_axis(vol, tables, chunk_bounds, pad_s):
             tj_s = t
             break
     kern = functools.partial(_shear_kernel, pad_s=pad_s)
+
+    def slab_map(n, ti, tj, tk, bnd):
+        base = ti * 8 + bnd[n, tk, 0] + pad_s
+        return (n, pl.multiple_of((base // 8) * 8, 8), tj * tj_s, tk * 128)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N, i_ext // 8, J // tj_s, ntk),
@@ -139,7 +159,7 @@ def _shear_axis(vol, tables, chunk_bounds, pad_s):
                     pl.Element(tj_s),
                     pl.Element(128),
                 ),
-                lambda n, ti, tj, tk, *_: (n, ti * 8, tj * tj_s, tk * 128),
+                slab_map,
             ),
             pl.BlockSpec(
                 (1, 8, 128), lambda n, ti, tj, tk, *_: (n, 0, tk)
@@ -159,15 +179,22 @@ def _shear_axis(vol, tables, chunk_bounds, pad_s):
 
 
 def shear_ij(vol, si_tables, sj_tables, si_chunk_bounds, sj_chunk_bounds,
-             pad_si, pad_sj):
+             pad_si, pad_sj, rng_si=None, rng_sj=None):
     """Apply the i-shear then the j-shear (transpose trick for j).
-    Pass None to skip an all-zero shear axis."""
+    Pass None to skip an all-zero shear axis. ``rng_si``/``rng_sj`` are
+    static per-chunk shift-range bounds (default: worst case 2*pad)."""
     out = vol
     if pad_si is not None:
-        out = _shear_axis(out, si_tables, si_chunk_bounds, pad_si)
+        out = _shear_axis(
+            out, si_tables, si_chunk_bounds, pad_si,
+            2 * pad_si if rng_si is None else rng_si,
+        )
     if pad_sj is not None:
         out = out.transpose(0, 2, 1, 3)
-        out = _shear_axis(out, sj_tables, sj_chunk_bounds, pad_sj)
+        out = _shear_axis(
+            out, sj_tables, sj_chunk_bounds, pad_sj,
+            2 * pad_sj if rng_sj is None else rng_sj,
+        )
         out = out.transpose(0, 2, 1, 3)
     return out
 
@@ -186,17 +213,6 @@ def _table_lookup(table_ref, idx, ntk):
     t1 = jnp.broadcast_to(table_ref[0, 0:1, 128:256], (m, 128))
     low = jnp.take_along_axis(t0, jnp.minimum(idx, 127), axis=1)
     high = jnp.take_along_axis(t1, jnp.maximum(idx - 128, 0), axis=1)
-    return jnp.where(idx < 128, low, high)
-
-
-def _chunk_gather(rows_lo, rows_hi, idx):
-    """rows_lo/rows_hi (M, 128) f32 k-halves (rows_hi None when K <=
-    128); idx (M, 128) in [0, Kp). Lane-gather with a two-chunk
-    select."""
-    if rows_hi is None:
-        return jnp.take_along_axis(rows_lo, idx, axis=1)
-    low = jnp.take_along_axis(rows_lo, jnp.minimum(idx, 127), axis=1)
-    high = jnp.take_along_axis(rows_hi, jnp.maximum(idx - 128, 0), axis=1)
     return jnp.where(idx < 128, low, high)
 
 
@@ -291,10 +307,28 @@ def _kernel2(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, si_ref, sj_ref,
     off_j = padj_g + tj * TJ + oj_lo
     rem_j = off_j - (off_j // 8) * 8
 
-    def jbody(r_j, carry):
-        accs, r_i = carry
-        cio = oi_lo + r_i
-        cjo = oj_lo + r_j
+    # hoist the per-corner k-chunk select arithmetic out of the
+    # candidate loop: only the row loads vary per candidate
+    if ntk == 1:
+        prep0 = prep1 = prepn = None
+    else:
+        prep = lambda idx: (
+            jnp.minimum(idx, 127), jnp.maximum(idx - 128, 0), idx < 128
+        )
+        prep0, prep1 = prep(kc0), prep(kc1)
+        prepn = prep(rkc) if mode == "nearest" else None
+
+    def gather(rows, rows_hi, idx, pre):
+        if rows_hi is None:
+            return jnp.take_along_axis(rows, idx, axis=1)
+        lo_i, hi_i, sel = pre
+        return jnp.where(
+            sel,
+            jnp.take_along_axis(rows, lo_i, axis=1),
+            jnp.take_along_axis(rows_hi, hi_i, axis=1),
+        )
+
+    def load(r_i, r_j):
         rows = vol_ref[
             0, pl.ds(rem_i + r_i, TI), pl.ds(rem_j + r_j, TJ), :
         ].reshape(TI * TJ, 128)
@@ -303,76 +337,106 @@ def _kernel2(bnd_ref, fill_ref, ci_ref, cj_ref, ck_ref, si_ref, sj_ref,
             rows_hi = vol_hi_ref[
                 0, pl.ds(rem_i + r_i, TI), pl.ds(rem_j + r_j, TJ), :
             ].reshape(TI * TJ, 128)
+        return rows, rows_hi
+
+    # the inner loop accumulates the two k-corners separately and
+    # applies the (loop-invariant) k-weights once at the end:
+    # sum(m * mk * l) == mk * sum(m * l) elementwise, one f32 rounding
+    # step moved outside the sum
+    def jbody(r_j, carry):
+        accs, r_i, wi = carry
+        cjo = oj_lo + r_j
+        rows, rows_hi = load(r_i, r_j)
         if mode == "nearest":
-            ln = _chunk_gather(rows, rows_hi, rkc)
-            sel = ((oin == cio) & (ojn == cjo)).astype(jnp.float32)
-            return (accs[0] + sel * valid * ln,), r_i
-        l0 = _chunk_gather(rows, rows_hi, kc0)
-        l1 = _chunk_gather(rows, rows_hi, kc1)
+            ln = gather(rows, rows_hi, rkc, prepn)
+            sel = (ojn == cjo).astype(jnp.float32)
+            return (accs[0] + (wi[0] * sel) * ln,), r_i, wi
+        l0 = gather(rows, rows_hi, kc0, prep0)
+        l1 = gather(rows, rows_hi, kc1, prep1)
         if corners:
-            s000 = ((roi0 == cio) & (roj0 == cjo)).astype(acc_dtype)
-            s001 = ((roi1 == cio) & (roj1 == cjo)).astype(acc_dtype)
-            s010 = ((roi0 == cio) & (roj0 == cjo - 1)).astype(acc_dtype)
-            s011 = ((roi1 == cio) & (roj1 == cjo - 1)).astype(acc_dtype)
-            s100 = ((roi0 == cio - 1) & (roj0 == cjo)).astype(acc_dtype)
-            s101 = ((roi1 == cio - 1) & (roj1 == cjo)).astype(acc_dtype)
-            s110 = (
-                (roi0 == cio - 1) & (roj0 == cjo - 1)
-            ).astype(acc_dtype)
-            s111 = (
-                (roi1 == cio - 1) & (roj1 == cjo - 1)
-            ).astype(acc_dtype)
+            ei0, ei0m, ei1, ei1m = wi
+            ej0 = roj0 == cjo
+            ej0m = roj0 == cjo - 1
+            ej1 = roj1 == cjo
+            ej1m = roj1 == cjo - 1
             new = (
-                accs[0] + s000 * l0, accs[1] + s001 * l1,
-                accs[2] + s010 * l0, accs[3] + s011 * l1,
-                accs[4] + s100 * l0, accs[5] + s101 * l1,
-                accs[6] + s110 * l0, accs[7] + s111 * l1,
+                accs[0] + (ei0 & ej0).astype(acc_dtype) * l0,
+                accs[1] + (ei1 & ej1).astype(acc_dtype) * l1,
+                accs[2] + (ei0 & ej0m).astype(acc_dtype) * l0,
+                accs[3] + (ei1 & ej1m).astype(acc_dtype) * l1,
+                accs[4] + (ei0m & ej0).astype(acc_dtype) * l0,
+                accs[5] + (ei1m & ej1).astype(acc_dtype) * l1,
+                accs[6] + (ei0m & ej0m).astype(acc_dtype) * l0,
+                accs[7] + (ei1m & ej1m).astype(acc_dtype) * l1,
             )
         else:
-            m0 = (
-                jnp.where(roi0 == cio, mi0, 0.0)
-                + jnp.where(roi0 == cio - 1, mi1, 0.0)
-            ) * (
+            wi0, wi1 = wi
+            wj0 = (
                 jnp.where(roj0 == cjo, mj0, 0.0)
                 + jnp.where(roj0 == cjo - 1, mj1, 0.0)
             )
-            m1 = (
-                jnp.where(roi1 == cio, mi0, 0.0)
-                + jnp.where(roi1 == cio - 1, mi1, 0.0)
-            ) * (
+            wj1 = (
                 jnp.where(roj1 == cjo, mj0, 0.0)
                 + jnp.where(roj1 == cjo - 1, mj1, 0.0)
             )
-            new = (accs[0] + m0 * mk0 * l0 + m1 * mk1 * l1,)
-        return new, r_i
+            new = (
+                accs[0] + (wi0 * wj0) * l0,
+                accs[1] + (wi1 * wj1) * l1,
+            )
+        return new, r_i, wi
 
     def ibody(r_i, accs):
-        accs, _ = jax.lax.fori_loop(
-            0, oj_hi - oj_lo + 2, jbody, (accs, r_i)
+        cio = oi_lo + r_i
+        if mode == "nearest":
+            wi = ((oin == cio).astype(jnp.float32) * valid,)
+        elif corners:
+            wi = (
+                roi0 == cio, roi0 == cio - 1,
+                roi1 == cio, roi1 == cio - 1,
+            )
+        else:
+            wi = (
+                jnp.where(roi0 == cio, mi0, 0.0)
+                + jnp.where(roi0 == cio - 1, mi1, 0.0),
+                jnp.where(roi1 == cio, mi0, 0.0)
+                + jnp.where(roi1 == cio - 1, mi1, 0.0),
+            )
+        accs, _, _ = jax.lax.fori_loop(
+            0, oj_hi - oj_lo + 2, jbody, (accs, r_i, wi)
         )
         return accs
 
-    accs = jax.lax.fori_loop(0, oi_hi - oi_lo + 2, ibody, init)
+    if mode == "nearest" or corners:
+        init_accs = init
+    else:
+        init_accs = (init[0], init[0])
+    accs = jax.lax.fori_loop(0, oi_hi - oi_lo + 2, ibody, init_accs)
 
     if corners:
         out = _corner_vote(accs, mi0, mi1, mj0, mj1, mk0, mk1, pad_label)
         out_ref[0] = out.reshape(TI, TJ, 128)
     else:
-        acc = accs[0]
+        if mode == "nearest":
+            acc = accs[0]
+        else:
+            acc = accs[0] * mk0 + accs[1] * mk1
         if apply_fill:
             mask = (mi0 + mi1) * (mj0 + mj1) * (mk0 + mk1)
             acc = jnp.where(mask > 0.5, acc, fill_ref[b])
         out_ref[0] = acc.reshape(TI, TJ, 128)
 
 
-def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, out_true,
-                  padi_g, padj_g, maxr, reach_i, reach_j):
+def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, deltas, spatial,
+                  out_true, padi_g, padj_g, maxr, reach_i, reach_j):
     """Per-tile residual offset bounds in the sheared frame.
 
     The kernel uses exact host tables for the shear; here the analytic
-    f32 form stands in with a +-1 widening (f32 and f64 rounding of
-    m*k can differ by one step). Conservative bounds only widen the
-    candidate loop; per-element masks keep exactness.
+    f32 form stands in, corrected by host-computed per-k-chunk bounds on
+    (table - analytic) — ``deltas`` (B, 2 axes, 2 chunks, 2 lo/hi) int32
+    from :class:`ShearPlan`. The correction is usually [0, 0], so the
+    candidate windows shrink by 2 per axis vs the former blanket +-1
+    widening. Conservative bounds only widen the candidate loop;
+    per-element masks keep exactness.
 
     ``spatial`` is the INPUT extent (in-bounds corner masking);
     ``out_true`` the true (Io, Jo) output extent — grid rows/cols at or
@@ -398,6 +462,12 @@ def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, out_true,
     si1 = jnp.round(m02c * kc1 + m03c).astype(jnp.int32)
     sj0 = jnp.round(m12c * kc0 + m13c).astype(jnp.int32)
     sj1 = jnp.round(m12c * kc1 + m13c).astype(jnp.int32)
+
+    def dsel(axis, side, kc):
+        d = deltas[:, axis, :, side]
+        return jnp.where(
+            kc < 128.0, d[:, 0, None, None, None], d[:, 1, None, None, None]
+        )
     # only corners with nonzero weight constrain the candidate window:
     # a clipped out-of-bounds corner minus the shear lands ~|s| rows
     # away and would blow the slab range (its weight is zero, so the
@@ -424,18 +494,24 @@ def _tile_bounds2(ci, cj, ck, m02, m03, m12, m13, spatial, out_true,
     def masked(x, valid, sentinel):
         return jnp.where(valid, x, sentinel)
 
+    # actual table value = analytic + delta, delta in [dmin, dmax] per
+    # chunk: the residual's extremes use the opposite delta side
     oi_min = jnp.minimum(
-        masked(fi - si0, v0, big), masked(fi - si1, v1, big)
-    ) - ii - 1
+        masked(fi - (si0 + dsel(0, 1, kc0)), v0, big),
+        masked(fi - (si1 + dsel(0, 1, kc1)), v1, big),
+    ) - ii
     oi_max = jnp.maximum(
-        masked(fi - si0, v0, -big), masked(fi - si1, v1, -big)
-    ) - ii + 1
+        masked(fi - (si0 + dsel(0, 0, kc0)), v0, -big),
+        masked(fi - (si1 + dsel(0, 0, kc1)), v1, -big),
+    ) - ii
     oj_min = jnp.minimum(
-        masked(fj - sj0, v0, big), masked(fj - sj1, v1, big)
-    ) - jj - 1
+        masked(fj - (sj0 + dsel(1, 1, kc0)), v0, big),
+        masked(fj - (sj1 + dsel(1, 1, kc1)), v1, big),
+    ) - jj
     oj_max = jnp.maximum(
-        masked(fj - sj0, v0, -big), masked(fj - sj1, v1, -big)
-    ) - jj + 1
+        masked(fj - (sj0 + dsel(1, 0, kc0)), v0, -big),
+        masked(fj - (sj1 + dsel(1, 0, kc1)), v1, -big),
+    ) - jj
 
     def tile_reduce(x, op):
         t = x.reshape(B, nti, TI, ntj, TJ, ntk, 128)
@@ -646,6 +722,34 @@ class ShearPlan:
             )
         self.si = np.stack(si_list)
         self.sj = np.stack(sj_list)
+        ntk_in = self.Kp // 128
+        # per-chunk bounds on (table - device analytic f32) so the tile
+        # bounds need no blanket widening; the device round(m*k + t) is
+        # emulated in numpy f32, and k's within ~1e-4 of a half-integer
+        # (where an fma-fused device product could round differently)
+        # widen that chunk by one
+        ks32 = ks.astype(np.float32)
+        deltas = np.zeros((len(matrices), 2, 2, 2), np.int32)
+        for n, m in enumerate(matrices):
+            m = np.asarray(m, np.float64)
+            for axis, (slope, off, table) in enumerate(
+                ((m[0, 2], m[0, 3], self.si[n]), (m[1, 2], m[1, 3], self.sj[n]))
+            ):
+                lin32 = np.float32(slope) * ks32 + np.float32(off)
+                ana = np.round(lin32).astype(np.int64)
+                lin64 = slope * ks + off
+                near = (np.abs(lin64 - np.floor(lin64) - 0.5) < 1e-4).astype(
+                    np.int64
+                )
+                d = table.astype(np.int64) - ana
+                dmin = (d - near).reshape(ntk_in, 128).min(axis=1)
+                dmax = (d + near).reshape(ntk_in, 128).max(axis=1)
+                if ntk_in == 1:
+                    dmin = np.repeat(dmin, 2)
+                    dmax = np.repeat(dmax, 2)
+                deltas[n, axis, :, 0] = dmin
+                deltas[n, axis, :, 1] = dmax
+        self.deltas = deltas
         # BUCKET every shape-defining value to coarse levels, then
         # RATCHET to the process high-water mark: the statics are pure
         # capacity bounds, and any per-draw variation means a fresh
@@ -703,6 +807,17 @@ class ShearPlan:
         ).astype(np.int32)
         self.need_sj = bool(np.any(self.sj != 0))
         self.need_si = bool(np.any(self.si != 0))
+        # static per-chunk shift-range bound sizing the shear pass's
+        # slab (DMA tracks the local range, not 2*pad)
+        rng_levels = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384)
+        self.rng_si = _bucket(
+            int((self.si_chunk[..., 1] - self.si_chunk[..., 0]).max()) + 1,
+            rng_levels, hr,
+        )
+        self.rng_sj = _bucket(
+            int((self.sj_chunk[..., 1] - self.sj_chunk[..., 0]).max()) + 1,
+            rng_levels, hr,
+        )
         if self.ok:
             # share one executable across random draws of the same
             # shape class (only guard-passing plans feed the ratchet,
@@ -710,12 +825,14 @@ class ShearPlan:
             (
                 self.maxr, self.pad_si, self.pad_sj,
                 self.padi_g, self.padj_g, need_si, need_sj,
+                self.rng_si, self.rng_sj,
             ) = ratchet_statics(
                 self._key,
                 (
                     self.maxr, self.pad_si, self.pad_sj,
                     self.padi_g, self.padj_g,
                     int(self.need_si), int(self.need_sj),
+                    self.rng_si, self.rng_sj,
                 ),
             )
             self.need_si = bool(need_si)
@@ -762,13 +879,14 @@ def shear_eligible(data_shape, out_spatial, matrices, control_points,
     static_argnames=(
         "spatial", "out_spatial", "padi_g", "padj_g", "maxr", "pad_si",
         "pad_sj", "need_si", "need_sj", "has_cp", "apply_fill", "mode",
-        "pad_label",
+        "pad_label", "rng_si", "rng_sj",
     ),
 )
 def _shear_resample_impl(
     data, matrices, control_points, fill, si_t, sj_t, si_chunk, sj_chunk,
-    *, spatial, out_spatial, padi_g, padj_g, maxr, pad_si, pad_sj,
-    need_si, need_sj, has_cp, apply_fill, mode, pad_label,
+    deltas, *, spatial, out_spatial, padi_g, padj_g, maxr, pad_si,
+    pad_sj, need_si, need_sj, has_cp, apply_fill, mode, pad_label,
+    rng_si, rng_sj,
 ):
     B, C, I, J, K = data.shape
     Io, Jo, Ko = out_spatial
@@ -786,7 +904,7 @@ def _shear_resample_impl(
         ci, cj, ck,
         matrices[:, 0, 2], matrices[:, 0, 3],
         matrices[:, 1, 2], matrices[:, 1, 3],
-        spatial, (Io, Jo),
+        deltas, spatial, (Io, Jo),
         padi_g, padj_g, maxr, nrows - TI, ncols - TJ,
     )
     # labels ride in int32 — an f32 cast would round values above 2^24
@@ -820,6 +938,7 @@ def _shear_resample_impl(
         rep(si_t), rep(sj_t), rep(si_chunk), rep(sj_chunk),
         pad_si if need_si else None,
         pad_sj if need_sj else None,
+        rng_si=rng_si, rng_sj=rng_sj,
     ).reshape(B, C, Ipad + 2 * ext_i, Jpad + 2 * ext_j, Kp_in)
     padded = jnp.pad(
         sheared,
@@ -874,11 +993,13 @@ def shear_resample_fused(data, matrices, control_points, fill, plan,
         data, m, cps, _fill_bc(fill, B, C),
         t8(plan.si), t8(plan.sj),
         jnp.asarray(plan.si_chunk), jnp.asarray(plan.sj_chunk),
+        jnp.asarray(plan.deltas),
         spatial=(I, J, K), out_spatial=plan.out_spatial,
         padi_g=plan.padi_g, padj_g=plan.padj_g,
         maxr=plan.maxr, pad_si=plan.pad_si, pad_sj=plan.pad_sj,
         need_si=plan.need_si, need_sj=plan.need_sj, has_cp=has_cp,
         apply_fill=apply_fill, mode=mode, pad_label=0.0,
+        rng_si=plan.rng_si, rng_sj=plan.rng_sj,
     )
 
 
@@ -893,10 +1014,12 @@ def shear_resample_label_fused(data, matrices, control_points, pad_label,
         data, m, cps, jnp.zeros((B, C), jnp.float32),
         t8(plan.si), t8(plan.sj),
         jnp.asarray(plan.si_chunk), jnp.asarray(plan.sj_chunk),
+        jnp.asarray(plan.deltas),
         spatial=(I, J, K), out_spatial=plan.out_spatial,
         padi_g=plan.padi_g, padj_g=plan.padj_g,
         maxr=plan.maxr, pad_si=plan.pad_si, pad_sj=plan.pad_sj,
         need_si=plan.need_si, need_sj=plan.need_sj, has_cp=has_cp,
         apply_fill=False, mode="corners", pad_label=float(pad_label),
+        rng_si=plan.rng_si, rng_sj=plan.rng_sj,
     )
     return out.astype(data.dtype)
