@@ -93,23 +93,52 @@ def _time(fn) -> float:
     return B * ITERS / (time.time() - t0)
 
 
+def _config1_transforms() -> list:
+    return [
+        tio.Flip(axes=(0,), flip_probability=0.5),
+        tio.Noise(std=0.1),
+        tio.RescaleIntensity(out_min=0.0, out_max=1.0),
+    ]
+
+
 def config1() -> dict:
+    import jax.numpy as jnp
+
     tio.seed(0)
-    pipeline = tio.Compose(
-        [
-            tio.Flip(axes=(0,), flip_probability=0.5),
-            tio.Noise(std=0.1),
-            tio.RescaleIntensity(out_min=0.0, out_max=1.0),
-        ],
-        copy=False,
-    )
+    # fuse=True: the three elementwise stages run as ONE XLA program
+    # (identical results + history to unfused; tests/test_fuse.py)
+    pipeline = tio.Compose(_config1_transforms(), copy=False, fuse=True)
     batch = _device_batch({"t1": (1, 181, 217, 181)})
     vps = _time(lambda: pipeline(batch))
+
+    # unfused per-stage dispatch (the round-4 measurement) for the
+    # decomposition record
+    tio.seed(0)
+    unfused = tio.Compose(_config1_transforms(), copy=False)
+    vps_unfused = _time(lambda: unfused(batch))
+
+    # pipelined steady state: a training loop consumes outputs on
+    # device, so per-batch results are NOT pulled to host — dispatch
+    # iteration i+1 while i executes; one sync closes the window.
+    tio.seed(0)
+    pipeline(batch)  # warm
+    n = 3 * ITERS
+    t0 = time.time()
+    out = None
+    for _ in range(n):
+        out = pipeline(batch)
+    float(jnp.sum(next(iter(out.images.values())).data))
+    vps_pipelined = B * n / (time.time() - t0)
     return {
         "metric": "config1 Flip+Noise+Rescale 181x217x181 volumes/sec",
         "value": round(vps, 2),
         "unit": "volumes/sec",
         "vs_reference_cpu": round(vps / REFERENCE_CPU_VPS["1"], 1),
+        "unfused_volumes_per_sec": round(vps_unfused, 2),
+        "pipelined_volumes_per_sec": round(vps_pipelined, 2),
+        "pipelined_vs_reference_cpu": round(
+            vps_pipelined / REFERENCE_CPU_VPS["1"], 1
+        ),
     }
 
 

@@ -1,0 +1,227 @@
+"""Fused elementwise chains (Compose(fuse=True)) vs unfused execution.
+
+The fused path must reproduce the unfused results and history exactly:
+it draws from the same host RNG stream and mirrors each transform's
+arithmetic op-for-op (tolerances below only allow for XLA fusion
+reassociation across the former program boundaries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+from torchio_tpu.transforms import fuse as fuse_mod
+
+
+def make_batch(b=3, shape=(1, 9, 10, 11), seed=0, with_labels=False):
+    rng = np.random.default_rng(seed)
+    subjects = []
+    for _ in range(b):
+        images = {"t1": tio.ScalarImage(rng.normal(size=shape).astype(np.float32))}
+        if with_labels:
+            images["seg"] = tio.LabelMap(
+                rng.integers(0, 4, shape).astype(np.int32)
+            )
+        subjects.append(tio.Subject(**images))
+    return SubjectsBatch.from_subjects(subjects)
+
+
+def run_pair(transforms_fn, *, batch_kwargs=None, seed=7):
+    """Apply the same pipeline fused and unfused from the same RNG."""
+    kwargs = batch_kwargs or {}
+    tio.seed(seed)
+    unfused = tio.Compose(transforms_fn(), copy=False)(make_batch(**kwargs))
+    tio.seed(seed)
+    fused = tio.Compose(transforms_fn(), copy=False, fuse=True)(
+        make_batch(**kwargs)
+    )
+    return unfused, fused
+
+
+def assert_batches_match(unfused, fused, rtol=1e-6, atol=1e-6):
+    assert set(unfused.images) == set(fused.images)
+    for name in unfused.images:
+        np.testing.assert_allclose(
+            np.asarray(fused.images[name].data),
+            np.asarray(unfused.images[name].data),
+            rtol=rtol,
+            atol=atol,
+            err_msg=name,
+        )
+    assert len(unfused.applied_transforms) == len(fused.applied_transforms)
+    for a, b in zip(unfused.applied_transforms, fused.applied_transforms):
+        assert a.name == b.name
+
+
+class TestFusedEquivalence:
+    def test_config1_chain(self):
+        unfused, fused = run_pair(
+            lambda: [
+                tio.Flip(axes=(0, 1), flip_probability=0.5),
+                tio.Noise(std=0.1),
+                tio.RescaleIntensity(out_min=0.0, out_max=1.0),
+            ]
+        )
+        assert_batches_match(unfused, fused)
+        names = [t.name for t in fused.applied_transforms]
+        assert names == ["Flip", "Noise", "Normalize"]
+
+    def test_history_params_match(self):
+        unfused, fused = run_pair(
+            lambda: [
+                tio.Flip(axes=(0,), flip_probability=0.5),
+                tio.Noise(std=0.2),
+                tio.RescaleIntensity(out_min=-1.0, out_max=1.0),
+            ]
+        )
+        for a, b in zip(unfused.applied_transforms, fused.applied_transforms):
+            pa, pb = a.params, b.params  # resolves deferred stats
+            assert set(pa) == set(pb)
+            for key in pa:
+                if key == "in_ranges":
+                    for nm in pa[key]:
+                        np.testing.assert_allclose(
+                            pa[key][nm], pb[key][nm], rtol=1e-6
+                        )
+                else:
+                    assert pa[key] == pb[key], key
+
+    def test_gated_rows_bit_exact(self):
+        # per-instance p-gating: gated-out rows must match unfused
+        # bit-for-bit (noise identity via keep mask)
+        unfused, fused = run_pair(
+            lambda: [tio.Noise(std=0.5, p=0.5)],
+            batch_kwargs={"b": 6},
+            seed=3,
+        )
+        a = np.asarray(unfused.images["t1"].data)
+        b = np.asarray(fused.images["t1"].data)
+        np.testing.assert_array_equal(a, b)
+
+    def test_gamma_scalar_and_per_element(self):
+        unfused, fused = run_pair(
+            lambda: [tio.Gamma(log_gamma=(-0.3, 0.3))]
+        )
+        assert_batches_match(unfused, fused)
+        unfused, fused = run_pair(
+            lambda: [tio.Gamma(log_gamma=0.2)], batch_kwargs={"b": 1}
+        )
+        assert_batches_match(unfused, fused)
+
+    def test_clamp_and_explicit_rescale(self):
+        unfused, fused = run_pair(
+            lambda: [
+                tio.Clamp(out_min=-0.5, out_max=0.5),
+                tio.RescaleIntensity(
+                    out_min=0.0, out_max=1.0, in_min=-0.5, in_max=0.5
+                ),
+            ]
+        )
+        assert_batches_match(unfused, fused)
+
+    def test_rician_noise(self):
+        unfused, fused = run_pair(
+            lambda: [tio.Noise(std=0.1, rician=True)]
+        )
+        assert_batches_match(unfused, fused)
+
+    def test_labels_flip_but_skip_intensity(self):
+        unfused, fused = run_pair(
+            lambda: [
+                tio.Flip(axes=(2,), flip_probability=1.0),
+                tio.Noise(std=0.1),
+            ],
+            batch_kwargs={"with_labels": True},
+        )
+        assert_batches_match(unfused, fused)
+        np.testing.assert_array_equal(
+            np.asarray(fused.images["seg"].data),
+            np.asarray(unfused.images["seg"].data),
+        )
+
+    def test_nonfusable_breaks_run(self):
+        # Blur has host kernel planning -> the chain splits around it
+        unfused, fused = run_pair(
+            lambda: [
+                tio.Noise(std=0.1),
+                tio.Blur(std=0.7),
+                tio.RescaleIntensity(out_min=0.0, out_max=1.0),
+            ],
+            batch_kwargs={"shape": (1, 8, 8, 8)},
+        )
+        assert_batches_match(unfused, fused, rtol=1e-5, atol=1e-5)
+        names = [t.name for t in fused.applied_transforms]
+        assert names == ["Noise", "Blur", "Normalize"]
+
+    def test_batchwide_p_gating_skips(self):
+        tio.seed(1)
+        batch = make_batch()
+        out = tio.Compose(
+            [tio.Noise(std=0.1, p=0.0, per_instance=False)],
+            copy=False,
+            fuse=True,
+        )(batch)
+        assert out.applied_transforms == []
+
+    def test_inverse_through_fused_history(self):
+        tio.seed(5)
+        batch = make_batch()
+        original = np.asarray(batch.images["t1"].data).copy()
+        pipeline = tio.Compose(
+            [
+                tio.Flip(axes=(0,), flip_probability=1.0),
+                tio.RescaleIntensity(out_min=0.0, out_max=1.0),
+            ],
+            copy=False,
+            fuse=True,
+        )
+        out = pipeline(batch)
+        restored = out.apply_inverse_transform()
+        np.testing.assert_allclose(
+            np.asarray(restored.images["t1"].data), original,
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_chain_executable_reused_across_draws(self):
+        tio.seed(0)
+        pipeline = tio.Compose(
+            [
+                tio.Flip(axes=(0,), flip_probability=0.5),
+                tio.Noise(std=0.1),
+                tio.RescaleIntensity(out_min=0.0, out_max=1.0),
+            ],
+            copy=False,
+            fuse=True,
+        )
+        pipeline(make_batch())
+        n_entries = len(fuse_mod._CHAIN_CACHE)
+        for _ in range(5):
+            pipeline(make_batch())
+        assert len(fuse_mod._CHAIN_CACHE) == n_entries
+
+    def test_masked_normalize_not_fused(self):
+        rng = np.random.default_rng(0)
+        batch = make_batch(with_labels=True)
+        t = tio.RescaleIntensity(out_min=0.0, out_max=1.0, masking_method="seg")
+        assert not t.fusable(batch)
+
+    def test_zero_range_warns_on_history_access(self):
+        tio.seed(0)
+        subjects = [
+            tio.Subject(t1=tio.ScalarImage(np.zeros((1, 4, 4, 4), np.float32)))
+            for _ in range(2)
+        ]
+        batch = SubjectsBatch.from_subjects(subjects)
+        out = tio.Compose(
+            [tio.RescaleIntensity(out_min=0.0, out_max=1.0)],
+            copy=False,
+            fuse=True,
+        )(batch)
+        with pytest.warns(RuntimeWarning, match="input range is zero"):
+            out.applied_transforms[-1].params
+        np.testing.assert_array_equal(
+            np.asarray(out.images["t1"].data), 0.0
+        )

@@ -39,13 +39,23 @@ def _disabled_copy(transforms: Sequence[Transform]):
 
 
 class Compose(Transform):
-    """Apply transforms sequentially (one deep copy up front)."""
+    """Apply transforms sequentially (one deep copy up front).
+
+    With ``fuse=True``, consecutive *elementwise* transforms (Flip,
+    Noise, Normalize, Gamma, Clamp — anything providing
+    :meth:`Transform.fused_stage`) execute as ONE jit-compiled program:
+    results and recorded history are identical to unfused execution
+    (same host RNG stream), but a run of N such stages costs one device
+    dispatch instead of N. Transforms with host geometry (Spatial,
+    Blur, ...) break the run and execute stage-by-stage as before.
+    """
 
     def __init__(
         self,
         transforms: Sequence[Transform] | Mapping[str, Transform] | None = None,
         *,
         copy: bool = True,
+        fuse: bool = False,
         **kwargs: Any,
     ) -> None:
         super().__init__(copy=copy, **kwargs)
@@ -55,11 +65,14 @@ class Compose(Transform):
             self.transforms = list(transforms.values())
         else:
             self.transforms = list(transforms)
+        self.fuse = fuse
 
     def forward(self, data: Any) -> Any:
         if self.copy:
             data = _copy.deepcopy(data)
         batch, unwrap = self._wrap(data)
+        if self.fuse:
+            return unwrap(self._forward_fused(batch))
         for t in self.transforms:
             prev = t.copy
             t.copy = False
@@ -68,6 +81,35 @@ class Compose(Transform):
             finally:
                 t.copy = prev
         return unwrap(batch)
+
+    def _forward_fused(self, batch):
+        from .fuse import gate_coin, run_fused
+
+        pending: list = []
+
+        def flush(batch):
+            nonlocal pending
+            if pending:
+                batch = run_fused(batch, pending)
+                pending = []
+            return batch
+
+        for t in self.transforms:
+            if t.fusable(batch):
+                # replicate Transform.forward's RNG order exactly:
+                # coin, then make_params (inside fused_stage)
+                if not gate_coin(t, batch):
+                    continue
+                pending.append((t, t.fused_stage(batch)))
+                continue
+            batch = flush(batch)
+            prev = t.copy
+            t.copy = False
+            try:
+                batch = t(batch)
+            finally:
+                t.copy = prev
+        return flush(batch)
 
     def __iter__(self):
         return iter(self.transforms)

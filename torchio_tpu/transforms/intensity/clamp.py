@@ -42,3 +42,19 @@ class Clamp(IntensityTransform):
                 as_jnp(img_batch.data), self.out_min, self.out_max
             )
         return batch
+
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        return bool(self._get_images(batch))
+
+    def fused_stage(self, batch: SubjectsBatch):
+        from ..fuse import FusedStage, clamp_apply
+
+        names = tuple(self._get_images(batch))
+        if not names:
+            return None
+        return FusedStage(
+            key=("clamp", names, self.out_min, self.out_max),
+            apply=clamp_apply(names, self.out_min, self.out_max),
+            args=(),
+            params=self.make_params(batch),
+        )

@@ -61,6 +61,34 @@ class Gamma(IntensityTransform):
             img_batch.data = _gamma_pow(as_jnp(img_batch.data), params["log_gamma"])
         return batch
 
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        return bool(self._get_images(batch))
+
+    def fused_stage(self, batch: SubjectsBatch):
+        import numpy as np
+
+        from ..fuse import FusedStage, gamma_apply
+
+        names = tuple(self._get_images(batch))
+        if not names:
+            return None
+        params = self.make_params(batch)
+        lg = params["log_gamma"]
+        if isinstance(lg, list):
+            # per-element path exponentiates on device (as unfused does)
+            args = jnp.asarray(np.asarray(lg, np.float32))
+            pre_exp = False
+        else:
+            # scalar path mirrors the unfused host math.exp exactly
+            args = jnp.float32(math.exp(lg))
+            pre_exp = True
+        return FusedStage(
+            key=("gamma", names, pre_exp),
+            apply=gamma_apply(names, pre_exp),
+            args=args,
+            params=params,
+        )
+
     @property
     def invertible(self) -> bool:
         return True

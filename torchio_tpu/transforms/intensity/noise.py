@@ -16,6 +16,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ... import random as tio_random
 from ...data.batch import SubjectsBatch
@@ -69,6 +70,31 @@ class Noise(IntensityTransform):
         }
         self._tag_batched(params, batch, n, keep, ["mean", "std"])
         return params
+
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        return bool(self._get_images(batch))
+
+    def fused_stage(self, batch: SubjectsBatch):
+        from ..fuse import FusedStage, noise_apply
+
+        names = tuple(self._get_images(batch))
+        if not names:
+            return None
+        params = self.make_params(batch)
+        keep = params.get("_keep")
+        gated = keep is not None and not all(keep)
+        args = (
+            jnp.asarray(np.asarray(params["mean"], np.float32)),
+            jnp.asarray(np.asarray(params["std"], np.float32)),
+            jnp.asarray(np.asarray(keep if gated else 0.0, np.float32)),
+            jax.random.PRNGKey(params["seed"]),
+        )
+        return FusedStage(
+            key=("noise", names, self.rician, gated),
+            apply=noise_apply(names, self.rician, gated),
+            args=args,
+            params=params,
+        )
 
     def apply_transform(
         self, batch: SubjectsBatch, params: dict[str, Any]

@@ -89,6 +89,72 @@ class Normalize(IntensityTransform):
             self._tag_batched(params, batch, n, None, ["out_min", "out_max"])
         return params
 
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        if self.masking_method is not None or not self._get_images(batch):
+            return False
+        explicit = self.in_min is not None and self.in_max is not None
+        if explicit:
+            return True
+        # percentile shortcut selection (0,100 -> min/max) must be a
+        # static program property, so randomized percentiles stay on
+        # the unfused path
+        return (
+            self.percentile_low.is_deterministic
+            and self.percentile_high.is_deterministic
+        )
+
+    def fused_stage(self, batch: SubjectsBatch):
+        from ..fuse import FusedStage, install_range_params, normalize_apply
+
+        names = tuple(self._get_images(batch))
+        if not names:
+            return None
+        # identical RNG order to make_params
+        n = self._resolve_n(batch)
+        out_min = self.out_min.sample_1d(n)
+        out_max = self.out_max.sample_1d(n)
+        params: dict[str, Any] = {
+            "out_min": self._serialize_param(out_min),
+            "out_max": self._serialize_param(out_max),
+        }
+        omin = jnp.asarray(np.asarray(out_min, np.float32))
+        omax = jnp.asarray(np.asarray(out_max, np.float32))
+        explicit = self.in_min is not None and self.in_max is not None
+        if explicit:
+            in_min = self.in_min.sample_1d()
+            in_max = self.in_max.sample_1d()
+            params["in_min"] = in_min
+            params["in_max"] = in_max
+            args = (
+                jnp.float32(in_min), jnp.float32(in_max), omin, omax,
+            )
+            finish = None
+        else:
+            pct_low = self.percentile_low.sample_1d()
+            pct_high = self.percentile_high.sample_1d()
+            use_minmax = pct_low == 0.0 and pct_high == 100.0
+            args = (
+                omin, omax,
+                jnp.asarray(
+                    [pct_low / 100.0, pct_high / 100.0], jnp.float32
+                ),
+            )
+            finish = install_range_params
+        if n is not None:
+            self._tag_batched(params, batch, n, None, ["out_min", "out_max"])
+        return FusedStage(
+            key=(
+                "normalize", names, explicit,
+                None if explicit else use_minmax,
+            ),
+            apply=normalize_apply(
+                names, explicit, False if explicit else use_minmax
+            ),
+            args=args,
+            params=params,
+            finish=finish,
+        )
+
     def apply_transform(
         self, batch: SubjectsBatch, params: dict[str, Any]
     ) -> SubjectsBatch:

@@ -161,6 +161,35 @@ class Flip(SpatialTransform):
             return _FlipInverse(axes_per_element=params["axes"], copy=False)
         return Flip(axes=tuple(params["axes"]), copy=False)
 
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        return bool(self._get_images(batch))
+
+    def fused_stage(self, batch: SubjectsBatch):
+        from ..fuse import FusedStage, flip_per_element_apply, flip_static_apply
+
+        names = tuple(self._get_images(batch))
+        if not names:
+            return None
+        params = self.make_params(batch)
+        axes = params["axes"]
+        if self._is_per_instance_params(params):
+            flags = np.zeros((batch.batch_size, 3), np.float32)
+            for element, el_axes in enumerate(axes):
+                flags[element, list(el_axes)] = 1.0
+            return FusedStage(
+                key=("flip_pi", names),
+                apply=flip_per_element_apply(names),
+                args=jnp.asarray(flags),
+                params=params,
+            )
+        dims = tuple(a - 3 for a in axes)
+        return FusedStage(
+            key=("flip", names, dims),
+            apply=flip_static_apply(names, dims),
+            args=(),
+            params=params,
+        )
+
 
 class _FlipInverse(SpatialTransform):
     """Inverse of a per-instance Flip (flip is self-inverse per element)."""

@@ -359,6 +359,21 @@ class Transform:
 
     # --- Hooks ---
 
+    def fused_stage(self, batch: SubjectsBatch):
+        """Contribution to a fused elementwise chain, or None.
+
+        Implementations must not consume RNG before deciding
+        eligibility: ``Compose(fuse=True)`` checks eligibility first
+        (``fusable``), draws the p-gate coin, then builds the stage —
+        the exact RNG order of :meth:`forward`. See
+        :mod:`torchio_tpu.transforms.fuse`.
+        """
+        return None
+
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        """Whether :meth:`fused_stage` would return a stage (no RNG)."""
+        return False
+
     def make_params(self, batch: SubjectsBatch) -> dict[str, Any]:
         """Sample random parameters (host-side, concrete, JSON-able)."""
         return {}
