@@ -533,3 +533,225 @@ def test_sharded_blur_hlo_has_no_all_gather(mesh):
     )
     assert "collective-permute" in hlo
     assert "all-gather" not in hlo
+
+
+class TestShardedPatchInference:
+    """VERDICT r4 item 3: GridSampler -> model -> PatchAggregator over a
+    spatially sharded batch, one shard_map program, halo-only traffic."""
+
+    def _volume(self, b=2, shape=(10, 48, 12), seed=21):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.random((b, 1, *shape), np.float32))
+
+    def _single_chip(self, vol, patch_size, overlap, mode, model=None):
+        from torchio_tpu.data.aggregator import PatchAggregator
+        from torchio_tpu.data.patch import PatchLocation
+        from torchio_tpu.parallel.patches import grid_corners
+
+        b = vol.shape[0]
+        corners = grid_corners(vol.shape[2:], patch_size, (overlap,) * 3)
+        outs = []
+        for e in range(b):
+            agg = PatchAggregator(vol.shape[2:], overlap_mode=mode)
+            for c0 in corners:
+                sl = tuple(
+                    slice(int(c0[d]), int(c0[d]) + patch_size[d])
+                    for d in range(3)
+                )
+                patch = np.asarray(vol[e])[(slice(None), *sl)]
+                if model is not None:
+                    patch = model(patch)
+                agg.add_batch(
+                    patch[None],
+                    [PatchLocation(index=tuple(int(v) for v in c0),
+                                   size=patch_size)],
+                )
+            outs.append(agg.get_output())
+        return np.stack(outs)
+
+    @pytest.mark.parametrize("mode", ["hann", "average"])
+    def test_matches_single_chip(self, mesh, mode):
+        from torchio_tpu.parallel.patches import sharded_grid_inference
+        from torchio_tpu.parallel.mesh import batch_sharding
+
+        vol = self._volume()
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharded = jax.device_put(
+            vol,
+            NamedSharding(mesh, PartitionSpec(None, None, None, "space", None)),
+        )
+        out = sharded_grid_inference(
+            sharded,
+            mesh=mesh,
+            patch_size=(6, 8, 6),
+            patch_overlap=4,
+            overlap_mode=mode,
+        )
+        expected = self._single_chip(vol, (6, 8, 6), 4, mode)
+        np.testing.assert_allclose(
+            np.asarray(out), expected, rtol=1e-4, atol=1e-5
+        )
+        assert len(out.sharding.device_set) == len(jax.devices())
+
+    def test_model_applied_per_patch(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from torchio_tpu.parallel.patches import sharded_grid_inference
+
+        vol = self._volume(b=1)
+        sharded = jax.device_put(
+            vol,
+            NamedSharding(mesh, PartitionSpec(None, None, None, "space", None)),
+        )
+        out = sharded_grid_inference(
+            sharded,
+            mesh=mesh,
+            model_fn=lambda x: 2.0 * x + 1.0,
+            patch_size=(6, 8, 6),
+            patch_overlap=2,
+            overlap_mode="average",
+        )
+        expected = self._single_chip(
+            vol, (6, 8, 6), 2, "average", model=lambda p: 2.0 * p + 1.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), expected, rtol=1e-4, atol=1e-5
+        )
+
+    def test_hlo_has_no_all_gather(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from torchio_tpu.parallel.patches import (
+            _partition_corners,
+            _sharded_inference_program,
+            grid_corners,
+        )
+
+        b, c, si, sj, sk = 1, 1, 8, 48, 8
+        jl = sj // mesh.shape["space"]
+        p = (6, 8, 6)
+        corners = grid_corners((si, sj, sk), p, (4, 4, 4))
+        per_shard, valid = _partition_corners(
+            corners, mesh.shape["space"], jl
+        )
+        program = _sharded_inference_program(
+            mesh, "space", (b, c, si, jl, sk), p, per_shard.shape[1],
+            "hann", 0, model_ref=None,
+        )
+        vol = jax.device_put(
+            jnp.zeros((b, c, si, sj, sk), jnp.float32),
+            NamedSharding(mesh, PartitionSpec(None, None, None, "space", None)),
+        )
+        sh_c = jax.device_put(
+            jnp.asarray(per_shard),
+            NamedSharding(mesh, PartitionSpec("space", None, None)),
+        )
+        sh_v = jax.device_put(
+            jnp.asarray(valid),
+            NamedSharding(mesh, PartitionSpec("space", None)),
+        )
+        hlo = program.lower(vol, sh_c, sh_v).compile().as_text()
+        assert "collective-permute" in hlo
+        assert "all-gather" not in hlo
+
+    def test_patch_wider_than_shard_rejected(self, mesh):
+        from torchio_tpu.parallel.halo import HaloUnsupported
+        from torchio_tpu.parallel.patches import sharded_grid_inference
+
+        vol = self._volume(shape=(8, 16, 8))
+        with pytest.raises(HaloUnsupported, match="exceeds shard width"):
+            sharded_grid_inference(
+                vol, mesh=mesh, patch_size=(4, 12, 4), overlap_mode="hann"
+            )
+
+    def test_crop_mode_rejected(self, mesh):
+        from torchio_tpu.parallel.halo import HaloUnsupported
+        from torchio_tpu.parallel.patches import sharded_grid_inference
+
+        with pytest.raises(HaloUnsupported, match="hann"):
+            sharded_grid_inference(
+                self._volume(), mesh=mesh, patch_size=4, overlap_mode="crop"
+            )
+
+
+class TestLargeVolumePipeline:
+    """VERDICT r4 item 3 (>HBM demo): lazy file -> J-sharded mesh ->
+    halo Spatial+Blur -> file, no full-volume array anywhere."""
+
+    def test_file_to_file_matches_unsharded(self, tmp_path):
+        from torchio_tpu.io.nifti import read_nifti, write_nifti
+        from torchio_tpu.ops.gaussian import gaussian_kernel_1d, radius_for_sigma
+        from torchio_tpu.ops.resample import build_coords, resample
+        from torchio_tpu.parallel.large import process_large_volume
+        from torchio_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        shape = (12, 64, 10)
+        vol = rng.random((1, *shape), np.float32)
+        src = tmp_path / "big.nii"
+        dst = tmp_path / "out.nii"
+        write_nifti(src, vol)
+
+        mesh = make_mesh(jax.devices(), space=8)
+        theta = np.deg2rad(4.0)
+        matrix = np.eye(4)
+        matrix[0, 0] = matrix[1, 1] = np.cos(theta)
+        matrix[0, 1], matrix[1, 0] = -np.sin(theta), np.sin(theta)
+        sigma = 1.2
+        out = process_large_volume(
+            src, dst, mesh=mesh, matrix=matrix, sigma=sigma
+        )
+        # the result is J-sharded: every device holds a 1/8 slab only
+        assert len(out.sharding.device_set) == 8
+        assert {s.data.shape for s in out.addressable_shards} == {
+            (1, 1, 12, 8, 10)
+        }
+
+        # unsharded reference: same resample, then the same J-axis blur
+        ref = resample(
+            jnp.asarray(vol)[None], build_coords(shape, matrix),
+            mode="linear", fill=0.0,
+        )
+        r = radius_for_sigma(sigma, 3.0)
+        k = gaussian_kernel_1d(sigma, r)
+        padded = np.pad(
+            np.asarray(ref), ((0, 0), (0, 0), (0, 0), (r, r), (0, 0)),
+            mode="edge",
+        )
+        expected = sum(
+            k[t] * padded[:, :, :, t : t + shape[1], :]
+            for t in range(2 * r + 1)
+        )
+        got, affine = read_nifti(dst)
+        np.testing.assert_allclose(got, expected[0], rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(affine, np.eye(4))
+
+    def test_lazy_read_is_regional(self, tmp_path, monkeypatch):
+        # every device's slab comes from its own region read: the
+        # backend must never be asked for the full J extent
+        from torchio_tpu.io.nifti import write_nifti
+        from torchio_tpu.parallel.large import shard_volume_from_file
+        from torchio_tpu.parallel.mesh import make_mesh
+
+        vol = np.random.default_rng(0).random((1, 8, 64, 8), np.float32)
+        src = tmp_path / "v.nii"
+        write_nifti(src, vol)
+        img = tio.ScalarImage(src)
+        seen = []
+        orig = type(img).__getitem__
+
+        def spy(self, index):
+            seen.append(index)
+            return orig(self, index)
+
+        monkeypatch.setattr(type(img), "__getitem__", spy)
+        mesh = make_mesh(jax.devices(), space=8)
+        arr = shard_volume_from_file(img, mesh)
+        jax.block_until_ready(arr)
+        assert len(seen) == 8
+        widths = sorted(
+            (idx[2].stop or 64) - (idx[2].start or 0) for idx in seen
+        )
+        assert widths == [8] * 8
+        np.testing.assert_allclose(np.asarray(arr)[0], vol, rtol=1e-6)
