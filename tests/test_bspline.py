@@ -152,88 +152,85 @@ class TestScipyGoldens:
         np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
 
 
+class TestFrozenGoldenCorpus:
+    """THE parity artifact for interpolation orders 0-7 (VERDICT r4
+    item 7): tests/data/bspline_golden.npz holds FROZEN float64
+    dense-collocation oracle values (tests/_bspline_oracle.py,
+    generated once by tools/make_bspline_corpus.py) — the reference's
+    ``interpol.grid_pull`` wheel is uninstallable here, so the oracle
+    stands in for it with the per-order error budgets recorded in
+    BASELINE.md. A regression in any order's kernel fails against the
+    committed file, not a live-recomputed oracle."""
+
+    #: per-order absolute error budgets (4-5x the measured max error;
+    #: BASELINE.md "B-spline parity budgets" table)
+    BUDGETS = {
+        0: 1e-6,
+        1: 1e-6,
+        2: 3e-6,
+        3: 5e-6,
+        4: 5e-6,
+        5: 1e-5,
+        6: 2e-5,
+        7: 4e-5,
+    }
+
+    @pytest.fixture(scope="class")
+    def corpus(self):
+        import pathlib
+
+        return np.load(
+            pathlib.Path(__file__).parent / "data" / "bspline_golden.npz"
+        )
+
+    @pytest.mark.parametrize("order", list(range(8)))
+    def test_order_matches_frozen_corpus(self, corpus, order):
+        vol = corpus["volume"]
+        pts = corpus["points"]
+        n = len(pts)
+        coords = pts.reshape(1, n, 1, 1, 3)
+        want = corpus[f"order_{order}"]
+        if order >= 2:
+            ours = bspline_resample(
+                vol[None, None], coords, order=order, fill=0.0
+            )
+        else:
+            from torchio_tpu.ops.resample import _resample_kernel
+
+            import jax.numpy as jnp
+
+            mode = "nearest" if order == 0 else "linear"
+            ours = _resample_kernel(
+                jnp.asarray(vol[None, None]),
+                jnp.asarray(coords),
+                jnp.zeros((1, 1)),
+                mode,
+                True,
+            )
+        np.testing.assert_allclose(
+            np.asarray(ours).reshape(-1)[:n],
+            want,
+            rtol=0,
+            atol=self.BUDGETS[order],
+        )
+
+
 class TestHighOrderDenseOracle:
     """Orders 6-7 exceed scipy.ndimage's limit (order <= 5); validate
-    them against an independent float64 dense-collocation oracle:
-    solve the mirror-boundary prefilter as an explicit linear system
-    per axis, then evaluate the tensor-product spline directly."""
-
-    @staticmethod
-    def _bspline(u, order):
-        # Cox-de Boor, float64
-        u = np.asarray(u, np.float64)
-        if order == 0:
-            return ((u >= -0.5) & (u < 0.5)).astype(np.float64)
-        b = TestHighOrderDenseOracle._bspline
-        lower = b(u + 0.5, order - 1)
-        upper = b(u - 0.5, order - 1)
-        return ((u + (order + 1) / 2) * lower + ((order + 1) / 2 - u) * upper) / order
-
-    @staticmethod
-    def _reflect(m, n):
-        if n == 1:
-            return 0
-        period = 2 * n - 2
-        m = abs(m) % period
-        return period - m if m >= n else m
-
-    @classmethod
-    def _solve_axis(cls, y, order):
-        """Exact mirror-boundary prefilter along axis 0 via dense solve."""
-        n = y.shape[0]
-        r = (order + 1) // 2 + 1
-        a = np.zeros((n, n), np.float64)
-        for i in range(n):
-            for m in range(i - r, i + r + 1):
-                w = float(cls._bspline(i - m, order))
-                if w != 0.0:
-                    a[i, cls._reflect(m, n)] += w
-        flat = y.reshape(n, -1).astype(np.float64)
-        return np.linalg.solve(a, flat).reshape(y.shape)
-
-    @classmethod
-    def _evaluate(cls, coeffs, pts, order):
-        """Tensor-product spline at (M, 3) points (already in-range)."""
-        n0, n1, n2 = coeffs.shape
-        r = (order + 1) // 2 + 1
-        out = np.zeros(len(pts), np.float64)
-        for p, (x, y, z) in enumerate(pts):
-            acc = 0.0
-            for mi in range(int(np.floor(x)) - r, int(np.floor(x)) + r + 1):
-                wx = float(cls._bspline(x - mi, order))
-                if wx == 0.0:
-                    continue
-                for mj in range(int(np.floor(y)) - r, int(np.floor(y)) + r + 1):
-                    wy = float(cls._bspline(y - mj, order))
-                    if wy == 0.0:
-                        continue
-                    for mk in range(int(np.floor(z)) - r, int(np.floor(z)) + r + 1):
-                        wz = float(cls._bspline(z - mk, order))
-                        if wz == 0.0:
-                            continue
-                        acc += (
-                            wx * wy * wz
-                            * coeffs[
-                                cls._reflect(mi, n0),
-                                cls._reflect(mj, n1),
-                                cls._reflect(mk, n2),
-                            ]
-                        )
-            out[p] = acc
-        return out
+    them against the independent float64 dense-collocation oracle
+    (tests/_bspline_oracle.py) on fresh random draws — the frozen
+    corpus above is the regression artifact, this is the property
+    check."""
 
     @pytest.mark.parametrize("order", [6, 7])
     def test_matches_dense_oracle(self, rng, order):
+        from _bspline_oracle import evaluate, prefilter
+
         s = 8
         vol = rng.normal(size=(s, s, s)).astype(np.float32)
-        # oracle coefficients: sequential exact solves per axis
-        c = vol.astype(np.float64)
-        for axis in range(3):
-            c = np.moveaxis(
-                self._solve_axis(np.moveaxis(c, axis, 0), order), 0, axis
-            )
+        c = prefilter(vol, order)
         pts = rng.uniform(1.0, s - 2.0, size=(40, 3)).astype(np.float32)
-        want = self._evaluate(c, pts, order)
+        want = evaluate(c, pts, order)
 
         coords = pts.reshape(1, 40, 1, 1, 3)  # (B, Io, Jo, Ko, 3)
         ours = np.asarray(
