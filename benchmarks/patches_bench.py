@@ -116,19 +116,67 @@ def bench_aggregator(device_output: bool = False) -> float:
     return run_pass()
 
 
+def bench_aggregator_pull_decomposition() -> dict:
+    """Split the host-materialize pass into reassembly (scatter flush +
+    normalize, synced on device) vs the device->host pull of the 8 MB
+    volume — the VERDICT r4 question: is the pull overlapped or is it
+    the whole cost?"""
+    import jax.numpy as jnp
+
+    subject = make_subjects(1, device=True)[0]
+    sampler = tio.GridSampler(subject, patch_size=64, patch_overlap=16)
+    loader = tio.SubjectsLoader(sampler, batch_size=4)
+
+    def run_pass() -> tuple[float, float, float, int]:
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="hann")
+        t0 = time.time()
+        n = 0
+        for batch in loader:
+            agg.add_batch(
+                batch.images["t1"].data, batch.metadata["patch_location"]
+            )
+            n += batch.batch_size
+        out = agg.get_output(device=True)
+        float(jnp.sum(out))  # device-side completion: reassembly done
+        t1 = time.time()
+        np.asarray(out)  # the pull alone
+        t2 = time.time()
+        return t1 - t0, t2 - t1, t2 - t0, n
+
+    run_pass()
+    flush_s, pull_s, total_s, n = run_pass()
+
+    # reduced-precision export: cast on device, halve the pulled bytes
+    agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="hann")
+    t0 = time.time()
+    n16 = 0
+    for batch in loader:
+        agg.add_batch(
+            batch.images["t1"].data, batch.metadata["patch_location"]
+        )
+        n16 += batch.batch_size
+    agg.get_output(dtype=np.float16)
+    f16_pps = n16 / (time.time() - t0)
+    return {
+        "aggregator_reassembly_ms": round(1000 * flush_s, 1),
+        "aggregator_pull_ms": round(1000 * pull_s, 1),
+        "aggregator_host_total_pps": round(n / total_s, 2),
+        "aggregator_pull_fraction": round(pull_s / total_s, 3),
+        "aggregator_host_f16_pps": round(f16_pps, 2),
+    }
+
+
 if __name__ == "__main__":
     queue_pps = bench_queue()
     agg_pps = bench_aggregator(device_output=True)
     agg_host_pps = bench_aggregator()
-    print(
-        json.dumps(
-            {
-                "queue_patches_per_sec": round(queue_pps, 2),
-                "aggregator_patches_per_sec": round(agg_pps, 2),
-                "aggregator_host_materialize_pps": round(agg_host_pps, 2),
-            }
-        )
-    )
+    report = {
+        "queue_patches_per_sec": round(queue_pps, 2),
+        "aggregator_patches_per_sec": round(agg_pps, 2),
+        "aggregator_host_materialize_pps": round(agg_host_pps, 2),
+    }
+    report.update(bench_aggregator_pull_decomposition())
+    print(json.dumps(report))
 
 
 def bench_queue_device() -> float:
@@ -153,6 +201,13 @@ def bench_queue_device() -> float:
     )
     import jax.numpy as jnp
 
+    # NOTE prep_batch>1 (stacked subject prep) was measured SLOWER here
+    # (60.6 vs 68.5 pps same-session): the stacked (4, ...) Motion/
+    # Ghosting programs cost more than four sequential ones on this
+    # workload, and prep dispatch is not the bottleneck — the
+    # transform-free machinery itself caps at ~78 pps (see BASELINE.md
+    # round-5 config-5 decomposition). The knob stays for pipelines
+    # where prep dispatch does dominate.
     for _ in range(2):  # warm epochs (see bench_queue)
         for batch in queue.device_batches(batch_size=8):
             float(jnp.sum(batch.images["t1"].data))
@@ -164,4 +219,44 @@ def bench_queue_device() -> float:
         for batch in queue.device_batches(batch_size=8):
             float(jnp.sum(batch.images["t1"].data))
             count += batch.batch_size
+    return count / (time.time() - t0)
+
+
+def bench_queue_device_pipelined() -> float:
+    """Ring path with an overlap-friendly consumer: batches are
+    consumed on device (a training step would), syncing once per epoch
+    instead of once per batch — the per-batch ~25 ms tunnel round trip
+    amortizes away (same methodology as suite config 1's pipelined
+    metric)."""
+    import jax.numpy as jnp
+
+    tio.seed(0)
+    subjects = make_subjects(4, device=True)
+    augment = tio.Compose(
+        [
+            tio.Motion(degrees=5, translation=3, num_transforms=1, p=0.5),
+            tio.Ghosting(intensity=(0.3, 0.7), p=0.5),
+        ]
+    )
+    queue = tio.Queue(
+        subjects,
+        patch_sampler=tio.LabelSampler(patch_size=64, label_name="seg"),
+        max_length=64,
+        patches_per_volume=8,
+        num_workers=2,
+        transform=augment,
+    )
+    for _ in range(2):
+        for batch in queue.device_batches(batch_size=8):
+            float(jnp.sum(batch.images["t1"].data))
+
+    epochs = 3
+    t0 = time.time()
+    count = 0
+    last = None
+    for _ in range(epochs):
+        for batch in queue.device_batches(batch_size=8):
+            last = jnp.sum(batch.images["t1"].data)
+            count += batch.batch_size
+        float(last)  # one sync per epoch
     return count / (time.time() - t0)

@@ -228,19 +228,24 @@ def config4() -> dict:
 def config5() -> dict:
     from benchmarks.patches_bench import (
         bench_aggregator,
+        bench_aggregator_pull_decomposition,
         bench_queue,
         bench_queue_device,
+        bench_queue_device_pipelined,
     )
 
-    return {
+    report = {
         "metric": "config5 Queue+LabelSampler 64^3 patches/sec"
         " (device ring-buffer path)",
         "value": round(bench_queue_device(), 2),
         "unit": "patches/sec",
+        "pipelined_patches_per_sec": round(bench_queue_device_pipelined(), 2),
         "loader_path_patches_per_sec": round(bench_queue(), 2),
         "aggregator_patches_per_sec": round(bench_aggregator(device_output=True), 2),
         "aggregator_host_materialize_pps": round(bench_aggregator(), 2),
     }
+    report.update(bench_aggregator_pull_decomposition())
+    return report
 
 
 CONFIGS = {"1": config1, "2": config2, "3": config3, "4": config4, "5": config5}

@@ -114,3 +114,70 @@ def test_json_roundtrip():
     a = AffineMatrix.from_spacing((1.5, 2.5, 3.5), origin=(-1, 0, 1))
     b = AffineMatrix(a.tolist())
     assert a == b
+
+
+# --- consolidated from test_coverage_edges4.py (round 5) ---
+import copy
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+
+
+class TestAffineEdges:
+    def test_from_spacing_scalar_with_direction(self):
+        aff = AffineMatrix.from_spacing(2.0, direction=np.eye(3))
+        assert aff.spacing == (2.0, 2.0, 2.0)
+
+    def test_euler_gimbal_lock(self):
+        # 90 deg about Y: r[0,0] = r[1,0] = 0 -> the sy < 1e-6 branch
+        m = np.eye(4)
+        m[:3, :3] = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]])
+        x, y, z = AffineMatrix(m).euler_angles
+        assert y == pytest.approx(90.0)
+        assert z == 0.0
+
+    def test_numpy_tolist_to(self):
+        aff = AffineMatrix()
+        out = aff.numpy()
+        assert out.dtype == np.float64
+        out[0, 0] = 99  # a copy: the affine must not see the write
+        assert aff.data[0, 0] == 1.0
+        assert aff.tolist()[3] == [0.0, 0.0, 0.0, 1.0]
+        assert aff.to("some-device") is aff
+
+    def test_matmul_non_affine_is_type_error(self):
+        with pytest.raises(TypeError):
+            AffineMatrix() @ 3  # noqa: B018
+
+    def test_array_protocol_dtype(self):
+        arr = np.asarray(AffineMatrix(), dtype=np.float32)
+        assert arr.dtype == np.float32
+
+    def test_eq_hash_repr_copy(self):
+        aff = AffineMatrix.from_spacing((1, 2, 3))
+        assert (aff == object()) is False
+        assert hash(aff) == hash(aff.clone())
+        assert "spacing=(1.00, 2.00, 3.00)" in repr(aff)
+        assert copy.copy(aff) == aff
+
+    def test_direction_object_with_detach_only(self):
+        class DetachOnly:
+            def __init__(self, arr):
+                self._arr = arr
+
+            def detach(self):
+                return self
+
+            def cpu(self):
+                return self
+
+            def numpy(self):
+                return self._arr
+
+        aff = AffineMatrix.from_spacing((1, 1, 1), direction=DetachOnly(np.eye(3)))
+        np.testing.assert_array_equal(aff.data, np.eye(4))

@@ -64,3 +64,37 @@ def test_mapping_roundtrip():
     composed = tuple(perm[perm2[i]] for i in range(3))
     assert composed == (0, 1, 2)
     assert flips == flips2 == (True, True, True)
+
+
+# --- consolidated from test_coverage_edges4.py (round 5) ---
+import copy
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+
+
+class TestOrientationEdges:
+    def test_incompatible_orientations(self):
+        from torchio_tpu.core.orientation import axcodes2ornt, ornt_transform
+
+        start = axcodes2ornt("RRS")  # degenerate: axis 0 twice, axis 1 never
+        end = axcodes2ornt("RAS")
+        with pytest.raises(ValueError, match="Incompatible"):
+            ornt_transform(start, end)
+
+    def test_apply_orientation_flip(self):
+        from torchio_tpu.core.orientation import (
+            apply_orientation,
+            axcodes2ornt,
+            ornt_transform,
+        )
+
+        arr = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+        ornt = ornt_transform(axcodes2ornt("RAS"), axcodes2ornt("LAS"))
+        out = apply_orientation(arr, ornt)
+        np.testing.assert_array_equal(out, arr[::-1])

@@ -230,3 +230,64 @@ class TestPerElementHistory:
             pytest.skip("OneOf produced a shared history for this draw")
         with pytest.raises(RuntimeError, match="per-element"):
             branched.get_inverse_transform()
+
+
+# --- consolidated from test_coverage_edges4.py (round 5) ---
+import copy
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+
+
+class TestBatchEdges:
+    def _batch(self, b=2):
+        from torchio_tpu.data.batch import ImagesBatch
+
+        return ImagesBatch(
+            np.ones((b, 1, 4, 4, 4), np.float32),
+            [AffineMatrix() for _ in range(b)],
+        )
+
+    def test_device_none_on_host(self):
+        batch = self._batch()
+        assert batch.device is None
+
+    def test_affines_array(self):
+        arr = self._batch().affines_array()
+        assert arr.shape == (2, 4, 4) and arr.dtype == np.float32
+
+    def test_to_host_from_device(self):
+        batch = self._batch()
+        batch.to(jax.devices()[0])
+        assert isinstance(batch.data, jax.Array)
+        batch.to("cpu")
+        assert isinstance(batch.data, np.ndarray)
+
+    def test_shard_with_named_sharding_and_drop(self):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        sharding = NamedSharding(mesh, PartitionSpec("data"))
+        batch = self._batch()
+        batch.shard_(sharding)
+        assert batch.data.sharding == sharding
+        # assigning a different batch size drops the sharding
+        batch.data = np.ones((3, 1, 4, 4, 4), np.float32)
+        assert batch.device is None or batch.data.shape[0] == 3
+
+    def test_per_instance_trace_out_of_range(self, rng):
+        subject = Subject(
+            t1=ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        )
+        from torchio_tpu.data.batch import SubjectsBatch, _trace_for_element
+
+        batch = SubjectsBatch.from_subjects([subject, copy.deepcopy(subject)])
+        out = tio.Noise(std=(0.1, 0.2), per_instance=True)(batch)
+        trace = out.applied_transforms[-1]
+        with pytest.raises(IndexError, match="outside the batch"):
+            _trace_for_element(trace, 7)

@@ -239,3 +239,60 @@ class TestHighOrderDenseOracle:
             )
         ).reshape(-1)[:40]
         np.testing.assert_allclose(ours, want, atol=5e-4, rtol=1e-4)
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestBsplineEdges:
+    def test_prefilter_length_one_axis(self):
+        from torchio_tpu.ops.bspline import prefilter
+
+        vol = jnp.ones((1, 1, 1), jnp.float32) * 3.0
+        out = prefilter(vol, order=3)
+        np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-6)
+
+    def test_order_leq_one_is_identity(self, rng):
+        from torchio_tpu.ops.bspline import prefilter
+
+        vol = jnp.asarray(rng.normal(size=(3, 4, 5)).astype(np.float32))
+        out = prefilter(vol, order=1)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(vol))
+
+    def test_fold_size_one(self):
+        from torchio_tpu.ops.bspline import _fold_coord, _reflect_index
+
+        idx = jnp.asarray([0, 1, -2, 5])
+        np.testing.assert_array_equal(np.asarray(_reflect_index(idx, 1)), 0)
+        x = jnp.asarray([0.0, 0.5, -1.5])
+        np.testing.assert_array_equal(np.asarray(_fold_coord(x, 1)), 0.0)
+
+    def test_invalid_order_raises(self, rng):
+        from torchio_tpu.ops.bspline import bspline_resample
+
+        vol = jnp.asarray(
+            rng.normal(size=(1, 1, 2, 2, 2)).astype(np.float32)
+        )
+        coords = jnp.zeros((1, 1, 1, 3), jnp.float32)
+        with pytest.raises(ValueError, match="order must be 2-7"):
+            bspline_resample(vol, coords, order=8)
+
+    def test_singleton_axis_volume(self, rng):
+        # covers the size==1 branch of the shift-table builder
+        from torchio_tpu.ops.bspline import bspline_resample
+
+        vol = jnp.asarray(
+            rng.normal(size=(1, 1, 1, 5, 5)).astype(np.float32)
+        )
+        g = np.zeros((4, 1, 1, 3), np.float32)
+        g[:, 0, 0, 1] = np.linspace(0.0, 4.0, 4)
+        g[:, 0, 0, 2] = np.linspace(0.0, 4.0, 4)
+        out = bspline_resample(vol, jnp.asarray(g), order=2)
+        assert np.isfinite(np.asarray(out)).all()

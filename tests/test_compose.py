@@ -220,3 +220,137 @@ def test_oneof_shape_changing_transform_errors_cleanly(make_batch):
     # Crop changes shape per element -> cannot re-stack
     with pytest.raises(RuntimeError, match="re-stacked"):
         tio.OneOf([tio.Crop(cropping=1), tio.Crop(cropping=2)])(batch)
+
+
+# --- consolidated from test_coverage_edges.py (round 5) ---
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge(rng, names=("t1",), shape=(6, 6, 6), value=None):
+    kwargs = {}
+    for name in names:
+        if value is None:
+            data = rng.random((1, *shape)).astype(np.float32)
+        else:
+            data = np.full((1, *shape), value, np.float32)
+        cls = tio.LabelMap if name.startswith("seg") else tio.ScalarImage
+        kwargs[name] = cls(jnp.asarray(data))
+    return SubjectsBatch.from_subjects([tio.Subject(**kwargs)])
+
+
+class TestComposeEdges:
+    def test_empty_compose(self, rng):
+        pipeline = tio.Compose([])
+        assert list(pipeline) == []
+        subject = tio.Subject(
+            t1=tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        )
+        out = pipeline(subject)
+        np.testing.assert_array_equal(
+            np.asarray(out.t1.data), np.asarray(subject.t1.data)
+        )
+
+    def test_p_gated_one_of_and_some_of(self, rng):
+        subject = tio.Subject(
+            t1=tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        )
+        before = np.asarray(subject.t1.data)
+        tio.seed(0)
+        one = tio.OneOf([tio.Flip(axes=(0,))], p=0.0)
+        np.testing.assert_array_equal(np.asarray(one(subject).t1.data), before)
+        some = tio.SomeOf([tio.Flip(axes=(0,))], num_transforms=1, p=0.0)
+        np.testing.assert_array_equal(np.asarray(some(subject).t1.data), before)
+
+    def test_some_of_to_hydra(self):
+        cfg = tio.SomeOf(
+            [tio.Flip(axes=(1,))], num_transforms=1
+        ).to_hydra()
+        assert cfg["transforms"][0]["_target_"].endswith("Flip")
+
+    def test_per_instance_schema_mismatch_raises(self, rng):
+        """A shape-changing transform under per-element OneOf cannot
+        re-stack."""
+        subjects = [
+            tio.Subject(
+                t1=tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+            )
+            for _ in range(2)
+        ]
+        batch = SubjectsBatch.from_subjects(subjects)
+        tio.seed(3)
+        one = tio.OneOf(
+            {
+                tio.CropOrPad(target_shape=4): 0.5,
+                tio.CropOrPad(target_shape=6): 0.5,
+            },
+            per_instance=True,
+        )
+        with pytest.raises(RuntimeError, match="different"):
+            # draw until the two elements take different branches
+            for _ in range(20):
+                one(batch)
+
+
+# --- consolidated from test_coverage_edges3.py (round 5) ---
+import warnings
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _subject_edge3(rng, shape=(1, 6, 7, 8), with_label=False):
+    kwargs = {"t1": ScalarImage(rng.normal(size=shape).astype(np.float32))}
+    if with_label:
+        kwargs["seg"] = LabelMap(
+            rng.integers(0, 3, size=shape).astype(np.int32)
+        )
+    return Subject(**kwargs)
+
+
+class TestComposeEdgesEdge3:
+    def test_compose_none_transforms(self, rng):
+        pipeline = tio.Compose(None)
+        assert pipeline.transforms == []
+        subject = _subject_edge3(rng)
+        out = pipeline(subject)
+        np.testing.assert_array_equal(
+            np.asarray(out.t1.data), np.asarray(subject.t1.data)
+        )
+
+    def test_oneof_someof_p_zero_per_element(self, make_batch):
+        batch = make_batch(batch_size=2)
+        one = tio.OneOf([tio.Flip(axes=0)], p=0.0, per_instance=True)
+        out = one._forward_per_element(batch)
+        assert out is batch
+        some = tio.SomeOf(
+            [tio.Flip(axes=0)], num_transforms=1, p=0.0, per_instance=True
+        )
+        out2 = some._forward_per_element(batch)
+        assert out2 is batch
+
+    def test_oneof_someof_no_element_applied(self, make_batch, monkeypatch):
+        import torchio_tpu.random as tio_random
+
+        batch = make_batch(batch_size=2)
+        # force every per-element coin to miss
+        monkeypatch.setattr(tio_random, "random", lambda: 1.0)
+        one = tio.OneOf([tio.Flip(axes=0)], p=0.5, per_instance=True)
+        assert one._forward_per_element(batch) is batch
+        some = tio.SomeOf(
+            [tio.Flip(axes=0)], num_transforms=1, p=0.5, per_instance=True
+        )
+        assert some._forward_per_element(batch) is batch
+
+    def test_consistent_schema_empty_and_mismatch(self, rng):
+        from torchio_tpu.transforms.compose import _check_consistent_schema
+
+        _check_consistent_schema([], "OneOf")  # no-op on empty
+        s1 = _subject_edge3(rng)
+        s2 = _subject_edge3(rng, with_label=True)
+        with pytest.raises(RuntimeError, match="different"):
+            _check_consistent_schema([s1, s2], "OneOf")

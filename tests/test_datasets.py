@@ -411,3 +411,107 @@ class TestICBMStaged:
         subject = datasets.ICBM2009CNonlinearSymmetric(load_4d_tissues=False)
         assert "t1" in subject.images and "brain" in subject.images
         assert isinstance(subject.images["brain"], tio.LabelMap)
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestDownloadEdges:
+    def test_non_https_error_reraises(self, monkeypatch, tmp_path):
+        from torchio_tpu.utils import download as dl
+
+        def fail(url, path):
+            raise OSError("network down")
+
+        monkeypatch.setattr(dl.urllib.request, "urlretrieve", fail)
+        with pytest.raises(OSError, match="network down"):
+            dl.download_url("http://example.com/x.bin", tmp_path)
+
+    def test_download_and_extract(self, monkeypatch, tmp_path):
+        import tarfile
+
+        from torchio_tpu.utils import download as dl
+
+        inner = tmp_path / "payload.txt"
+        inner.write_text("hello")
+        archive_src = tmp_path / "src.tar.gz"
+        with tarfile.open(archive_src, "w:gz") as tf:
+            tf.add(inner, arcname="payload.txt")
+
+        def fake_retrieve(url, path):
+            import shutil
+
+            shutil.copy(archive_src, path)
+
+        monkeypatch.setattr(dl.urllib.request, "urlretrieve", fake_retrieve)
+        out_root = tmp_path / "out"
+        dl.download_and_extract_archive(
+            "https://example.com/src.tar.gz", out_root
+        )
+        assert (out_root / "payload.txt").read_text() == "hello"
+
+
+# --- consolidated from test_coverage_edges6.py (round 5) ---
+import struct
+import sys
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import ScalarImage
+
+def _python_jpegll_edge6(monkeypatch):
+    """Force the pure-Python JPEG-lossless decoder (the oracle)."""
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jpegll_decode", lambda stream: None)
+
+def _python_jls_edge6(monkeypatch):
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jls_decode", lambda stream: None)
+
+
+class TestDatasetBranches:
+    def test_fpg_load_all(self, monkeypatch, tmp_path, rng):
+        import h5py
+
+        import torchio_tpu.datasets as datasets
+        import torchio_tpu.datasets.fpg as mod
+        from torchio_tpu.io.matrix import write_matrix
+
+        monkeypatch.setattr(mod, "get_cache_dir", lambda: tmp_path)
+        root = tmp_path / "fpg"
+        root.mkdir()
+
+        def fake_download(url, rootdir, filename=None, **kw):
+            path = root / filename
+            if filename.endswith((".nii.gz", ".nrrd")):
+                ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32)).save(
+                    path
+                )
+            elif filename.endswith(".tfm"):
+                write_matrix(np.eye(4), path)
+            elif filename.endswith(".h5"):
+                with h5py.File(path, "w") as f:
+                    g = f.create_group("TransformGroup").create_group("1")
+                    g["TransformParameters"] = np.concatenate(
+                        [np.eye(3).ravel(), np.zeros(3)]
+                    )
+                    g["TransformFixedParameters"] = np.zeros(3)
+
+        monkeypatch.setattr(mod, "download_url", fake_download)
+        subject = datasets.FPG(load_all=True)
+        assert {"t1", "seg", "t2", "fmri", "dmri"} <= set(subject.images)
+
+    def test_mni_find_missing(self, tmp_path):
+        from torchio_tpu.datasets.mni import Colin27
+
+        with pytest.raises(FileNotFoundError):
+            Colin27._find(tmp_path, "t1")

@@ -895,3 +895,154 @@ class TestPythonDecoderPath:
         write_dicom(path, data, np.eye(4), compression="jpeg-lossless")
         back, _ = read_dicom_file(path)
         np.testing.assert_array_equal(back, data)
+
+
+# --- consolidated from test_coverage_edges6.py (round 5) ---
+import struct
+import sys
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import ScalarImage
+
+def _python_jpegll_edge6(monkeypatch):
+    """Force the pure-Python JPEG-lossless decoder (the oracle)."""
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jpegll_decode", lambda stream: None)
+
+def _python_jls_edge6(monkeypatch):
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jls_decode", lambda stream: None)
+
+
+class TestJpegLosslessPython:
+    def test_all_predictors_python_decoder(self, monkeypatch):
+        from torchio_tpu.io.jpeg_lossless import (
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        _python_jpegll_edge6(monkeypatch)
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 3000, (9, 11)).astype(np.uint16)
+        for predictor in range(1, 8):
+            stream = encode_lossless_jpeg(img, predictor=predictor)
+            np.testing.assert_array_equal(decode_lossless_jpeg(stream), img)
+
+    def test_not_a_jpeg(self, monkeypatch):
+        from torchio_tpu.io.jpeg_lossless import decode_lossless_jpeg
+
+        _python_jpegll_edge6(monkeypatch)
+        with pytest.raises(ValueError, match="Not a JPEG"):
+            decode_lossless_jpeg(b"nope")
+
+    def test_bad_marker(self, monkeypatch):
+        from torchio_tpu.io.jpeg_lossless import decode_lossless_jpeg
+
+        _python_jpegll_edge6(monkeypatch)
+        with pytest.raises(ValueError, match="Bad marker"):
+            decode_lossless_jpeg(bytes([0xFF, 0xD8]) + b"\x00" * 8)
+
+    def _patch_after_marker(self, stream, marker, offset, value):
+        idx = stream.find(bytes([0xFF, marker]))
+        assert idx >= 0
+        patched = bytearray(stream)
+        patched[idx + 4 + offset] = value  # skip marker + length
+        return bytes(patched)
+
+    def test_multi_component_sof_rejected(self, monkeypatch):
+        from torchio_tpu.io.jpeg_lossless import (
+            SOF3,
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        _python_jpegll_edge6(monkeypatch)
+        stream = encode_lossless_jpeg(np.zeros((4, 4), np.uint8))
+        # SOF3 payload: precision(1) height(2) width(2) ncomp(1)
+        bad = self._patch_after_marker(stream, SOF3, 5, 3)
+        with pytest.raises(ValueError, match="single-component"):
+            decode_lossless_jpeg(bad)
+
+    def test_multi_scan_component_rejected(self, monkeypatch):
+        from torchio_tpu.io.jpeg_lossless import (
+            SOS,
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        _python_jpegll_edge6(monkeypatch)
+        stream = encode_lossless_jpeg(np.zeros((4, 4), np.uint8))
+        bad = self._patch_after_marker(stream, SOS, 0, 2)  # Ns = 2
+        with pytest.raises(ValueError, match="one scan component"):
+            decode_lossless_jpeg(bad)
+
+    def test_truncated_restart_stream(self, monkeypatch):
+        from torchio_tpu.io.jpeg_lossless import (
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        _python_jpegll_edge6(monkeypatch)
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 200, (6, 6)).astype(np.uint8)
+        stream = encode_lossless_jpeg(img, restart_interval=6)
+        # chop the scan right after the first RST marker, keep EOI
+        first_rst = stream.find(bytes([0xFF, 0xD0]))
+        assert first_rst > 0
+        bad = stream[: first_rst + 4] + bytes([0xFF, 0xD9])
+        with pytest.raises(ValueError, match="Truncated restart"):
+            decode_lossless_jpeg(bad)
+
+class TestDicomQuantization:
+    def test_int32_quantization_branches(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_file, write_dicom
+
+        # int32 within int16 range -> stored int16
+        p = tmp_path / "a.dcm"
+        write_dicom(p, np.arange(-8, 8, dtype=np.int32).reshape(1, 4, 4, 1))
+        arr, _ = read_dicom_file(p)
+        np.testing.assert_array_equal(
+            arr.ravel(), np.arange(-8, 8, dtype=np.int32)
+        )
+        # int32 within uint16 range (but above int16) -> stored uint16
+        p2 = tmp_path / "b.dcm"
+        write_dicom(p2, np.full((1, 2, 2, 1), 40000, np.int32))
+        arr2, _ = read_dicom_file(p2)
+        assert int(arr2.ravel()[0]) == 40000
+
+    def test_constant_float_volume(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_file, write_dicom
+
+        p = tmp_path / "c.dcm"
+        write_dicom(p, np.full((1, 3, 3, 1), 2.5, np.float32))
+        arr, _ = read_dicom_file(p)
+        np.testing.assert_allclose(arr, 2.5)
+
+    def test_3d_input_promotes(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_file, write_dicom
+
+        p = tmp_path / "d.dcm"
+        write_dicom(p, np.ones((3, 3, 2), np.int16))
+        arr, _ = read_dicom_file(p)
+        assert arr.shape[-3:] == (3, 3) or arr.size == 18
+
+    def test_rescale_slope_applied(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_file, write_dicom
+
+        p = tmp_path / "e.dcm"
+        data = np.linspace(0.0, 1e6, 16, dtype=np.float64).reshape(1, 4, 4, 1)
+        write_dicom(p, data)
+        arr, _ = read_dicom_file(p)
+        np.testing.assert_allclose(
+            np.asarray(arr, np.float64).ravel(), data.ravel(), rtol=1e-3, atol=20.0
+        )
+
+    def test_unreadable_directory(self, tmp_path):
+        from torchio_tpu.io.dicom import read_dicom_dir
+
+        (tmp_path / "x.dcm").write_bytes(b"junk" * 40)
+        with pytest.raises(ValueError, match="No readable DICOM"):
+            read_dicom_dir(tmp_path)

@@ -86,3 +86,59 @@ def test_monai_adapter_gated_without_monai():
     data = {"image": np.ones((1, 4, 4, 4), np.float32)}
     with pytest.raises(ImportError, match="[Mm][Oo][Nn][Aa][Ii]"):
         adapter(data)
+
+
+# --- consolidated from test_coverage_edges7.py (round 5) ---
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge7(rng, n=2, shape=(1, 6, 6, 6), label=False):
+    subjects = []
+    for _ in range(n):
+        if label:
+            img = tio.LabelMap(rng.integers(0, 3, shape).astype(np.int32))
+        else:
+            img = tio.ScalarImage(rng.random(shape).astype(np.float32))
+        subjects.append(tio.Subject(img=img))
+    return SubjectsBatch.from_subjects(subjects)
+
+
+class TestNoOpGates:
+    def test_bias_field_zero_std_shared_is_identity(self, rng):
+        x = rng.random((1, 5, 5, 5)).astype(np.float32)
+        out = tio.BiasField(std=0.0, per_instance=False, p=1.0)(
+            tio.ScalarImage(x)
+        )
+        np.testing.assert_array_equal(np.asarray(out.data), x)
+
+    def test_rescale_constant_input_skipped(self, rng):
+        x = np.full((1, 5, 5, 5), 3.0, np.float32)
+        out = tio.RescaleIntensity(out_min=0.0, out_max=1.0)(tio.ScalarImage(x))
+        np.testing.assert_array_equal(np.asarray(out.data), x)
+
+    def test_swap_all_elements_gated_out(self, rng):
+        batch = _batch_edge7(rng)
+        t = tio.Swap(patch_size=2, p=1.0)
+        before = np.asarray(batch.images["img"].data).copy()
+        params = {
+            "patch_size": [2, 2, 2],
+            "locations": [[], []],
+            "_batched_keys": ["locations"],
+        }
+        out = t.apply_transform(batch, params)
+        np.testing.assert_array_equal(
+            np.asarray(out.images["img"].data), before
+        )
+
+    def test_motion_all_elements_gated_out(self, rng):
+        batch = _batch_edge7(rng)
+        t = tio.Motion(p=1.0)
+        before = np.asarray(batch.images["img"].data).copy()
+        params = {"transforms": [[], []], "_batched_keys": ["transforms"]}
+        out = t.apply_transform(batch, params)
+        np.testing.assert_array_equal(
+            np.asarray(out.images["img"].data), before
+        )

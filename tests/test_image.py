@@ -272,3 +272,173 @@ class TestImageBehaviors:
         img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
         html = img._repr_html_()
         assert "6" in html
+
+
+# --- consolidated from test_coverage_edges.py (round 5) ---
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge(rng, names=("t1",), shape=(6, 6, 6), value=None):
+    kwargs = {}
+    for name in names:
+        if value is None:
+            data = rng.random((1, *shape)).astype(np.float32)
+        else:
+            data = np.full((1, *shape), value, np.float32)
+        cls = tio.LabelMap if name.startswith("seg") else tio.ScalarImage
+        kwargs[name] = cls(jnp.asarray(data))
+    return SubjectsBatch.from_subjects([tio.Subject(**kwargs)])
+
+
+class TestBackendAndImageEdges:
+    def test_normalize_index_errors(self):
+        from torchio_tpu.io.backends import normalize_index
+
+        with pytest.raises(IndexError, match="Unsupported index type"):
+            normalize_index({"bad": 1}, (1, 4, 4, 4))
+
+    def test_backend_data_rank_validation(self):
+        from torchio_tpu.io.backends import ArrayBackend
+
+        with pytest.raises(ValueError, match="3D or 4D"):
+            ArrayBackend(np.zeros((2, 2)), np.eye(4))
+        b = ArrayBackend(np.zeros((2, 2, 2)), np.eye(4))
+        assert b.shape == (1, 2, 2, 2)
+
+    def test_is_nifti_on_garbage(self, tmp_path):
+        from torchio_tpu.io.nifti import is_nifti
+
+        bad = tmp_path / "x.nii"
+        bad.write_bytes(b"garbage")
+        assert not is_nifti(bad)
+
+    def test_nifti_bad_datatype(self):
+        from torchio_tpu.io.nifti import parse_header
+
+        import struct
+
+        raw = bytearray(348)
+        struct.pack_into("<i", raw, 0, 348)
+        raw[344:348] = b"n+1\x00"
+        struct.pack_into("<h", raw, 40, 3)  # dim0
+        struct.pack_into("<h", raw, 70, 9999)  # datatype
+        with pytest.raises(ValueError, match="datatype"):
+            parse_header(bytes(raw))
+
+    def test_image_from_torch_tensor(self):
+        import torch
+
+        img = tio.ScalarImage(torch.rand(1, 4, 4, 4))
+        assert img.shape == (1, 4, 4, 4)
+        arr = img.numpy()
+        assert isinstance(arr, np.ndarray)
+
+    def test_unsupported_source_type(self):
+        with pytest.raises(ValueError, match="Unsupported Image source"):
+            tio.ScalarImage(12345)
+
+    def test_image_getattr_missing(self, rng):
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        with pytest.raises(AttributeError):
+            img.definitely_not_an_attr
+
+
+# --- consolidated from test_coverage_edges4.py (round 5) ---
+import copy
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+
+
+class TestImageEdges:
+    def test_jax_source_3d_promotes(self):
+        img = ScalarImage(jnp.ones((4, 5, 6)))
+        assert img.data.shape == (1, 4, 5, 6)
+        assert isinstance(img.jax(), jax.Array)
+        # numpy() pulls the device array through _to_host
+        assert img.numpy().shape == (1, 4, 5, 6)
+
+    def test_jax_source_channels_last(self):
+        img = ScalarImage(jnp.ones((4, 5, 6, 2)), channels_last=True)
+        assert img.data.shape == (2, 4, 5, 6)
+
+    def test_jax_source_region_read_and_unload(self):
+        img = ScalarImage(jnp.arange(24, dtype=jnp.float32).reshape(1, 2, 3, 4))
+        region = img[:, :1, :2, :3]
+        assert np.asarray(region.data).shape == (1, 1, 2, 3)
+        img.unload()  # no path, no ArrayBackend: a no-op
+        assert img.data.shape == (1, 2, 3, 4)
+
+    def test_file_like_source(self, tmp_path):
+        path = tmp_path / "t.nii"
+        ScalarImage(np.ones((1, 3, 4, 5), np.float32)).save(path)
+        with open(path, "rb") as f:
+            img = ScalarImage(f)
+        assert img.shape == (1, 3, 4, 5)
+
+    def test_set_data_default_affine(self, tmp_path):
+        path = tmp_path / "t.nii"
+        ScalarImage(np.ones((1, 3, 4, 5), np.float32)).save(path)
+        img = ScalarImage(path)  # lazy: affine not resolved yet
+        img.set_data(np.zeros((1, 2, 2, 2), np.float32))
+        np.testing.assert_array_equal(img.affine.data, np.eye(4))
+
+    def test_to_video_delegates(self, monkeypatch, tmp_path):
+        import torchio_tpu.visualization as viz
+
+        calls = {}
+        monkeypatch.setattr(
+            viz, "make_video", lambda img, out, **kw: calls.setdefault("out", out)
+        )
+        img = ScalarImage(np.ones((1, 3, 4, 5), np.float32))
+        img.to_video(tmp_path / "x.mp4")
+        assert calls["out"] == tmp_path / "x.mp4"
+
+    def test_plot_interactive_with_fake_niivue(self, monkeypatch):
+        import torchio_tpu.external.imports as ximports
+
+        class FakeViewer:
+            def __init__(self, height):
+                self.height = height
+                self.volumes = None
+
+            def load_volumes(self, volumes):
+                self.volumes = volumes
+
+        class FakeNiiVue:
+            NiiVue = FakeViewer
+
+        monkeypatch.setattr(ximports, "get_ipyniivue", lambda: FakeNiiVue)
+        img = ScalarImage(np.ones((1, 3, 4, 5), np.float32))
+        viewer = img.plot_interactive(height=250)
+        assert viewer.height == 250
+        assert viewer.volumes[0]["path"].endswith(".nii.gz")
+
+    def test_list_source(self):
+        img = ScalarImage([[[[1.0, 2.0]]]])
+        assert img.data.shape == (1, 1, 1, 2)
+
+    def test_dataobj_materializes_device_image(self):
+        from torchio_tpu.io.backends import ArrayBackend
+
+        img = ScalarImage(jnp.ones((1, 2, 3, 4), jnp.float32))
+        assert isinstance(img.dataobj, ArrayBackend)
+
+    def test_getattr_edges(self):
+        img = ScalarImage(np.ones((1, 2, 2, 2), np.float32))
+        with pytest.raises(AttributeError):
+            img._not_there  # noqa: B018
+        # before __init__ ran (e.g. mid-unpickle) attribute lookup must
+        # not recurse through _metadata
+        blank = object.__new__(ScalarImage)
+        with pytest.raises(AttributeError):
+            blank.anything  # noqa: B018

@@ -303,3 +303,412 @@ def test_blur_per_element_honors_truncate(rng):
     out3 = np.asarray(gaussian_blur_per_element(data, sig, truncate=3.0))
     out5 = np.asarray(gaussian_blur_per_element(data, sig, truncate=5.0))
     assert np.abs(out3 - out5).max() > 0  # wider support -> different taps
+
+
+# --- consolidated from test_coverage_edges.py (round 5) ---
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge(rng, names=("t1",), shape=(6, 6, 6), value=None):
+    kwargs = {}
+    for name in names:
+        if value is None:
+            data = rng.random((1, *shape)).astype(np.float32)
+        else:
+            data = np.full((1, *shape), value, np.float32)
+        cls = tio.LabelMap if name.startswith("seg") else tio.ScalarImage
+        kwargs[name] = cls(jnp.asarray(data))
+    return SubjectsBatch.from_subjects([tio.Subject(**kwargs)])
+
+
+class TestNormalizeEdges:
+    def test_replayed_host_bounds(self, rng):
+        """History replay delivers plain (low, high) tuples — the
+        non-deferred apply branch."""
+        batch = _batch_edge(rng)
+        t = tio.RescaleIntensity(out_min=0.0, out_max=1.0)
+        params = {
+            "out_min": 0.0,
+            "out_max": 1.0,
+            "in_ranges": {"t1": (0.25, 0.75)},
+        }
+        out = t.apply_transform(batch, params)
+        data = np.asarray(out.images["t1"].data)
+        assert data.min() >= 0.0 and data.max() <= 1.0
+
+    def test_replayed_zero_range_warns_and_noops(self, rng):
+        batch = _batch_edge(rng)
+        before = np.asarray(batch.images["t1"].data)
+        t = tio.RescaleIntensity(out_min=0.0, out_max=1.0)
+        params = {"out_min": 0.0, "out_max": 1.0, "in_ranges": {"t1": (3.0, 3.0)}}
+        with pytest.warns(RuntimeWarning, match="input range is zero"):
+            out = t.apply_transform(batch, params)
+        np.testing.assert_array_equal(np.asarray(out.images["t1"].data), before)
+
+    def test_missing_image_in_ranges_skipped(self, rng):
+        batch = _batch_edge(rng)
+        before = np.asarray(batch.images["t1"].data)
+        t = tio.RescaleIntensity(out_min=0.0, out_max=1.0)
+        params = {"out_min": 0.0, "out_max": 1.0, "in_ranges": {"other": (0, 1)}}
+        out = t.apply_transform(batch, params)
+        np.testing.assert_array_equal(np.asarray(out.images["t1"].data), before)
+
+    def test_masking_method_unknown_key(self, rng):
+        batch = _batch_edge(rng)
+        with pytest.raises(KeyError, match="not found in batch"):
+            tio.RescaleIntensity(masking_method="nope")(batch)
+
+    def test_masking_method_not_labelmap(self, rng):
+        batch = _batch_edge(rng, names=("t1", "other"))
+        with pytest.raises(TypeError, match="must refer to a LabelMap"):
+            tio.RescaleIntensity(masking_method="other")(batch)
+
+    def test_masking_method_bad_type(self, rng):
+        batch = _batch_edge(rng)
+        with pytest.raises(TypeError, match="masking_method must be"):
+            tio.RescaleIntensity(masking_method=42)(batch)
+
+    def test_empty_mask_warns_full_range(self, rng):
+        batch = _batch_edge(rng, names=("t1", "seg"))
+        batch.images["seg"].data = jnp.zeros_like(batch.images["seg"].data)
+        with pytest.warns(RuntimeWarning, match="mask is empty"):
+            out = tio.RescaleIntensity(
+                out_min=0.0, out_max=1.0, masking_method="seg"
+            )(batch)
+        data = np.asarray(out.images["t1"].data)
+        np.testing.assert_allclose(data.min(), 0.0, atol=1e-6)
+        np.testing.assert_allclose(data.max(), 1.0, atol=1e-6)
+
+    def test_masked_minmax_pair(self, rng):
+        """(0, 100) percentiles inside a mask: the min/max short-circuit."""
+        base = rng.random((1, 6, 6, 6)).astype(np.float32)
+        seg = (base > 0.5).astype(np.int32)
+        batch = SubjectsBatch.from_subjects(
+            [
+                tio.Subject(
+                    t1=tio.ScalarImage(jnp.asarray(base)),
+                    seg=tio.LabelMap(jnp.asarray(seg)),
+                )
+            ]
+        )
+        out = tio.RescaleIntensity(
+            out_min=0.0, out_max=1.0, masking_method="seg"
+        )(batch)
+        (trace,) = out.applied_transforms
+        low, high = trace.params["in_ranges"]["t1"]
+        np.testing.assert_allclose(low, base[seg.astype(bool)].min(), rtol=1e-6)
+        np.testing.assert_allclose(high, base[seg.astype(bool)].max(), rtol=1e-6)
+
+    def test_masked_percentiles(self, rng):
+        base = rng.random((1, 8, 8, 8)).astype(np.float32)
+        seg = np.ones_like(base, np.int32)
+        batch = SubjectsBatch.from_subjects(
+            [
+                tio.Subject(
+                    t1=tio.ScalarImage(jnp.asarray(base)),
+                    seg=tio.LabelMap(jnp.asarray(seg)),
+                )
+            ]
+        )
+        out = tio.RescaleIntensity(
+            out_min=0.0,
+            out_max=1.0,
+            percentile_low=5.0,
+            percentile_high=95.0,
+            masking_method="seg",
+        )(batch)
+        (trace,) = out.applied_transforms
+        low, high = trace.params["in_ranges"]["t1"]
+        np.testing.assert_allclose(low, np.quantile(base, 0.05), atol=1e-4)
+        np.testing.assert_allclose(high, np.quantile(base, 0.95), atol=1e-4)
+
+    def test_inverse_branches(self, rng):
+        from torchio_tpu.transforms.intensity.normalize import _RescaleInverse
+
+        batch = _batch_edge(rng)
+        before = np.asarray(batch.images["t1"].data)
+        # explicit in_min/in_max branch
+        inv = _RescaleInverse(
+            out_min=0.0, out_max=1.0, in_min=0.0, in_max=2.0, in_ranges=None
+        )
+        out = inv.apply_transform(batch, {})
+        np.testing.assert_allclose(
+            np.asarray(out.images["t1"].data), before * 2.0, rtol=1e-6
+        )
+        # zero in_range -> no-op
+        batch2 = _batch_edge(rng)
+        before2 = np.asarray(batch2.images["t1"].data)
+        inv_zero = _RescaleInverse(
+            out_min=0.0, out_max=1.0, in_min=1.0, in_max=1.0, in_ranges=None
+        )
+        out2 = inv_zero.apply_transform(batch2, {})
+        np.testing.assert_array_equal(np.asarray(out2.images["t1"].data), before2)
+        # image missing from in_ranges -> no-op
+        batch3 = _batch_edge(rng)
+        before3 = np.asarray(batch3.images["t1"].data)
+        inv_missing = _RescaleInverse(
+            out_min=0.0, out_max=1.0, in_min=None, in_max=None,
+            in_ranges={"other": (0.0, 1.0)},
+        )
+        out3 = inv_missing.apply_transform(batch3, {})
+        np.testing.assert_array_equal(np.asarray(out3.images["t1"].data), before3)
+        # randomized (per-element array) out range with a zero entry
+        inv_arr = _RescaleInverse(
+            out_min=[0.0], out_max=[0.0], in_min=0.0, in_max=2.0, in_ranges=None
+        )
+        batch4 = _batch_edge(rng)
+        before4 = np.asarray(batch4.images["t1"].data)
+        out4 = inv_arr.apply_transform(batch4, {})
+        np.testing.assert_array_equal(np.asarray(out4.images["t1"].data), before4)
+
+class TestStandardizeEdges:
+    def test_empty_mask_raises(self, rng):
+        batch = _batch_edge(rng, names=("t1", "seg"))
+        batch.images["seg"].data = jnp.zeros_like(batch.images["seg"].data)
+        with pytest.raises(RuntimeError, match="mask.*is empty"):
+            tio.Standardize(masking_method="seg")(batch)
+
+    def test_replayed_host_stats(self, rng):
+        batch = _batch_edge(rng)
+        t = tio.Standardize()
+        out = t.apply_transform(batch, {"stats": {"t1": (0.5, 2.0)}})
+        assert np.isfinite(np.asarray(out.images["t1"].data)).all()
+
+    def test_stats_missing_image_skipped(self, rng):
+        batch = _batch_edge(rng)
+        before = np.asarray(batch.images["t1"].data)
+        out = tio.Standardize().apply_transform(batch, {"stats": {}})
+        np.testing.assert_array_equal(np.asarray(out.images["t1"].data), before)
+
+    def test_inverse_missing_image_skipped(self, rng):
+        from torchio_tpu.transforms.intensity.standardize import (
+            _StandardizeInverse,
+        )
+
+        batch = _batch_edge(rng)
+        before = np.asarray(batch.images["t1"].data)
+        out = _StandardizeInverse(stats={"other": (0.0, 1.0)}).apply_transform(
+            batch, {}
+        )
+        np.testing.assert_array_equal(np.asarray(out.images["t1"].data), before)
+
+class TestLabelsToImageEdges:
+    def test_label_key_not_found(self, rng):
+        batch = _batch_edge(rng, names=("t1", "seg"))
+        with pytest.raises(KeyError, match="not found"):
+            tio.LabelsToImage(label_key="missing")(batch)
+
+    def test_no_labelmap_raises(self, rng):
+        batch = _batch_edge(rng)
+        with pytest.raises(KeyError, match="No LabelMap"):
+            tio.LabelsToImage()(batch)
+
+    def test_per_instance_params(self, rng):
+        seg = rng.integers(0, 3, (1, 6, 6, 6)).astype(np.int32)
+        subjects = [
+            tio.Subject(seg=tio.LabelMap(jnp.asarray(seg))) for _ in range(2)
+        ]
+        batch = SubjectsBatch.from_subjects(subjects)
+        tio.seed(5)
+        out = tio.LabelsToImage(per_instance=True)(batch)
+        (trace,) = out.applied_transforms
+        assert trace.params["_batched_keys"] == ["means", "stds"]
+        assert len(trace.params["means"]) == 2
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestGaussianEdges:
+    def test_sharded_axes_under_trace_is_false(self, rng):
+        from torchio_tpu.ops.gaussian import sharded_spatial_axes
+
+        seen = []
+
+        @jax.jit
+        def f(x):
+            seen.append(sharded_spatial_axes(x))
+            return x
+
+        f(jnp.zeros((1, 1, 2, 2, 2), jnp.float32))
+        assert seen[0] == (False, False, False)
+
+    def test_sharding_probe_exception_is_false(self):
+        from torchio_tpu.ops.gaussian import sharded_spatial_axes
+
+        class Weird:
+            ndim = 5
+
+            @property
+            def sharding(self):
+                raise RuntimeError("no sharding")
+
+        assert sharded_spatial_axes(Weird()) == (False, False, False)
+
+    def test_unbatched_input_promotes(self, rng):
+        from torchio_tpu.ops.gaussian import gaussian_blur
+
+        vol = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+        out = gaussian_blur(vol, (1.0, 1.0, 1.0))
+        assert out.shape == vol.shape
+
+    def test_tap_axis_path(self, rng):
+        # per-element blur with one sharded axis rides the tap form
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from torchio_tpu.ops.gaussian import gaussian_blur_per_element
+
+        devs = np.array(jax.devices()[:2]).reshape(2)
+        mesh = Mesh(devs, ("space",))
+        data = jnp.asarray(rng.normal(size=(2, 1, 8, 8, 8)).astype(np.float32))
+        sharded = jax.device_put(
+            data, NamedSharding(mesh, P(None, None, None, "space", None))
+        )
+        sigmas = np.full((2, 3), 1.0, np.float32)
+        out = gaussian_blur_per_element(sharded, sigmas)
+        ref = gaussian_blur_per_element(data, sigmas)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+
+# --- consolidated from test_coverage_edges3.py (round 5) ---
+import warnings
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _subject_edge3(rng, shape=(1, 6, 7, 8), with_label=False):
+    kwargs = {"t1": ScalarImage(rng.normal(size=shape).astype(np.float32))}
+    if with_label:
+        kwargs["seg"] = LabelMap(
+            rng.integers(0, 3, size=shape).astype(np.int32)
+        )
+    return Subject(**kwargs)
+
+
+class TestIntensityEdges:
+    def test_bias_field_std_zero_identity(self, make_batch):
+        batch = make_batch(batch_size=2)
+        before = np.asarray(batch.images["t1"].data).copy()
+        out = tio.BiasField(std=0.0, p=1.0)(batch)
+        np.testing.assert_array_equal(
+            np.asarray(out.images["t1"].data), before
+        )
+
+    def test_bias_field_per_element_all_zero_std(self, make_batch):
+        batch = make_batch(batch_size=2)
+        before = np.asarray(batch.images["t1"].data).copy()
+        tr = tio.BiasField(std=0.0, p=1.0, per_instance=True)
+        out = tr(batch)
+        np.testing.assert_array_equal(
+            np.asarray(out.images["t1"].data), before
+        )
+
+    def test_bias_field_scale_validation(self):
+        with pytest.raises(ValueError, match="scale"):
+            tio.BiasField(scale=0.0)
+
+    def test_blur_zero_sigma_identity(self, make_batch):
+        batch = make_batch(batch_size=2)
+        before = np.asarray(batch.images["t1"].data).copy()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = tio.Blur(std=0.0, p=1.0)(batch)
+        np.testing.assert_array_equal(
+            np.asarray(out.images["t1"].data), before
+        )
+
+    def test_clamp_min_gt_max_raises(self):
+        with pytest.raises(ValueError, match="out_min"):
+            tio.Clamp(out_min=2.0, out_max=1.0)
+
+    def test_gamma_per_element_inverse(self, make_batch):
+        batch = make_batch(batch_size=3)
+        before = np.abs(np.asarray(batch.images["t1"].data)) + 0.5
+        batch.images["t1"].data = before
+        tr = tio.Gamma(log_gamma=(-0.4, 0.4), per_instance=True, p=1.0)
+        out = tr(batch)
+        restored = out.apply_inverse_transform()
+        np.testing.assert_allclose(
+            np.asarray(restored.images["t1"].data), before,
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_histogram_landmark_edges(self, rng):
+        from torchio_tpu.transforms.intensity.histogram_standardization import (
+            compute_histogram_landmarks,
+        )
+
+        imgs = [
+            ScalarImage(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+            for _ in range(2)
+        ]
+        # custom quantiles (deduped + sorted), with a masking callable
+        lm = compute_histogram_landmarks(
+            imgs,
+            quantiles=(0.9, 0.1, 0.5, 0.5),
+            masking_method=lambda t: t > 0,
+        )
+        assert lm.ndim == 1
+        with pytest.raises(ValueError, match="at least 2"):
+            compute_histogram_landmarks(imgs, quantiles=(0.5,))
+        with pytest.raises(ValueError, match=r"in \[0, 1\]"):
+            compute_histogram_landmarks(imgs, quantiles=(0.1, 1.5))
+
+    def test_motion_validation_and_tiny_volume(self, rng):
+        with pytest.raises(ValueError, match="num_transforms"):
+            tio.Motion(num_transforms=0)
+        img = ScalarImage(rng.normal(size=(1, 2, 8, 8)).astype(np.float32))
+        with pytest.raises(ValueError, match="motion segments"):
+            tio.Motion(num_transforms=5, p=1.0)(Subject(t1=img))
+
+    def test_normalize_zero_ranges_skip(self, rng):
+        data = np.full((1, 4, 4, 4), 3.0, np.float32)  # constant input
+        subject = Subject(t1=ScalarImage(data))
+        out = tio.RescaleIntensity(out_min=0.0, out_max=1.0, p=1.0)(subject)
+        # constant image: in_range == 0 -> skipped, unchanged
+        np.testing.assert_array_equal(np.asarray(out.t1.data), data)
+
+    def test_rescale_inverse_zero_out_range(self, rng):
+        subject = _subject_edge3(rng)
+        tr = tio.RescaleIntensity(out_min=1.0, out_max=1.0, p=1.0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            out = tr(subject)
+        restored = out.apply_inverse_transform(warn=False)
+        assert restored.t1.data.shape == subject.t1.data.shape
+
+    def test_pca_validation(self):
+        with pytest.raises(ValueError, match="num_components"):
+            tio.PCA(num_components=0)
+
+    def test_swap_per_element_gating(self, make_batch, monkeypatch):
+        batch = make_batch(batch_size=3, shape=(1, 12, 12, 12))
+        tr = tio.Swap(
+            patch_size=3, num_iterations=2, p=0.5, per_instance=True
+        )
+        # run until the keep mask actually gates someone out AND someone in
+        for seed in range(20):
+            tio.seed(seed)
+            fresh = make_batch(batch_size=3, shape=(1, 12, 12, 12))
+            out = tr(fresh)
+            if not out.applied_transforms:
+                continue
+            keep = out.applied_transforms[-1].params.get("_keep")
+            if keep is not None and any(keep) and not all(keep):
+                break
+        assert out is not None

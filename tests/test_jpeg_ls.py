@@ -336,3 +336,63 @@ class TestDicomIntegration:
                 np.zeros((1, 2, 2, 1), np.int16),
                 compression="webp",
             )
+
+
+# --- consolidated from test_coverage_edges6.py (round 5) ---
+import struct
+import sys
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import ScalarImage
+
+def _python_jpegll_edge6(monkeypatch):
+    """Force the pure-Python JPEG-lossless decoder (the oracle)."""
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jpegll_decode", lambda stream: None)
+
+def _python_jls_edge6(monkeypatch):
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jls_decode", lambda stream: None)
+
+
+class TestJpegLsPython:
+    def test_low_precision_thresholds(self, monkeypatch):
+        from torchio_tpu.io.jpeg_ls import decode_jpeg_ls, encode_jpeg_ls
+
+        _python_jls_edge6(monkeypatch)
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 16, (8, 9)).astype(np.uint8)
+        stream = encode_jpeg_ls(img, precision=4)
+        np.testing.assert_array_equal(decode_jpeg_ls(stream), img)
+
+    def test_not_a_stream_and_bad_marker(self, monkeypatch):
+        from torchio_tpu.io.jpeg_ls import decode_jpeg_ls_python
+
+        with pytest.raises(ValueError, match="Not a JPEG-LS"):
+            decode_jpeg_ls_python(b"xx")
+        with pytest.raises(ValueError, match="Bad marker"):
+            decode_jpeg_ls_python(bytes([0xFF, 0xD8, 0x12, 0x34]))
+
+    def test_sos_before_sof_rejected(self, monkeypatch):
+        from torchio_tpu.io.jpeg_ls import SOS, decode_jpeg_ls_python
+
+        payload = bytes([1, 0, 0, 0, 0, 0])
+        seg = bytes([0xFF, SOS]) + struct.pack(">H", len(payload) + 2) + payload
+        with pytest.raises(ValueError, match="SOS before SOF55"):
+            decode_jpeg_ls_python(bytes([0xFF, 0xD8]) + seg)
+
+    def test_multi_component_scan_rejected(self, monkeypatch):
+        from torchio_tpu.io.jpeg_ls import SOS, decode_jpeg_ls_python, encode_jpeg_ls
+
+        stream = encode_jpeg_ls(np.zeros((4, 4), np.uint8))
+        idx = stream.find(bytes([0xFF, SOS]))
+        # replace the SOS with a two-component scan header (Ns=2):
+        # interleaved scans are out of scope (mode-0 only)
+        payload = bytes([2, 1, 0, 2, 0, 0, 1, 0])
+        sos = bytes([0xFF, SOS]) + struct.pack(">H", len(payload) + 2) + payload
+        bad = stream[:idx] + sos + bytes([0xFF, 0xD9])
+        with pytest.raises(ValueError, match="interleave mode 0"):
+            decode_jpeg_ls_python(bad)

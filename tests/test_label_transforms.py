@@ -149,3 +149,84 @@ def test_vectorization_zoo_gated(make_batch, assert_vectorized):
         transform = factory()
         batch = make_batch(8, shape=(1, 10, 10, 10))
         assert_vectorized(transform, batch, rtol=1e-4, atol=1e-4)
+
+
+# --- consolidated from test_coverage_edges3.py (round 5) ---
+import warnings
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _subject_edge3(rng, shape=(1, 6, 7, 8), with_label=False):
+    kwargs = {"t1": ScalarImage(rng.normal(size=shape).astype(np.float32))}
+    if with_label:
+        kwargs["seg"] = LabelMap(
+            rng.integers(0, 3, size=shape).astype(np.int32)
+        )
+    return Subject(**kwargs)
+
+
+class TestLabelEdges:
+    def test_contour_skips_scalar_images(self, rng):
+        subject = _subject_edge3(rng, with_label=True)
+        before = np.asarray(subject.t1.data).copy()
+        out = tio.Contour(p=1.0)(subject)
+        np.testing.assert_array_equal(np.asarray(out.t1.data), before)
+
+    def test_keep_largest_absent_and_single_component(self, rng):
+        vol = np.zeros((1, 8, 8, 8), np.int32)
+        vol[0, 1:3, 1:3, 1:3] = 2  # single component of label 2; label 1 absent
+        subject = Subject(
+            seg=LabelMap(vol),
+            t1=ScalarImage(rng.normal(size=(1, 8, 8, 8)).astype(np.float32)),
+        )
+        out = tio.KeepLargestComponent(labels=[1, 2], p=1.0)(subject)
+        np.testing.assert_array_equal(np.asarray(out.seg.data), vol)
+
+    def test_sequential_labels_skips_scalars(self, rng):
+        subject = _subject_edge3(rng, with_label=True)
+        before = np.asarray(subject.t1.data).copy()
+        out = tio.SequentialLabels(p=1.0)(subject)
+        np.testing.assert_array_equal(np.asarray(out.t1.data), before)
+        restored = out.apply_inverse_transform()
+        np.testing.assert_array_equal(np.asarray(restored.t1.data), before)
+
+
+# --- consolidated from test_coverage_edges7.py (round 5) ---
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge7(rng, n=2, shape=(1, 6, 6, 6), label=False):
+    subjects = []
+    for _ in range(n):
+        if label:
+            img = tio.LabelMap(rng.integers(0, 3, shape).astype(np.int32))
+        else:
+            img = tio.ScalarImage(rng.random(shape).astype(np.float32))
+        subjects.append(tio.Subject(img=img))
+    return SubjectsBatch.from_subjects(subjects)
+
+
+class TestMultiChannelIntegerLabels:
+    def test_resample_preserves_integer_dtype_multichannel(self, rng):
+        seg = tio.LabelMap(
+            rng.integers(0, 2, (2, 8, 8, 8)).astype(np.int32)
+        )
+        out = tio.Resample(target=2.0)(seg)
+        assert np.asarray(out.data).shape[0] == 2
+
+    def test_antialiased_downsample_multichannel_int(self, rng):
+        # the one-hot path smooths channels before sampling and returns
+        # the integer dtype unchanged (spatial.py multi-channel branch)
+        seg = tio.LabelMap(
+            rng.integers(0, 2, (2, 8, 8, 8)).astype(np.int32)
+        )
+        out = tio.Resample(target=2.0, antialias=True)(seg)
+        arr = np.asarray(out.data)
+        assert arr.shape[0] == 2
+        assert arr.dtype == np.int32

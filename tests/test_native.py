@@ -156,3 +156,79 @@ class TestNativeJpegLossless:
         native_t = time.perf_counter() - t0
         np.testing.assert_array_equal(out, img)
         assert native_t < 0.1
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestNativeFallbacks:
+    def test_build_failure_returns_false(self, monkeypatch):
+        import torchio_tpu.native as native
+
+        def boom(*a, **k):
+            raise OSError("no compiler")
+
+        monkeypatch.setattr(native.subprocess, "run", boom)
+        monkeypatch.setattr(native, "_LIB_PATH", native._LIB_PATH.parent / "nope.so")
+        assert native._build() is False
+
+    def test_get_lib_absent_returns_none(self, monkeypatch):
+        import torchio_tpu.native as native
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", False)
+        monkeypatch.setattr(
+            native, "_LIB_PATH", native._LIB_PATH.parent / "nope.so"
+        )
+        monkeypatch.setattr(native, "_build", lambda: False)
+        assert native.get_lib() is None
+
+    def test_jls_decode_without_lib(self, monkeypatch):
+        import torchio_tpu.native as native
+
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        assert native.jls_decode(b"\x00" * 16) is None
+        assert native.jpegll_decode(b"\x00" * 16) is None
+
+    def test_jls_decode_error_rc_returns_none(self, monkeypatch):
+        import torchio_tpu.native as native
+
+        class FakeLib:
+            # info probes fail -> decoders bail to the Python codecs
+            def fn_jls_info(self, *a):
+                return 1
+
+            def fn_jls_decode(self, *a):
+                return 1
+
+            def fn_jpegll_info(self, *a):
+                return 1
+
+            def fn_jpegll_decode(self, *a):
+                return 1
+
+        monkeypatch.setattr(native, "get_lib", lambda: FakeLib())
+        assert native.jls_decode(b"\xff\xd8" + b"\x00" * 32) is None
+        assert native.jpegll_decode(b"\xff\xd8" + b"\x00" * 32) is None
+
+    def test_f2c_transpose_error_rc_falls_back(self, monkeypatch):
+        import torchio_tpu.native as native
+
+        class FakeLib:
+            def fn_f2c_transpose(self, *a):
+                return 1  # native transpose failed
+
+        monkeypatch.setattr(native, "get_lib", lambda: FakeLib())
+        arr = np.asfortranarray(
+            np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+        )
+        out = native.f2c_transpose(arr)
+        np.testing.assert_array_equal(out, arr)
+        assert out.flags["C_CONTIGUOUS"]

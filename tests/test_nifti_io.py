@@ -265,3 +265,149 @@ def test_unsupported_datatype_raises(tmp_path, volume):
     _patch_header(path, "<h", 70, 1)  # DT_BINARY: unsupported
     with pytest.raises(ValueError, match="datatype"):
         read_header(path)
+
+
+# --- consolidated from test_coverage_edges5.py (round 5) ---
+import gzip
+import struct
+import sys
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import ScalarImage
+from torchio_tpu.io import nifti
+
+def _write_nii_edge5(tmp_path, arr, name="t.nii", affine=None):
+    path = tmp_path / name
+    nifti.write_nifti(path, arr, affine)
+    return path
+
+def _craft_nifti2_edge5(bo="<", datatype=16, shape=(2, 3, 4), sform=1, qform=0):
+    """Hand-build a 540-byte NIfTI-2 header (we only write NIfTI-1, but
+    must read both; the reference reads via nibabel)."""
+    raw = bytearray(540)
+    struct.pack_into(bo + "i", raw, 0, 540)
+    struct.pack_into(bo + "8s", raw, 4, b"n+2\x00\r\n\x1a\n")
+    struct.pack_into(bo + "h", raw, 12, datatype)
+    struct.pack_into(bo + "h", raw, 14, 32)  # bitpix
+    dim = [len(shape), *shape] + [1] * (7 - len(shape))
+    struct.pack_into(bo + "8q", raw, 16, *dim)
+    struct.pack_into(bo + "8d", raw, 104, 1.0, 1.0, 2.0, 3.0, 1, 1, 1, 1)
+    struct.pack_into(bo + "q", raw, 168, 544)  # vox_offset
+    struct.pack_into(bo + "2d", raw, 176, 1.0, 0.0)  # slope/inter
+    struct.pack_into(bo + "2i", raw, 344, qform, sform)
+    struct.pack_into(bo + "6d", raw, 352, 0.0, 0.0, 0.0, 5.0, 6.0, 7.0)
+    srow = np.diag([1.0, 2.0, 3.0]).astype(np.float64)
+    struct.pack_into(
+        bo + "12d", raw, 400,
+        *srow[0], 0.0, *srow[1], 0.0, *srow[2], 0.0,
+    )
+    return bytes(raw)
+
+
+class TestNifti2Parsing:
+    def test_big_endian_nifti2_sform(self):
+        h = nifti.parse_header(_craft_nifti2_edge5(bo=">"))
+        assert h.version == 2 and h.byteorder == ">"
+        assert h.shape == (2, 3, 4)
+        np.testing.assert_allclose(np.diag(h.affine)[:3], [1.0, 2.0, 3.0])
+
+    def test_truncated_nifti2(self):
+        with pytest.raises(ValueError, match="Truncated NIfTI-2"):
+            nifti.parse_header(struct.pack("<i", 540) + b"\x00" * 400)
+
+    def test_unsupported_datatype(self):
+        with pytest.raises(ValueError, match="datatype code"):
+            nifti.parse_header(_craft_nifti2_edge5(datatype=9999))
+
+    def test_qform_affine(self):
+        # identity quaternion, offsets (5, 6, 7), pixdims (1, 2, 3)
+        h = nifti.parse_header(_craft_nifti2_edge5(sform=0, qform=1))
+        np.testing.assert_allclose(np.diag(h.affine)[:3], [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(h.affine[:3, 3], [5.0, 6.0, 7.0])
+
+    def test_no_form_fallback_is_pixdim_diag(self):
+        h = nifti.parse_header(_craft_nifti2_edge5(sform=0, qform=0))
+        np.testing.assert_allclose(np.diag(h.affine), [1.0, 2.0, 3.0, 1.0])
+
+    def test_read_header_from_long_bytes(self):
+        data = _craft_nifti2_edge5() + b"\x00" * 256
+        assert nifti.read_header(data).version == 2
+
+class TestNiftiEdges:
+    def test_is_gzipped_bytes(self):
+        assert nifti._is_gzipped(b"\x1f\x8b\x08") is True
+        assert nifti._is_gzipped(b"ni1\x00") is False
+
+    def test_read_header_file_like(self, tmp_path):
+        arr = np.ones((1, 3, 4, 5), np.float32)
+        plain = _write_nii_edge5(tmp_path, arr, "a.nii")
+        gz = _write_nii_edge5(tmp_path, arr, "a.nii.gz")
+        with open(plain, "rb") as f:
+            assert nifti.read_header(f).shape[:3] == (3, 4, 5)
+        with open(gz, "rb") as f:
+            assert nifti.read_header(f).shape[:3] == (3, 4, 5)
+
+    def test_file_like_full_read_gz(self, tmp_path):
+        arr = np.arange(60, dtype=np.float32).reshape(1, 3, 4, 5)
+        gz = _write_nii_edge5(tmp_path, arr, "a.nii.gz")
+        with open(gz, "rb") as f:
+            nf = nifti.NiftiFile(f)
+            out = nf.read()
+        np.testing.assert_array_equal(out, arr)
+
+    def _patch_dims(self, path, dims):
+        raw = bytearray(path.read_bytes())
+        struct.pack_into("<8h", raw, 40, *dims)
+        path.write_bytes(bytes(raw))
+
+    def test_read_2d_and_1d_canonicalize(self, tmp_path):
+        arr = np.arange(12, dtype=np.float32).reshape(1, 3, 4, 1)
+        path = _write_nii_edge5(tmp_path, arr, "p.nii")
+        self._patch_dims(path, [2, 3, 4, 1, 1, 1, 1, 1])
+        out, _ = nifti.read_nifti(path)
+        assert out.shape == (1, 3, 4, 1)
+        self._patch_dims(path, [1, 12, 1, 1, 1, 1, 1, 1])
+        out, _ = nifti.read_nifti(path)
+        assert out.shape == (1, 12, 1, 1)
+
+    def test_read_5d_vector_folds(self, tmp_path):
+        # (3, 4, 5, 2) written as 4D, re-labeled (3, 4, 5, 1, 2): the
+        # NIfTI vector-image layout folds trailing dims into channels
+        arr = np.arange(120, dtype=np.float32).reshape(2, 3, 4, 5)
+        path = _write_nii_edge5(tmp_path, arr, "v.nii")
+        self._patch_dims(path, [5, 3, 4, 5, 1, 2, 1, 1])
+        out, _ = nifti.read_nifti(path)
+        assert out.shape == (2, 3, 4, 5)
+        # region reads through the backend fold the same way
+        img = ScalarImage(path)
+        region = img[:, 1:3, :2, :3]
+        assert np.asarray(region.data).shape == (2, 2, 2, 3)
+
+    def test_scaled_dtype_is_float32(self, tmp_path):
+        arr = (np.arange(12, dtype=np.int16)).reshape(1, 3, 4, 1)
+        path = _write_nii_edge5(tmp_path, arr, "s.nii")
+        raw = bytearray(path.read_bytes())
+        struct.pack_into("<2f", raw, 112, 2.0, 1.0)  # scl_slope, scl_inter
+        path.write_bytes(bytes(raw))
+        nf = nifti.NiftiFile(path)
+        assert nf.dtype == np.float32
+        out = nf.read()
+        # disk I-axis values 0, 4, 8 scaled by slope 2 + inter 1
+        np.testing.assert_allclose(out[0, :, 0, 0], [1.0, 9.0, 17.0])
+
+    def test_write_errors_and_casts(self, tmp_path):
+        with pytest.raises(ValueError, match="3D or 4D"):
+            nifti.write_nifti(tmp_path / "bad.nii", np.ones((3, 3), np.float32))
+        p = tmp_path / "b.nii"
+        nifti.write_nifti(p, np.ones((2, 3, 4), bool))
+        out, _ = nifti.read_nifti(p)
+        assert out.dtype == np.uint8
+        nifti.write_nifti(p, np.ones((2, 3, 4), np.float16))
+        out, _ = nifti.read_nifti(p)
+        assert out.dtype == np.float32
+
+    def test_is_nifti_true(self, tmp_path):
+        path = _write_nii_edge5(tmp_path, np.ones((1, 2, 2, 2), np.float32))
+        assert nifti.is_nifti(path) is True
+        assert nifti.is_nifti(tmp_path / "absent.nii") is False

@@ -497,3 +497,161 @@ class TestSingletonAxes:
         x = jnp.asarray(np.random.default_rng(7).random((2, 5, 6, 7), np.float32))
         out = upsample_volume(x, (1, 3, 1))
         assert out.shape == (2, 1, 3, 1)
+
+
+# --- consolidated from test_coverage_edges.py (round 5) ---
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge(rng, names=("t1",), shape=(6, 6, 6), value=None):
+    kwargs = {}
+    for name in names:
+        if value is None:
+            data = rng.random((1, *shape)).astype(np.float32)
+        else:
+            data = np.full((1, *shape), value, np.float32)
+        cls = tio.LabelMap if name.startswith("seg") else tio.ScalarImage
+        kwargs[name] = cls(jnp.asarray(data))
+    return SubjectsBatch.from_subjects([tio.Subject(**kwargs)])
+
+
+class TestResampleEdges:
+    def test_size_one_axes(self):
+        """2D images stored as (C, I, J, 1): size-1 axes never go out of
+        bounds (align_corners semantics) — all three kernels."""
+        from torchio_tpu.ops.resample import (
+            build_coords,
+            resample,
+            resample_fused,
+            resample_label_fused,
+        )
+
+        rng = np.random.default_rng(0)
+        data = rng.random((1, 1, 5, 5, 1)).astype(np.float32)
+        m = np.eye(4)
+        m[1, 3] = 0.5
+        out = np.asarray(
+            resample(jnp.asarray(data), build_coords((1, 5, 1), m), fill=2.0)
+        )
+        assert np.isfinite(out).all()
+        out2 = np.asarray(
+            resample_fused(
+                jnp.asarray(data), [m], [np.zeros((2, 2, 2, 3), np.float32)],
+                fill=2.0, use_f16=False,
+            )
+        )
+        assert np.isfinite(out2).all()
+        labels = (data > 0.5).astype(np.int32)
+        out3 = np.asarray(
+            resample_label_fused(jnp.asarray(labels), [m], [None], pad_label=9)
+        )
+        assert set(np.unique(out3)) <= {0, 1, 9}
+
+    def test_float_label_volume(self):
+        """Float-dtype labels use the inf sentinel in the corner kernel."""
+        from torchio_tpu.ops.resample import resample_label_fused
+
+        labels = np.array([[1.0, 3.0], [3.0, 1.0]], np.float32).reshape(1, 1, 2, 2, 1)
+        m = np.eye(4)
+        out = np.asarray(
+            resample_label_fused(jnp.asarray(labels), [m], [None], pad_label=0)
+        )
+        np.testing.assert_array_equal(out, labels)
+
+    def test_fill_validation(self):
+        from torchio_tpu.ops.resample import build_coords, resample
+
+        data = jnp.zeros((2, 3, 4, 4, 4), jnp.float32)
+        coords = build_coords((4, 4, 4), np.eye(4))
+        with pytest.raises(ValueError, match="2D fill"):
+            resample(data, coords, fill=np.zeros((3, 3), np.float32))
+        with pytest.raises(ValueError, match="per-channel"):
+            resample(data, coords, fill=np.zeros((5,), np.float32))
+        with pytest.raises(ValueError, match="scalar"):
+            resample(data, coords, fill=jnp.zeros((1, 2, 3), jnp.float32))
+        with pytest.raises(ValueError, match="Unsupported resampling mode"):
+            resample(data, coords, mode="quintic")
+
+    def test_device_fill_on_resample(self):
+        from torchio_tpu.ops.resample import build_coords, resample
+
+        rng = np.random.default_rng(1)
+        data = jnp.asarray(rng.random((1, 1, 4, 4, 4)).astype(np.float32))
+        m = np.eye(4)
+        m[0, 3] = 10.0  # everything out of bounds
+        out = np.asarray(
+            resample(data, build_coords((4, 4, 4), m), fill=jnp.float32(5.0))
+        )
+        np.testing.assert_array_equal(out, 5.0)
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestResampleEdgesEdge2:
+    def test_singleton_spatial_dims(self, rng):
+        from torchio_tpu.ops.resample import resample
+
+        vol = jnp.asarray(
+            rng.normal(size=(1, 1, 1, 1, 1)).astype(np.float32)
+        )
+        coords = jnp.zeros((2, 2, 2, 3), jnp.float32) + 0.3
+        out = resample(vol, coords, mode="linear")
+        np.testing.assert_allclose(
+            np.asarray(out), float(vol[0, 0, 0, 0, 0]), rtol=1e-6
+        )
+
+    def test_separable_output_length_one(self, rng):
+        # axis_coords n_out == 1 branch of the separable kernel
+        from torchio_tpu.core.affine import AffineMatrix
+        from torchio_tpu.transforms.spatial.spatial import Resample
+
+        img = tio.ScalarImage(
+            rng.normal(size=(1, 6, 6, 6)).astype(np.float32),
+            affine=np.eye(4),
+        )
+        subject = tio.Subject(t1=img)
+        out = Resample(
+            target=((6, 6, 1), np.diag([1.0, 1.0, 6.0, 1.0]))
+        )(subject)
+        assert out.t1.spatial_shape == (6, 6, 1)
+        assert isinstance(out.t1.affine, AffineMatrix)
+
+    def test_label_kernel_fallback_warns(self, rng, monkeypatch):
+        monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+        import importlib
+
+        rs = importlib.import_module("torchio_tpu.ops.resample")
+
+        def boom(*a, **k):
+            raise RuntimeError("kernel exploded")
+
+        monkeypatch.setattr(
+            "torchio_tpu.ops.window_resample.window_resample_label_fused",
+            boom,
+        )
+        labels = jnp.asarray(
+            rng.integers(0, 3, size=(1, 1, 8, 8, 8)).astype(np.int32)
+        )
+        mats = [np.eye(4, dtype=np.float64)]
+        cps = [np.full((2, 2, 2, 3), 0.5, np.float64)]
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            out = rs.resample_label_fused(
+                labels, mats, cps, out_shape=(8, 8, 8)
+            )
+        assert out.shape == (1, 1, 8, 8, 8)
+        assert any(
+            "window_resample_label_fused" in str(w.message) for w in caught
+        )

@@ -256,3 +256,202 @@ class TestWriteRouting:
         write_image(tmp_path / "v.nii.gz", data)
         back = tio.ScalarImage(tmp_path / "v.nii.gz")
         assert back.shape == (1, 4, 4, 4)
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestNRRDEdges:
+    def test_not_nrrd_raises(self, tmp_path):
+        from torchio_tpu.io.other_formats import read_nrrd
+
+        p = tmp_path / "x.nrrd"
+        p.write_bytes(b"JUNK not a nrrd")
+        with pytest.raises(ValueError, match="not a NRRD"):
+            read_nrrd(p)
+
+    def _write_raw_nrrd(self, path, fields, payload):
+        lines = ["NRRD0005"] + [f"{k}: {v}" for k, v in fields.items()]
+        path.write_bytes(("\n".join(lines) + "\n\n").encode() + payload)
+
+    def test_zlib_encoding_and_defaults(self, tmp_path):
+        import zlib
+
+        from torchio_tpu.io.other_formats import read_nrrd
+
+        arr = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+        p = tmp_path / "z.nrrd"
+        # no space directions / no space origin -> identity defaults
+        self._write_raw_nrrd(
+            p,
+            {
+                "type": "int16",
+                "dimension": "3",
+                "sizes": "2 3 4",
+                "encoding": "zlib",
+                "endian": "little",
+            },
+            zlib.compress(arr.tobytes(order="F")),
+        )
+        data, affine = read_nrrd(p)
+        np.testing.assert_array_equal(data[0], arr)
+        # defaulted directions are identity in LPS -> sign-flipped to RAS
+        np.testing.assert_allclose(np.abs(affine), np.eye(4))
+        np.testing.assert_allclose(affine[:3, 3], 0.0)
+
+    def test_unsupported_encoding_raises(self, tmp_path):
+        from torchio_tpu.io.other_formats import read_nrrd
+
+        p = tmp_path / "b.nrrd"
+        self._write_raw_nrrd(
+            p,
+            {"type": "uint8", "sizes": "2 2 2", "encoding": "bzip2"},
+            b"\x00" * 8,
+        )
+        with pytest.raises(ValueError, match="Unsupported NRRD encoding"):
+            read_nrrd(p)
+
+    def test_write_3d_bool_and_unsupported_dtype(self, tmp_path):
+        from torchio_tpu.io.other_formats import read_nrrd, write_nrrd
+
+        # 3D input promotes to (1, I, J, K); bool becomes uint8
+        p = tmp_path / "b.nrrd"
+        write_nrrd(p, np.ones((2, 3, 4), np.bool_))
+        data, _ = read_nrrd(p)
+        assert data.shape == (1, 2, 3, 4)
+        assert data.dtype == np.uint8
+        # float16 has no NRRD name -> falls back to float32
+        p2 = tmp_path / "f.nrrd"
+        write_nrrd(p2, np.ones((1, 2, 2, 2), np.float16))
+        data2, _ = read_nrrd(p2)
+        assert data2.dtype == np.float32
+
+    def test_write_bad_ndim_and_encoding(self, tmp_path):
+        from torchio_tpu.io.other_formats import write_nrrd
+
+        with pytest.raises(ValueError, match=r"\(C, I, J, K\)"):
+            write_nrrd(tmp_path / "x.nrrd", np.zeros((1, 1, 2, 2, 2)))
+        with pytest.raises(ValueError, match="Unsupported NRRD encoding"):
+            write_nrrd(
+                tmp_path / "x.nrrd", np.zeros((2, 2, 2)), encoding="zlib"
+            )
+
+class TestMetaImageEdges:
+    def test_header_line_without_equals_stops_parse(self, tmp_path):
+        from torchio_tpu.io.other_formats import read_meta_image
+
+        arr = np.arange(8, dtype=np.uint8).reshape(2, 2, 2)
+        header = (
+            "ObjectType = Image\n"
+            "NDims = 3\n"
+            "DimSize = 2 2 2\n"
+            "ElementType = MET_UCHAR\n"
+            "ElementDataFile = LOCAL\n"
+        ).encode()
+        # a stray non key=value line after the payload begins must not
+        # be parsed as a field (the parser breaks at the first such line)
+        p = tmp_path / "x.mha"
+        p.write_bytes(header + arr.tobytes(order="F"))
+        data, _ = read_meta_image(p)
+        np.testing.assert_array_equal(data[0], arr)
+
+
+# --- consolidated from test_coverage_edges5.py (round 5) ---
+import gzip
+import struct
+import sys
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import ScalarImage
+from torchio_tpu.io import nifti
+
+def _write_nii_edge5(tmp_path, arr, name="t.nii", affine=None):
+    path = tmp_path / name
+    nifti.write_nifti(path, arr, affine)
+    return path
+
+def _craft_nifti2_edge5(bo="<", datatype=16, shape=(2, 3, 4), sform=1, qform=0):
+    """Hand-build a 540-byte NIfTI-2 header (we only write NIfTI-1, but
+    must read both; the reference reads via nibabel)."""
+    raw = bytearray(540)
+    struct.pack_into(bo + "i", raw, 0, 540)
+    struct.pack_into(bo + "8s", raw, 4, b"n+2\x00\r\n\x1a\n")
+    struct.pack_into(bo + "h", raw, 12, datatype)
+    struct.pack_into(bo + "h", raw, 14, 32)  # bitpix
+    dim = [len(shape), *shape] + [1] * (7 - len(shape))
+    struct.pack_into(bo + "8q", raw, 16, *dim)
+    struct.pack_into(bo + "8d", raw, 104, 1.0, 1.0, 2.0, 3.0, 1, 1, 1, 1)
+    struct.pack_into(bo + "q", raw, 168, 544)  # vox_offset
+    struct.pack_into(bo + "2d", raw, 176, 1.0, 0.0)  # slope/inter
+    struct.pack_into(bo + "2i", raw, 344, qform, sform)
+    struct.pack_into(bo + "6d", raw, 352, 0.0, 0.0, 0.0, 5.0, 6.0, 7.0)
+    srow = np.diag([1.0, 2.0, 3.0]).astype(np.float64)
+    struct.pack_into(
+        bo + "12d", raw, 400,
+        *srow[0], 0.0, *srow[1], 0.0, *srow[2], 0.0,
+    )
+    return bytes(raw)
+
+
+class TestMatrixEdges:
+    def test_itk_tfm_with_fixed_center(self, tmp_path):
+        path = tmp_path / "t.tfm"
+        path.write_text(
+            "#Insight Transform File V1.0\n"
+            "Transform: AffineTransform_double_3_3\n"
+            "Parameters: 1 0 0 0 1 0 0 0 1 2 3 4\n"
+            "FixedParameters: 10 20 30\n"
+        )
+        m = tio.read_matrix(path)
+        # identity rotation: the center folds out; translation survives
+        # up to the ITK LPS -> RAS sign convention
+        np.testing.assert_allclose(np.abs(m[:3, 3]), [2, 3, 4])
+
+    def test_itk_tfm_unparseable(self, tmp_path):
+        path = tmp_path / "t.tfm"
+        path.write_text("Transform: AffineTransform_double_3_3\n")
+        with pytest.raises(ValueError, match="Could not parse"):
+            tio.read_matrix(path)
+
+    def test_unknown_suffix(self, tmp_path):
+        path = tmp_path / "t.mystery"
+        path.write_text("")
+        with pytest.raises(ValueError, match="Unknown suffix"):
+            tio.read_matrix(path)
+
+    def test_h5_transform_with_fake_h5py(self, tmp_path, monkeypatch):
+        params = np.array([1, 0, 0, 0, 1, 0, 0, 0, 1, 5, 6, 7], np.float64)
+
+        class FakeGroup(dict):
+            pass
+
+        tgroup = FakeGroup(TransformParameters=params)
+        group = FakeGroup({"0": "meta", "1": tgroup})
+
+        class FakeFile(dict):
+            def __init__(self, *a, **k):
+                super().__init__(TransformGroup=group)
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        fake = type(sys)("h5py")
+        fake.File = FakeFile
+        monkeypatch.setitem(sys.modules, "h5py", fake)
+        m = tio.read_matrix(tmp_path / "t.h5")
+        np.testing.assert_allclose(np.abs(m[:3, 3]), [5, 6, 7])
+
+        tgroup["TransformParameters"] = params[:6]
+        with pytest.raises(ValueError, match="parameter count"):
+            tio.read_matrix(tmp_path / "t.h5")

@@ -755,3 +755,194 @@ class TestLargeVolumePipeline:
         )
         assert widths == [8] * 8
         np.testing.assert_allclose(np.asarray(arr)[0], vol, rtol=1e-6)
+
+
+# --- consolidated from test_coverage_edges.py (round 5) ---
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge(rng, names=("t1",), shape=(6, 6, 6), value=None):
+    kwargs = {}
+    for name in names:
+        if value is None:
+            data = rng.random((1, *shape)).astype(np.float32)
+        else:
+            data = np.full((1, *shape), value, np.float32)
+        cls = tio.LabelMap if name.startswith("seg") else tio.ScalarImage
+        kwargs[name] = cls(jnp.asarray(data))
+    return SubjectsBatch.from_subjects([tio.Subject(**kwargs)])
+
+
+class TestHaloFallbacks:
+    def _mesh(self):
+        from torchio_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(jax.devices())
+
+    def test_unsupported_sharding_kinds(self):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from torchio_tpu.parallel.halo import (
+            HaloUnsupported,
+            halo_resample_spec,
+        )
+
+        mesh = self._mesh()
+        x = jnp.zeros((4, 1, 4, 16, 4), jnp.float32)
+        mats = [np.eye(4)] * 4
+        cps = [None] * 4
+        with pytest.raises(HaloUnsupported, match="NamedSharding"):
+            halo_resample_spec(x, mats, cps, sharding="cpu")
+        batch_only = NamedSharding(mesh, PartitionSpec("data"))
+        with pytest.raises(HaloUnsupported, match="not spatially sharded"):
+            halo_resample_spec(x, mats, cps, sharding=batch_only)
+        weird = NamedSharding(
+            mesh, PartitionSpec(None, "data", None, "space", None)
+        )
+        with pytest.raises(HaloUnsupported, match="unsupported partition"):
+            halo_resample_spec(x, mats, cps, sharding=weird)
+
+    def test_divisibility_and_matrix_count(self):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from torchio_tpu.parallel.halo import (
+            HaloUnsupported,
+            halo_resample_spec,
+        )
+
+        mesh = self._mesh()
+        spatial = NamedSharding(
+            mesh, PartitionSpec("data", None, None, "space", None)
+        )
+        bad_j = jnp.zeros((4, 1, 4, 15, 4), jnp.float32)
+        with pytest.raises(HaloUnsupported, match="J=15"):
+            halo_resample_spec(bad_j, [np.eye(4)] * 4, [None] * 4, sharding=spatial)
+        bad_b = jnp.zeros((3, 1, 4, 16, 4), jnp.float32)
+        with pytest.raises(HaloUnsupported, match="B=3"):
+            halo_resample_spec(bad_b, [np.eye(4)] * 3, [None] * 3, sharding=spatial)
+        x = jnp.zeros((4, 1, 4, 16, 4), jnp.float32)
+        with pytest.raises(HaloUnsupported, match="4x4 matrices"):
+            halo_resample_spec(x, [np.eye(4)] * 2, [None] * 2, sharding=spatial)
+
+    def test_differing_control_point_shapes(self):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from torchio_tpu.parallel.halo import (
+            HaloUnsupported,
+            halo_resample_spec,
+        )
+
+        mesh = self._mesh()
+        spatial = NamedSharding(
+            mesh, PartitionSpec("data", None, None, "space", None)
+        )
+        x = jnp.zeros((4, 1, 4, 16, 4), jnp.float32)
+        cps = [
+            np.zeros((2, 2, 2, 3), np.float32),
+            np.zeros((3, 3, 3, 3), np.float32),
+            None,
+            None,
+        ]
+        with pytest.raises(HaloUnsupported, match="control-point fields differ"):
+            halo_resample_spec(x, [np.eye(4)] * 4, cps, sharding=spatial)
+
+    def test_host_scalar_fill(self):
+        """Non-zero host fill broadcasts to (B, C) rows."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from torchio_tpu.ops.resample import resample_fused
+        from torchio_tpu.parallel.halo import halo_resample_spec
+
+        mesh = self._mesh()
+        spatial = NamedSharding(
+            mesh, PartitionSpec("data", None, None, "space", None)
+        )
+        rng = np.random.default_rng(0)
+        x = rng.random((4, 1, 4, 16, 4)).astype(np.float32)
+        m = np.eye(4)
+        m[1, 3] = 2.5
+        ref = np.asarray(
+            resample_fused(
+                jnp.asarray(x), [m] * 4, [None] * 4, fill=7.5, use_f16=False
+            )
+        )
+        xs = jax.device_put(jnp.asarray(x), spatial)
+        got = np.asarray(
+            halo_resample_spec(xs, [m] * 4, [None] * 4, sharding=spatial, fill=7.5)
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestHaloEdges:
+    def test_indivisible_j_raises(self, rng):
+        from jax.sharding import Mesh
+
+        from torchio_tpu.parallel.halo import halo_resample_affine
+
+        devs = np.array(jax.devices()[:2]).reshape(1, 2)
+        mesh = Mesh(devs, ("data", "space"))
+        data = jnp.zeros((2, 1, 8, 9, 8), jnp.float32)  # J=9 % 2 != 0
+        with pytest.raises(ValueError, match="not divisible"):
+            halo_resample_affine(data, np.eye(4), mesh)
+
+
+# --- consolidated from test_coverage_edges7.py (round 5) ---
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge7(rng, n=2, shape=(1, 6, 6, 6), label=False):
+    subjects = []
+    for _ in range(n):
+        if label:
+            img = tio.LabelMap(rng.integers(0, 3, shape).astype(np.int32))
+        else:
+            img = tio.ScalarImage(rng.random(shape).astype(np.float32))
+        subjects.append(tio.Subject(img=img))
+    return SubjectsBatch.from_subjects(subjects)
+
+
+class TestHaloSlabUpsample:
+    def test_singleton_axes_match_global_upsample(self, rng):
+        from torchio_tpu.ops.resample import upsample_field
+        from torchio_tpu.parallel.halo import _upsample_field_slab
+
+        cp = rng.uniform(-2.0, 2.0, (3, 3, 3, 3)).astype(np.float32)
+        for out_shape in [(1, 4, 1), (4, 1, 4)]:
+            io_, jo, ko = out_shape
+            full = np.asarray(upsample_field(jnp.asarray(cp), out_shape))
+            slab = np.asarray(
+                _upsample_field_slab(cp, out_shape, 0, jo)
+            )
+            np.testing.assert_allclose(slab, full, atol=1e-5)
+
+class TestShardAxisProbe:
+    def test_named_sharding_space_axis(self):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        from torchio_tpu.transforms.spatial.spatial import _spatial_shard_axis
+
+        devices = np.array(jax.devices()[:2]).reshape(2)
+        mesh = Mesh(devices, ("space",))
+        sharding = NamedSharding(
+            mesh, PartitionSpec(None, None, None, "space", None)
+        )
+        assert _spatial_shard_axis(sharding) == "space"
+        assert _spatial_shard_axis(object()) is None

@@ -254,3 +254,50 @@ class TestNonNegRange:
     def test_valid_range_passes(self):
         pr = to_nonneg_range((0.0, 3.0))
         assert pr._ranges[0] == (0.0, 3.0)
+
+
+# --- consolidated from test_coverage_edges3.py (round 5) ---
+import warnings
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _subject_edge3(rng, shape=(1, 6, 7, 8), with_label=False):
+    kwargs = {"t1": ScalarImage(rng.normal(size=shape).astype(np.float32))}
+    if with_label:
+        kwargs["seg"] = LabelMap(
+            rng.integers(0, 3, size=shape).astype(np.int32)
+        )
+    return Subject(**kwargs)
+
+
+class TestParameterRangeEdges:
+    def test_choice_values_property(self):
+        from torchio_tpu.transforms.parameter_range import Choice
+
+        c = Choice((1, 2, 3))
+        np.testing.assert_array_equal(c.values, [1, 2, 3])
+
+    def test_nonconstant_choice_not_deterministic(self):
+        from torchio_tpu.transforms.parameter_range import (
+            Choice,
+            _ParameterRange,
+        )
+
+        pr = _ParameterRange(Choice((1, 2)))
+        assert pr.is_constant(1.0) is False
+
+    def test_distribution_spec_unchecked(self):
+        pytest.importorskip("torch")
+        import torch
+
+        from torchio_tpu.transforms.parameter_range import (
+            _ParameterRange,
+            to_nonneg_range,
+        )
+
+        dist = torch.distributions.Uniform(0.0, 1.0)
+        pr = to_nonneg_range(dist)
+        assert isinstance(pr, _ParameterRange)

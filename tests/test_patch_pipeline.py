@@ -864,3 +864,375 @@ class TestBatchedFetch:
         np.testing.assert_allclose(
             out, np.asarray(device_subject.t1.data), atol=1e-5
         )
+
+
+class TestDeviceBatchesPrepBatch:
+    """prep_batch > 1: subject preparation stacks same-shape device
+    subjects into one transform dispatch (ring-path dispatch cut)."""
+
+    def _queue(self, transform, n=4):
+        import jax.numpy as jnp
+
+        subjects = []
+        for s in range(n):
+            seg = np.zeros((1, 16, 16, 16), np.int32)
+            seg[0, 4:12, 4:12, 4:12] = 1
+            subjects.append(
+                tio.Subject(
+                    t1=tio.ScalarImage(
+                        jnp.full((1, 16, 16, 16), float(s), jnp.float32)
+                    ),
+                    seg=tio.LabelMap(jnp.asarray(seg)),
+                )
+            )
+        return tio.Queue(
+            subjects,
+            patch_sampler=tio.LabelSampler(patch_size=8, label_name="seg"),
+            max_length=16,
+            patches_per_volume=4,
+            transform=transform,
+        )
+
+    def test_grouped_prep_routes_subject_data(self):
+        tio.seed(0)
+        queue = self._queue(tio.Flip(axes=(0,), flip_probability=1.0))
+        seen = 0
+        for batch in queue.device_batches(batch_size=4, prep_batch=4):
+            data = np.asarray(batch.images["t1"].data)
+            assert data.shape == (4, 1, 8, 8, 8)
+            # each subject's volume is constant s; flipping preserves
+            # that, so every patch must be constant at an integer id
+            for element in data:
+                values = np.unique(element)
+                assert len(values) == 1 and float(values[0]) in (0, 1, 2, 3)
+            seen += 4
+        assert seen == 16
+
+    def test_per_element_gating_required(self):
+        tio.seed(0)
+        queue = self._queue(
+            tio.RescaleIntensity(out_min=0.0, out_max=1.0, p=0.5)
+        )
+        with pytest.raises(ValueError, match="per-element p-gating"):
+            next(iter(queue.device_batches(batch_size=4, prep_batch=4)))
+
+    def test_prep_batch_with_per_instance_noise(self):
+        tio.seed(0)
+        queue = self._queue(tio.Noise(std=0.1, p=0.5))
+        batches = list(queue.device_batches(batch_size=4, prep_batch=2))
+        assert len(batches) == 4
+        for batch in batches:
+            assert np.isfinite(np.asarray(batch.images["t1"].data)).all()
+
+
+# --- consolidated from test_coverage_edges.py (round 5) ---
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge(rng, names=("t1",), shape=(6, 6, 6), value=None):
+    kwargs = {}
+    for name in names:
+        if value is None:
+            data = rng.random((1, *shape)).astype(np.float32)
+        else:
+            data = np.full((1, *shape), value, np.float32)
+        cls = tio.LabelMap if name.startswith("seg") else tio.ScalarImage
+        kwargs[name] = cls(jnp.asarray(data))
+    return SubjectsBatch.from_subjects([tio.Subject(**kwargs)])
+
+
+class TestRingBufferEdgesEdge:
+    def test_push_shape_mismatch(self):
+        from torchio_tpu.ops.patches import RingPatchBuffer
+
+        buf = RingPatchBuffer(4, (1, 2, 2, 2))
+        with pytest.raises(ValueError, match="does not match buffer"):
+            buf.push(jnp.zeros((1, 1, 3, 3, 3)))
+
+    def test_push_overflow_keeps_latest(self):
+        from torchio_tpu.ops.patches import RingPatchBuffer
+
+        buf = RingPatchBuffer(2, (1,))
+        buf.push(jnp.arange(5, dtype=jnp.float32).reshape(5, 1))
+        assert buf.filled == 2
+        stored = set(np.asarray(buf._buffer).ravel().tolist())
+        assert stored <= {3.0, 4.0}
+
+    def test_empty_buffer_raises(self):
+        from torchio_tpu.ops.patches import RingPatchBuffer
+
+        buf = RingPatchBuffer(2, (1,))
+        with pytest.raises(RuntimeError, match="empty"):
+            buf.sample(1)
+        with pytest.raises(RuntimeError, match="empty"):
+            buf.gather(jnp.zeros((1,), jnp.int32))
+
+    def test_sample_default_seed(self):
+        from torchio_tpu.ops.patches import RingPatchBuffer
+
+        buf = RingPatchBuffer(2, (1,))
+        buf.push(jnp.ones((2, 1)))
+        out = buf.sample(3)
+        assert out.shape == (3, 1)
+
+class TestQueueEdges:
+    def test_device_batches_empty_subjects(self):
+        queue = tio.Queue(
+            [], patch_sampler=tio.UniformSampler(patch_size=4),
+            shuffle_subjects=False,
+        )
+        assert list(queue.device_batches(batch_size=2)) == []
+
+    def test_sampler_without_corner_support_falls_back(self, rng):
+        """A sampler that cannot produce corner locations routes through
+        the per-patch iterator path."""
+
+        class OldStyleSampler(tio.UniformSampler):
+            def _sample_corners(self, subject, num_patches):
+                raise NotImplementedError
+
+        subject = tio.Subject(
+            t1=tio.ScalarImage(
+                jnp.asarray(rng.random((1, 6, 6, 6)).astype(np.float32))
+            )
+        )
+        queue = tio.Queue(
+            [subject],
+            patch_sampler=OldStyleSampler(patch_size=4),
+            patches_per_volume=2,
+            shuffle_subjects=False,
+        )
+        patches = list(queue)
+        assert len(patches) == 2
+
+    def test_subject_sampler_length(self, rng):
+        subject = tio.Subject(
+            t1=tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        )
+        queue = tio.Queue(
+            [subject, subject],
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            shuffle_subjects=False,
+            subject_sampler=[0],
+        )
+        assert queue.num_subjects == 1
+        assert queue.patches_per_epoch == queue.patches_per_volume
+
+    def test_max_memory_pretty_tib(self, rng):
+        subject = tio.Subject(
+            t1=tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        )
+        queue = tio.Queue(
+            [subject],
+            patch_sampler=tio.UniformSampler(patch_size=512),
+            max_length=100000,
+            shuffle_subjects=False,
+        )
+        assert "TiB" in queue.max_memory_pretty
+
+class TestSamplerEdges:
+    def test_required_argument_errors(self):
+        with pytest.raises(TypeError, match="patch_size is required"):
+            tio.UniformSampler(patch_size=None)
+        with pytest.raises(TypeError, match="patch_size is required"):
+            tio.WeightedSampler(patch_size=None, probability_map="p")
+        with pytest.raises(TypeError, match="probability_map is required"):
+            tio.WeightedSampler(patch_size=4, probability_map=None)
+        with pytest.raises(TypeError, match="label_name is required"):
+            tio.LabelSampler(patch_size=4, label_name=None)
+
+    def test_iterating_without_subject_raises(self):
+        with pytest.raises(RuntimeError, match="needs a subject"):
+            iter(tio.UniformSampler(patch_size=4))
+        with pytest.raises(RuntimeError, match="needs a subject"):
+            iter(tio.WeightedSampler(patch_size=4, probability_map="p"))
+
+    def test_base_sampler_abstract(self, rng):
+        from torchio_tpu.data.sampler import PatchSampler
+
+        subject = tio.Subject(
+            t1=tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        )
+        with pytest.raises(NotImplementedError, match="__call__"):
+            PatchSampler(patch_size=4)(subject, 1)
+        with pytest.raises(NotImplementedError, match="corner sampling"):
+            PatchSampler(patch_size=4).sample_locations(subject, 1)
+
+    def test_label_probabilities_device_and_host(self, rng):
+        seg = np.zeros((1, 8, 8, 8), np.int32)
+        seg[0, 2:6, 2:6, 2:6] = 1
+        seg[0, 3:5, 3:5, 3:5] = 2
+        probs = {0: 0.0, 1: 1.0, 2: 3.0}
+        # host path
+        host_subject = tio.Subject(seg=tio.LabelMap(seg))
+        sampler = tio.LabelSampler(
+            patch_size=4, label_name="seg", label_probabilities=probs
+        )
+        locs = sampler.sample_locations(host_subject, 4)
+        assert len(locs) == 4
+        # device path
+        dev_subject = tio.Subject(seg=tio.LabelMap(jnp.asarray(seg)))
+        locs2 = sampler.sample_locations(dev_subject, 4)
+        assert len(locs2) == 4
+
+
+# --- consolidated from test_coverage_edges4.py (round 5) ---
+import copy
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+
+
+class TestLoaderQueueEdges:
+    def _subjects(self, n=2):
+        return [
+            Subject(t1=ScalarImage(np.random.rand(1, 8, 8, 8).astype(np.float32)))
+            for _ in range(n)
+        ]
+
+    def test_collate_fn_rejected(self):
+        with pytest.raises(ValueError, match="collate_fn"):
+            tio.SubjectsLoader(self._subjects(), collate_fn=lambda x: x)
+
+    def test_shuffle_requires_map_style(self):
+        queue = tio.Queue(
+            self._subjects(),
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            max_length=4,
+            patches_per_volume=2,
+            num_workers=0,
+        )
+        with pytest.raises(ValueError, match="map-style"):
+            next(iter(tio.SubjectsLoader(queue, shuffle=True)))
+        loader = tio.SubjectsLoader(queue)
+        with pytest.raises(TypeError, match="no length"):
+            len(loader)
+
+    def test_prefetched_backpressure(self):
+        queue = tio.Queue(
+            self._subjects(6),
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            max_length=8,
+            patches_per_volume=2,
+            num_workers=1,
+            shuffle_subjects=False,
+            shuffle_patches=False,
+        )
+        patches = list(queue)
+        assert len(patches) == 12
+
+    def test_max_memory_pretty_tib(self):
+        queue = tio.Queue(
+            self._subjects(1),
+            patch_sampler=tio.UniformSampler(patch_size=64),
+            max_length=2 * 1024**3,
+            patches_per_volume=1,
+            num_workers=0,
+        )
+        assert queue.max_memory_pretty.endswith("TiB")
+
+    def test_device_batches_empty_locations(self):
+        class EmptySampler(tio.UniformSampler):
+            def sample_locations(self, subject, num_patches):
+                return []
+
+        queue = tio.Queue(
+            self._subjects(2),
+            patch_sampler=EmptySampler(patch_size=4),
+            max_length=4,
+            patches_per_volume=2,
+            num_workers=0,
+        )
+        assert list(queue.device_batches(batch_size=2)) == []
+
+    def test_device_batches_sampler_not_implemented(self):
+        class LegacySampler(tio.UniformSampler):
+            def sample_locations(self, subject, num_patches):
+                raise NotImplementedError
+
+        queue = tio.Queue(
+            self._subjects(2),
+            patch_sampler=LegacySampler(patch_size=4),
+            max_length=4,
+            patches_per_volume=2,
+            num_workers=0,
+        )
+        # host-iteration-only samplers get a clear error, not a bare
+        # NotImplementedError from deep inside the staging loop
+        with pytest.raises(ValueError, match="corner locations"):
+            list(queue.device_batches(batch_size=2))
+
+    def test_device_batches_interleaved_with_workers(self):
+        queue = tio.Queue(
+            self._subjects(6),
+            patch_sampler=tio.UniformSampler(patch_size=4),
+            max_length=8,
+            patches_per_volume=2,
+            num_workers=1,
+            shuffle_subjects=False,
+        )
+        batches = list(queue.device_batches(batch_size=2))
+        assert sum(b.batch_size for b in batches) == 12
+
+class TestSamplerEdgesEdge4:
+    def test_get_batch_broadcasts_subject_metadata(self):
+        subject = Subject(
+            t1=ScalarImage(jnp.ones((1, 8, 8, 8), jnp.float32)), age=42
+        )
+        sampler = tio.GridSampler(subject, patch_size=4)
+        batch = sampler.get_batch([0, 1, 2])
+        assert batch.metadata["age"] == [42, 42, 42]
+
+    def test_weighted_sampler_device_probability_map(self):
+        prob = np.zeros((1, 8, 8, 8), np.float32)
+        prob[0, 4, 4, 4] = 1.0
+        subject = Subject(
+            t1=ScalarImage(jnp.ones((1, 8, 8, 8), jnp.float32)),
+            prob=ScalarImage(jnp.asarray(prob)),
+        )
+        sampler = tio.WeightedSampler(patch_size=4, probability_map="prob")
+        locations = sampler.sample_locations(subject, 3)
+        assert len(locations) == 3
+        for loc in locations:
+            # the only nonzero-probability center is (4,4,4): corner (2,2,2)
+            assert tuple(loc.index) == (2, 2, 2)
+
+
+class TestAggregatorDtypeExport:
+    def test_device_cast_before_pull(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8)
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="average")
+        for patch in sampler:
+            agg.add_batch(
+                np.asarray(patch.t1.data)[None], [patch.patch_location]
+            )
+        out = agg.get_output(dtype=np.float16)
+        assert out.dtype == np.float16
+        np.testing.assert_allclose(
+            out.astype(np.float32), np.asarray(subject.t1.data),
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_crop_device_same_dtype_copy_is_donation_safe(self, subject):
+        sampler = tio.GridSampler(subject, patch_size=8)
+        agg = tio.PatchAggregator(subject.spatial_shape, overlap_mode="crop")
+        batches = [
+            (np.asarray(p.t1.data)[None], [p.patch_location]) for p in sampler
+        ]
+        for data, locs in batches:
+            agg.add_batch(data, locs)
+        dev = agg.get_output(device=True, dtype=np.float32)
+        for data, locs in batches:
+            agg.add_batch(data, locs)
+        np.testing.assert_allclose(
+            np.asarray(dev), np.asarray(subject.t1.data), rtol=1e-5
+        )

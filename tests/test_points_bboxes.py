@@ -293,3 +293,65 @@ def test_bbox_permuted_voxel_axes_world_round_trip():
     np.testing.assert_allclose(world.data[0, :2], lo)
     back = world.to_format(BoundingBoxFormat("KJI"))
     np.testing.assert_allclose(back.data, boxes.data, atol=1e-5)
+
+
+# --- consolidated from test_coverage_edges6.py (round 5) ---
+import struct
+import sys
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import ScalarImage
+
+def _python_jpegll_edge6(monkeypatch):
+    """Force the pure-Python JPEG-lossless decoder (the oracle)."""
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jpegll_decode", lambda stream: None)
+
+def _python_jls_edge6(monkeypatch):
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jls_decode", lambda stream: None)
+
+
+class TestBBoxAxesConversions:
+    def _boxes(self, axes="IJK"):
+        from torchio_tpu.core.affine import AffineMatrix
+        from torchio_tpu.data.bboxes import (
+            BoundingBoxes,
+            BoundingBoxFormat,
+            Representation,
+        )
+
+        fmt = BoundingBoxFormat(axes, Representation.CORNERS)
+        return BoundingBoxes(
+            np.array([[1.0, 2.0, 3.0, 4.0, 5.0, 6.0]], np.float32),
+            format=fmt,
+            affine=AffineMatrix(),
+        )
+
+    def test_affine_property(self):
+        boxes = self._boxes()
+        assert boxes.affine.spacing == (1.0, 1.0, 1.0)
+
+    def test_voxel_perm_to_world(self):
+        from torchio_tpu.data.bboxes import BoundingBoxFormat, Representation
+
+        boxes = self._boxes("KJI")  # permuted voxel source axes
+        out = boxes.to_format(BoundingBoxFormat("RAS", Representation.CORNERS))
+        # KJI (1,2,3)-(4,5,6) -> IJK (3,2,1)-(6,5,4) -> RAS via identity
+        np.testing.assert_allclose(
+            np.asarray(out.data)[0], [3, 2, 1, 6, 5, 4]
+        )
+
+    def test_world_to_world_flip(self):
+        from torchio_tpu.data.bboxes import BoundingBoxFormat, Representation
+
+        boxes = self._boxes("RAS")
+        # identity affine orientation is RAS; LPS flips the first two
+        # world axes before mapping back through the inverse affine
+        out = boxes.to_format(BoundingBoxFormat("KJI", Representation.CORNERS))
+        np.testing.assert_allclose(
+            np.asarray(out.data)[0], [3, 2, 1, 6, 5, 4]
+        )

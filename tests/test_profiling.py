@@ -55,3 +55,35 @@ def test_trace_context_writes_profile(tmp_path, rng):
         tio.Flip(axes=(0,))(subject)
     # the jax profiler drops a plugins/profile dir with trace artifacts
     assert any(tmp_path.rglob("*")), "trace produced no artifacts"
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestProfilingEdges:
+    def test_image_result_sync_and_exception(self, rng):
+        from torchio_tpu.profiling import profile
+
+        img = tio.ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        with profile() as prof:
+            tio.Flip(axes=0, p=1.0)(img)  # Image result: .data branch
+        assert prof.total("Flip") >= 0.0
+
+    def test_sync_failure_is_swallowed(self, rng, monkeypatch):
+        from torchio_tpu.profiling import profile
+
+        def boom(x):
+            raise RuntimeError("sync failed")
+
+        monkeypatch.setattr(jax, "block_until_ready", boom)
+        img = tio.ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        with profile() as prof:
+            tio.Flip(axes=0, p=1.0)(img)
+        assert "Flip" in prof.records

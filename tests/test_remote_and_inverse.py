@@ -358,3 +358,43 @@ class TestResolveSource:
         assert not is_nifti_zarr(42)
         assert is_remote_nifti_zarr("https://x/b.nii.zarr")
         assert not is_remote_nifti_zarr("/local/b.nii.zarr")
+
+
+# --- consolidated from test_coverage_edges3.py (round 5) ---
+import warnings
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _subject_edge3(rng, shape=(1, 6, 7, 8), with_label=False):
+    kwargs = {"t1": ScalarImage(rng.normal(size=shape).astype(np.float32))}
+    if with_label:
+        kwargs["seg"] = LabelMap(
+            rng.integers(0, 3, size=shape).astype(np.int32)
+        )
+    return Subject(**kwargs)
+
+
+class TestInverseEdges:
+    def test_no_history_passthrough(self):
+        from torchio_tpu.transforms.inverse import apply_inverse_transform
+
+        obj = object()
+        assert apply_inverse_transform(obj) is obj
+
+    def test_per_element_history_delegates(self, make_batch):
+        batch = make_batch(batch_size=2)
+        one = tio.OneOf([tio.Flip(axes=0, p=1.0)], per_instance=True, p=1.0)
+        out = one(batch)
+        if getattr(out, "_per_element_history", None) is None:
+            pytest.skip("per-element history not produced this draw")
+        from torchio_tpu.transforms.inverse import apply_inverse_transform
+
+        restored = apply_inverse_transform(out)
+        np.testing.assert_allclose(
+            np.asarray(restored.images["t1"].data),
+            np.asarray(batch.images["t1"].data),
+            rtol=1e-5,
+        )

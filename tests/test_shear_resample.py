@@ -614,3 +614,37 @@ class TestHeadlineEligibility:
             assert len(statics) == 1
         finally:
             reset_static_ratchet()
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestShearPlanEdges:
+    def test_round4(self):
+        from torchio_tpu.ops.shear_resample import _round4
+
+        assert _round4(1) == 4
+        assert _round4(4) == 4
+        assert _round4(5) == 8
+
+    def test_ineligible_mode_and_empty_output(self, rng, monkeypatch):
+        monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+        from torchio_tpu.ops.shear_resample import shear_eligible
+
+        mats = [np.eye(4, dtype=np.float64)]
+        shape = (1, 1, 32, 32, 32)
+        assert (
+            shear_eligible(shape, (32, 32, 32), mats, [None], "cubic")
+            is None
+        )
+        assert (
+            shear_eligible(shape, (0, 32, 32), mats, [None], "linear")
+            is None
+        )

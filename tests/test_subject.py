@@ -266,3 +266,80 @@ class TestBehavior:
     def test_repr_html_smoke(self, subject):
         html = subject._repr_html_()
         assert "t1" in html
+
+
+# --- consolidated from test_coverage_edges4.py (round 5) ---
+import copy
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+
+
+class TestSubjectEdges:
+    def test_positional_non_dict_raises(self):
+        with pytest.raises(ValueError, match="single dict or keyword"):
+            Subject("t1.nii.gz")
+
+    def test_setitem_points_and_bboxes(self):
+        from torchio_tpu.data.bboxes import BoundingBoxes
+        from torchio_tpu.data.points import Points
+
+        subject = Subject(t1=ScalarImage(np.ones((1, 4, 4, 4), np.float32)))
+        subject["marks"] = Points(np.zeros((2, 3), np.float32))
+        subject["boxes"] = BoundingBoxes(np.array([[0, 0, 0, 1, 1, 1]], np.float32))
+        assert "marks" in subject.all_points()
+        assert "boxes" in subject.all_bounding_boxes()
+        with pytest.raises(KeyError):
+            del subject["missing"]
+
+    def test_get_images_include_exclude(self, rng):
+        subject = Subject(
+            t1=ScalarImage(rng.normal(size=(1, 2, 2, 2)).astype(np.float32)),
+            t2=ScalarImage(rng.normal(size=(1, 2, 2, 2)).astype(np.float32)),
+            seg=LabelMap(np.zeros((1, 2, 2, 2), np.int32)),
+        )
+        assert len(subject.get_images(include=["t1"])) == 1
+        assert len(subject.get_images(exclude=["t1"])) == 1  # t2 (seg filtered)
+        assert len(subject.get_images(intensity_only=False, exclude=["t1"])) == 2
+
+    def test_bad_spatial_index_type(self):
+        subject = Subject(t1=ScalarImage(np.ones((1, 4, 4, 4), np.float32)))
+        with pytest.raises(TypeError, match="not understood"):
+            subject[1.5]
+
+    def test_copy_protocol(self):
+        subject = Subject(t1=ScalarImage(np.ones((1, 2, 2, 2), np.float32)))
+        dup = copy.copy(subject)
+        assert dup is not subject
+        np.testing.assert_array_equal(np.asarray(dup.t1.data), np.asarray(subject.t1.data))
+
+
+# --- consolidated from test_coverage_edges7.py (round 5) ---
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge7(rng, n=2, shape=(1, 6, 6, 6), label=False):
+    subjects = []
+    for _ in range(n):
+        if label:
+            img = tio.LabelMap(rng.integers(0, 3, shape).astype(np.int32))
+        else:
+            img = tio.ScalarImage(rng.random(shape).astype(np.float32))
+        subjects.append(tio.Subject(img=img))
+    return SubjectsBatch.from_subjects(subjects)
+
+
+class TestImagelessSubjects:
+    def test_spatial_on_imageless_batch_is_noop(self):
+        subject = tio.Subject(label=3)
+        out = tio.Affine(degrees=(5.0, 5.0), p=1.0)(subject)
+        assert out.label == 3
+        assert not out.images

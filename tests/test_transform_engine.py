@@ -438,3 +438,263 @@ class TestDeferredParams:
         )
         with pytest.raises(RuntimeError, match="standard deviation"):
             tio.Standardize()(flat)
+
+
+# --- consolidated from test_coverage_edges.py (round 5) ---
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge(rng, names=("t1",), shape=(6, 6, 6), value=None):
+    kwargs = {}
+    for name in names:
+        if value is None:
+            data = rng.random((1, *shape)).astype(np.float32)
+        else:
+            data = np.full((1, *shape), value, np.float32)
+        cls = tio.LabelMap if name.startswith("seg") else tio.ScalarImage
+        kwargs[name] = cls(jnp.asarray(data))
+    return SubjectsBatch.from_subjects([tio.Subject(**kwargs)])
+
+
+class TestAppliedTransformSurface:
+    def test_equality_and_repr(self):
+        a = tio.AppliedTransform(name="Flip", params={"axes": [0]})
+        b = tio.AppliedTransform(name="Flip", params={"axes": [0]})
+        c = tio.AppliedTransform(name="Flip", params={"axes": [1]})
+        assert a == b and a != c
+        assert a.__eq__(42) is NotImplemented
+        assert "Flip" in repr(a) and "axes" in repr(a)
+
+    def test_deferred_deepcopy_shares(self):
+        import copy
+
+        from torchio_tpu.transforms.transform import DeferredParam
+
+        d = DeferredParam(jnp.ones((2,)))
+        assert copy.deepcopy(d) is d
+
+    def test_resolve_walks_tuples(self):
+        from torchio_tpu.transforms.transform import (
+            DeferredParam,
+            resolve_deferred_params,
+        )
+
+        tree = {"pair": (DeferredParam(jnp.ones(())), 3)}
+        resolved = resolve_deferred_params(tree)
+        assert resolved["pair"][0] == 1.0 and resolved["pair"][1] == 3
+
+
+# --- consolidated from test_coverage_edges3.py (round 5) ---
+import warnings
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _subject_edge3(rng, shape=(1, 6, 7, 8), with_label=False):
+    kwargs = {"t1": ScalarImage(rng.normal(size=shape).astype(np.float32))}
+    if with_label:
+        kwargs["seg"] = LabelMap(
+            rng.integers(0, 3, size=shape).astype(np.int32)
+        )
+    return Subject(**kwargs)
+
+
+class TestTransformBaseEdges:
+    def test_params_setter(self):
+        from torchio_tpu.transforms.transform import AppliedTransform
+
+        t = AppliedTransform("Flip", {"axes": [0]})
+        t.params = {"axes": [1]}
+        assert t.params == {"axes": [1]}
+
+    def test_supports_per_instance_default_false(self):
+        assert tio.Lambda(lambda x: x).supports_per_instance_params is False
+
+    def test_serialize_numpy_scalars(self):
+        from torchio_tpu.transforms.transform import Transform
+
+        assert Transform._serialize_param(np.float32(1.5)) == 1.5
+        assert Transform._serialize_param(np.int64(3)) == 3
+        assert Transform._serialize_param(np.asarray([1, 2])) == [1, 2]
+
+    def test_exclude_filters_images(self, rng):
+        subject = _subject_edge3(rng, with_label=True)
+        out = tio.Noise(std=1.0, p=1.0, exclude=["t1"])(subject)
+        np.testing.assert_array_equal(
+            np.asarray(out.t1.data), np.asarray(subject.t1.data)
+        )
+
+    def test_repr_array_default_not_equal(self):
+        tr = tio.Clamp(out_min=-1.0, out_max=1.0)
+        assert "out_min" in repr(tr)
+
+    def test_array_input_5d_raises(self, rng):
+        with pytest.raises(ValueError, match="3D or 4D"):
+            tio.Flip(axes=0)(rng.normal(size=(1, 1, 2, 2, 2)))
+
+    def test_nibabel_5d_raises(self, rng):
+        nib = pytest.importorskip("nibabel")
+        img = nib.Nifti1Image(
+            rng.normal(size=(2, 2, 2, 1, 2)).astype(np.float32), np.eye(4)
+        )
+        with pytest.raises(ValueError, match="nibabel"):
+            tio.Flip(axes=0)(img)
+
+    def test_dict_with_image_value(self, rng):
+        img = ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        out = tio.Flip(axes=0, p=1.0)({"t1": img, "label": 3})
+        assert isinstance(out, dict)
+        assert out["label"] == 3
+
+    def test_values_equal_exception_and_arrays(self):
+        from torchio_tpu.transforms.transform import _values_equal
+
+        class Explosive:
+            def __eq__(self, other):
+                raise RuntimeError("no compare")
+
+        assert _values_equal(Explosive(), 1) is False
+        assert _values_equal(np.asarray([1, 2]), np.asarray([1, 2])) is True
+        assert _values_equal(np.asarray([1, 2]), np.asarray([1, 3])) is False
+
+    def test_history_copy_attribute_error_tolerated(self, rng):
+        # objects that reject attribute assignment still round-trip
+        arr = rng.normal(size=(1, 4, 4, 4)).astype(np.float32)
+        out = tio.Flip(axes=0, p=1.0)(arr)
+        assert out.shape == arr.shape
+
+
+# --- consolidated from test_coverage_edges4.py (round 5) ---
+import copy
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+
+
+class TestTransformWrapEdges:
+    def test_exclude_filters_images(self, rng):
+        subject = Subject(
+            t1=ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32)),
+            t2=ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32)),
+        )
+        before = np.asarray(subject.t2.data).copy()
+        out = tio.Noise(std=(0.5, 0.5), exclude=["t2"])(subject)
+        np.testing.assert_array_equal(np.asarray(out.t2.data), before)
+        assert not np.array_equal(np.asarray(out.t1.data), np.asarray(subject.t1.data))
+
+    def test_lambda_exclude_uses_base_filter(self, rng):
+        subject = Subject(
+            t1=ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32)),
+            t2=ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32)),
+        )
+        before = np.asarray(subject.t2.data).copy()
+        out = tio.Lambda(lambda x: x + 1, exclude=["t2"])(subject)
+        np.testing.assert_array_equal(np.asarray(out.t2.data), before)
+        np.testing.assert_allclose(
+            np.asarray(out.t1.data), np.asarray(subject.t1.data) + 1, rtol=1e-6
+        )
+
+    def test_jax_array_5d_raises(self):
+        with pytest.raises(ValueError, match="3D or 4D"):
+            tio.Flip(axes=0)(jnp.ones((2, 2, 2, 2, 2)))
+
+    def test_nibabel_like_2d_raises(self):
+        class FakeNib:
+            def __init__(self, arr):
+                self.dataobj = arr
+                self.affine = np.eye(4)
+
+        with pytest.raises(ValueError, match="3D/4D nibabel"):
+            tio.Flip(axes=0)(FakeNib(np.ones((3, 3), np.float32)))
+
+    def test_sitk_like_4d_roundtrip(self, monkeypatch):
+        captured = {}
+
+        class FakeSitkImage:
+            """Duck-typed SimpleITK image (sitk itself is not installed)."""
+
+            def __init__(self, arr):
+                self.arr = arr
+
+            def GetDirection(self):  # noqa: N802
+                return (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+            def GetSpacing(self):  # noqa: N802
+                return (1.0, 1.0, 1.0)
+
+            def GetOrigin(self):  # noqa: N802
+                return (0.0, 0.0, 0.0)
+
+        class FakeOut:
+            __slots__ = ("arr", "spacing", "direction", "origin")
+
+            def __init__(self, arr):
+                self.arr = arr
+
+            def SetSpacing(self, v):  # noqa: N802
+                self.spacing = v
+
+            def SetDirection(self, v):  # noqa: N802
+                self.direction = v
+
+            def SetOrigin(self, v):  # noqa: N802
+                self.origin = v
+
+        fake_sitk = type(sys)("SimpleITK")
+        fake_sitk.GetArrayFromImage = lambda img: img.arr
+        fake_sitk.GetImageFromArray = lambda arr, isVector=False: captured.setdefault(
+            "out", FakeOut(arr)
+        )
+        monkeypatch.setitem(sys.modules, "SimpleITK", fake_sitk)
+
+        arr = np.arange(2 * 3 * 4 * 2, dtype=np.float32).reshape(2, 3, 4, 2)
+        out = tio.Flip(axes=0, flip_probability=1.0)(FakeSitkImage(arr))
+        assert out is captured["out"]
+        # (K, J, I, C) in -> flip along I -> same layout out
+        np.testing.assert_allclose(out.arr, arr[:, :, ::-1, :])
+
+        with pytest.raises(ValueError, match="3D/4D SimpleITK"):
+            tio.Flip(axes=0)(FakeSitkImage(np.ones((2, 2, 2, 2, 2), np.float32)))
+
+    def test_hydra_value_ndarray(self):
+        from torchio_tpu.transforms.transform import _hydra_value
+
+        assert _hydra_value(np.array([1, 2])) == [1, 2]
+        assert _hydra_value((1, 2)) == [1, 2]
+
+
+# --- consolidated from test_coverage_edges7.py (round 5) ---
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge7(rng, n=2, shape=(1, 6, 6, 6), label=False):
+    subjects = []
+    for _ in range(n):
+        if label:
+            img = tio.LabelMap(rng.integers(0, 3, shape).astype(np.int32))
+        else:
+            img = tio.ScalarImage(rng.random(shape).astype(np.float32))
+        subjects.append(tio.Subject(img=img))
+    return SubjectsBatch.from_subjects(subjects)
+
+
+class TestHistoryAttrRobustness:
+    def test_batch_without_applied_transforms_attr(self, rng):
+        batch = _batch_edge7(rng)
+        del batch.applied_transforms
+        out = tio.Flip(axes=0, p=1.0)(batch)
+        assert len(out.applied_transforms) == 1

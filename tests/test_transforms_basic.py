@@ -232,3 +232,28 @@ class TestFlipEdges:
         flipped = tio.Flip(axes=(0, 1, 2), flip_probability=0.5, per_instance=True)(batch)
         restored = flipped.apply_inverse_transform(warn=False)
         np.testing.assert_array_equal(np.asarray(restored.t1.data), original)
+
+
+# --- consolidated from test_coverage_edges3.py (round 5) ---
+import warnings
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _subject_edge3(rng, shape=(1, 6, 7, 8), with_label=False):
+    kwargs = {"t1": ScalarImage(rng.normal(size=shape).astype(np.float32))}
+    if with_label:
+        kwargs["seg"] = LabelMap(
+            rng.integers(0, 3, size=shape).astype(np.int32)
+        )
+    return Subject(**kwargs)
+
+
+class TestToEdges:
+    def test_invalid_dtype_string_rejected(self):
+        from torchio_tpu.transforms.to import _looks_like_dtype
+
+        assert _looks_like_dtype("not_a_dtype") is False
+        assert _looks_like_dtype(None) is False

@@ -506,3 +506,104 @@ class TestSortFreeQuantiles:
         ours = compute_quantiles(masked, [0.1, 0.9])
         ref = np.nanquantile(masked, [0.1, 0.9])
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestRandomEdges:
+    def test_choice_wrapper(self):
+        from torchio_tpu.random import choice
+
+        vals = choice(np.arange(10), size=3, p=np.full(10, 0.1))
+        assert len(vals) == 3
+
+
+# --- consolidated from test_coverage_edges4.py (round 5) ---
+import copy
+import sys
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.core.affine import AffineMatrix
+from torchio_tpu.data import LabelMap, ScalarImage, Subject
+
+
+class TestConfigEdges:
+    def test_pallas_env_override(self, monkeypatch):
+        from torchio_tpu import config
+
+        monkeypatch.setenv("TORCHIO_TPU_PALLAS", "0")
+        assert config.pallas_resample_enabled() is False
+        monkeypatch.setenv("TORCHIO_TPU_PALLAS", "1")
+        assert config.pallas_resample_enabled() is True
+
+    def test_gather16_module_flag(self, monkeypatch):
+        from torchio_tpu import config
+
+        monkeypatch.delenv("TORCHIO_TPU_GATHER16", raising=False)
+        monkeypatch.setattr(config, "use_gather16", True)
+        assert config.gather16() is True
+
+    def test_window_env_override(self, monkeypatch):
+        from torchio_tpu import config
+
+        monkeypatch.setenv("TORCHIO_TPU_WINDOW", "false")
+        assert config.window_resample() is False
+
+
+# --- consolidated from test_coverage_edges6.py (round 5) ---
+import struct
+import sys
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import ScalarImage
+
+def _python_jpegll_edge6(monkeypatch):
+    """Force the pure-Python JPEG-lossless decoder (the oracle)."""
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jpegll_decode", lambda stream: None)
+
+def _python_jls_edge6(monkeypatch):
+    import torchio_tpu.native as native
+
+    monkeypatch.setattr(native, "jls_decode", lambda stream: None)
+
+
+class TestOptionalImportGetters:
+    def test_every_getter_resolves_or_hints(self):
+        # each convenience getter either returns the module or raises
+        # the hint-bearing ImportError (external/imports.py)
+        from torchio_tpu.external import imports as ext
+
+        for getter in (
+            ext.get_matplotlib,
+            ext.get_pil,
+            ext.get_zarr,
+            ext.get_monai,
+            ext.get_h5py,
+            ext.get_ipyniivue,
+        ):
+            try:
+                assert getter() is not None
+            except ImportError as e:
+                assert "Install it with" in str(e)
+
+class TestCompilationCacheBootstrap:
+    def test_setup_runs_without_env(self, monkeypatch):
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        tio._setup_compilation_cache()
+        import jax
+
+        assert jax.config.jax_compilation_cache_dir is not None

@@ -671,3 +671,194 @@ class TestVisualizationDepth:
         assert cmd[0] == "ffmpeg"
         # seconds=2.0 over the 7 anterior-axis slices -> fps round(7/2)=4
         assert cmd[cmd.index("-framerate") + 1] == "4"
+
+
+# --- consolidated from test_coverage_edges.py (round 5) ---
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data.batch import SubjectsBatch
+
+def _batch_edge(rng, names=("t1",), shape=(6, 6, 6), value=None):
+    kwargs = {}
+    for name in names:
+        if value is None:
+            data = rng.random((1, *shape)).astype(np.float32)
+        else:
+            data = np.full((1, *shape), value, np.float32)
+        cls = tio.LabelMap if name.startswith("seg") else tio.ScalarImage
+        kwargs[name] = cls(jnp.asarray(data))
+    return SubjectsBatch.from_subjects([tio.Subject(**kwargs)])
+
+
+class TestVisualizationEdgesEdge:
+    def test_title_and_show(self, rng, monkeypatch):
+        import matplotlib.pyplot as plt
+
+        shown = []
+        monkeypatch.setattr(plt, "show", lambda: shown.append(1))
+        img = tio.ScalarImage(rng.random((1, 6, 6, 6)).astype(np.float32))
+        fig = img.plot(title="hello", show=True)
+        assert shown
+        subject = tio.Subject(t1=img)
+        subject.plot(show=True)
+        assert len(shown) == 2
+
+class TestWriteAndReprEdges:
+    def test_zarr_writer_gated(self, tmp_path):
+        from torchio_tpu.io.write import write_image
+
+        try:
+            import zarr  # noqa: F401
+
+            has_zarr = True
+        except ImportError:
+            has_zarr = False
+        if has_zarr:
+            pytest.skip("zarr installed; gate not reachable")
+        with pytest.raises(ImportError, match="zarr"):
+            write_image(
+                tmp_path / "x.nii.zarr", np.zeros((1, 2, 2, 2), np.float32)
+            )
+
+    def test_unsupported_suffix(self, tmp_path):
+        from torchio_tpu.io.write import write_image
+
+        with pytest.raises(ValueError, match="Unsupported output format"):
+            write_image(tmp_path / "x.png", np.zeros((1, 2, 2, 2), np.float32))
+
+    def test_repr_html_lazy_image_no_preview(self, tmp_path, rng):
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        path = tmp_path / "x.nii.gz"
+        img.save(path)
+        lazy = tio.ScalarImage(path)
+        out = lazy._repr_html_()
+        assert "lazy" in out
+
+    def test_repr_html_render_failure_is_safe(self, rng, monkeypatch):
+        import torchio_tpu.repr_html as rh
+
+        def boom(*a, **k):
+            raise RuntimeError("no plot")
+
+        monkeypatch.setattr("torchio_tpu.visualization.plot_image", boom)
+        img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+        out = img._repr_html_()
+        assert "data:image/png" not in out  # preview skipped, no crash
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestReprHtmlEdges:
+    def test_render_none_preview_skipped(self, rng, monkeypatch):
+        import torchio_tpu.repr_html as rh
+
+        monkeypatch.setattr(
+            "torchio_tpu.visualization.plot_image", lambda *a, **k: None
+        )
+        img = tio.ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        out = img._repr_html_()
+        assert "data:image/png" not in out
+
+    def test_euler_angle_failure_row_skipped(self, rng, monkeypatch):
+        from torchio_tpu.core.affine import AffineMatrix
+
+        img = tio.ScalarImage(rng.normal(size=(1, 4, 4, 4)).astype(np.float32))
+        monkeypatch.setattr(
+            AffineMatrix,
+            "euler_angles",
+            property(lambda self: (_ for _ in ()).throw(RuntimeError("bad"))),
+        )
+        out = img._repr_html_()
+        assert "euler" not in out
+
+    def test_points_bboxes_history_rows(self, rng):
+        img = tio.ScalarImage(
+            rng.normal(size=(1, 6, 6, 6)).astype(np.float32),
+            points={"lm": tio.Points(np.zeros((2, 3), np.float32))},
+            bounding_boxes={
+                "roi": tio.BoundingBoxes(
+                    np.asarray([[0, 0, 0, 2, 2, 2]], np.float32)
+                )
+            },
+        )
+        out = img._repr_html_()
+        assert "lm" in out and "roi" in out
+        flipped = tio.Flip(axes=0, p=1.0)(img)
+        assert "Flip" in flipped._repr_html_()
+
+
+# --- consolidated from test_coverage_edges5.py (round 5) ---
+import gzip
+import struct
+import sys
+import numpy as np
+import pytest
+import torchio_tpu as tio
+from torchio_tpu.data import ScalarImage
+from torchio_tpu.io import nifti
+
+def _write_nii_edge5(tmp_path, arr, name="t.nii", affine=None):
+    path = tmp_path / name
+    nifti.write_nifti(path, arr, affine)
+    return path
+
+def _craft_nifti2_edge5(bo="<", datatype=16, shape=(2, 3, 4), sform=1, qform=0):
+    """Hand-build a 540-byte NIfTI-2 header (we only write NIfTI-1, but
+    must read both; the reference reads via nibabel)."""
+    raw = bytearray(540)
+    struct.pack_into(bo + "i", raw, 0, 540)
+    struct.pack_into(bo + "8s", raw, 4, b"n+2\x00\r\n\x1a\n")
+    struct.pack_into(bo + "h", raw, 12, datatype)
+    struct.pack_into(bo + "h", raw, 14, 32)  # bitpix
+    dim = [len(shape), *shape] + [1] * (7 - len(shape))
+    struct.pack_into(bo + "8q", raw, 16, *dim)
+    struct.pack_into(bo + "8d", raw, 104, 1.0, 1.0, 2.0, 3.0, 1, 1, 1, 1)
+    struct.pack_into(bo + "q", raw, 168, 544)  # vox_offset
+    struct.pack_into(bo + "2d", raw, 176, 1.0, 0.0)  # slope/inter
+    struct.pack_into(bo + "2i", raw, 344, qform, sform)
+    struct.pack_into(bo + "6d", raw, 352, 0.0, 0.0, 0.0, 5.0, 6.0, 7.0)
+    srow = np.diag([1.0, 2.0, 3.0]).astype(np.float64)
+    struct.pack_into(
+        bo + "12d", raw, 400,
+        *srow[0], 0.0, *srow[1], 0.0, *srow[2], 0.0,
+    )
+    return bytes(raw)
+
+
+class TestCliEdgesEdge5:
+    def test_animate_mp4(self, tmp_path, monkeypatch):
+        import torchio_tpu.cli as cli
+        import torchio_tpu.visualization as viz
+
+        src = tmp_path / "t.nii"
+        ScalarImage(np.ones((1, 4, 4, 4), np.float32)).save(src)
+        called = {}
+        monkeypatch.setattr(
+            viz, "make_video", lambda img, out, axis: called.setdefault("out", out)
+        )
+        rc = cli.main(["animate", str(src), str(tmp_path / "o.mp4")])
+        assert rc == 0 and called["out"] == tmp_path / "o.mp4"
+
+    def test_transform_string_kwarg(self, tmp_path):
+        import torchio_tpu.cli as cli
+
+        src = tmp_path / "t.nii"
+        ScalarImage(np.ones((1, 4, 4, 4), np.float32)).save(src)
+        dst = tmp_path / "o.nii"
+        # "mean" is not a Python literal: falls back to the raw string
+        rc = cli.main(
+            ["transform", "Pad", str(src), str(dst), "padding=1", "padding_mode=mean"]
+        )
+        assert rc == 0
+        assert ScalarImage(dst).shape == (1, 6, 6, 6)

@@ -748,3 +748,73 @@ class TestHighOrderSplineModes:
         )(subject)
         assert calls and calls[0] == 5
         assert np.asarray(out.t1.data).shape == (1, 20, 20, 20)
+
+
+# --- consolidated from test_coverage_edges2.py (round 5) ---
+import gzip
+import warnings
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torchio_tpu as tio
+
+
+class TestWindowResampleEdges:
+    def test_tpu_dispatch_default_device_scope(self, monkeypatch):
+        from torchio_tpu.ops.window_resample import _tpu_dispatch
+
+        # this module's autouse fixture forces interpret mode, which
+        # short-circuits _tpu_dispatch — clear it for the probe
+        monkeypatch.delenv("TORCHIO_TPU_WINDOW_INTERPRET", raising=False)
+        cpu = jax.devices("cpu")[0]
+        try:
+            jax.config.update("jax_default_device", cpu)
+            assert _tpu_dispatch() is False
+        finally:
+            jax.config.update("jax_default_device", None)
+
+    def test_tpu_dispatch_platform_string_scope(self, monkeypatch):
+        from torchio_tpu.ops.window_resample import _tpu_dispatch
+
+        monkeypatch.delenv("TORCHIO_TPU_WINDOW_INTERPRET", raising=False)
+        try:
+            jax.config.update("jax_default_device", "cpu")
+            assert _tpu_dispatch() is False
+        finally:
+            jax.config.update("jax_default_device", None)
+
+    def test_use_interpret_on_cpu(self, monkeypatch):
+        from torchio_tpu.ops.window_resample import _use_interpret
+
+        monkeypatch.delenv("TORCHIO_TPU_WINDOW_INTERPRET", raising=False)
+        assert _use_interpret() is True  # tests force the CPU backend
+
+    def test_float_label_vote(self, rng, monkeypatch):
+        # float-dtype label volumes ride the jnp.inf sentinel branch
+        monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+        from torchio_tpu.ops.window_resample import (
+            window_resample_label_fused,
+        )
+
+        labels = jnp.asarray(
+            rng.integers(0, 3, size=(1, 1, 16, 16, 16)).astype(np.float32)
+        )
+        mats = [np.eye(4, dtype=np.float64)]
+        out = window_resample_label_fused(
+            labels, mats, [None], 0.0, padi=6, padj=8
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(labels))
+
+    def test_cubic_bounds_cap_returns_none(self, monkeypatch):
+        monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+        from torchio_tpu.ops import window_resample as wr
+
+        # displacement far beyond MAX_BOUND_CUBIC -> planner bails
+        big = float(wr.MAX_BOUND_CUBIC) * 2
+        cps = [np.full((2, 2, 2, 3), big, np.float64)]
+        mats = [np.eye(4, dtype=np.float64)]
+        out = wr.cubic_window_eligible(
+            (1, 1, 32, 32, 32), (32, 32, 32), mats, cps
+        )
+        assert out is None

@@ -185,7 +185,11 @@ class PatchAggregator:
                 self._flush(key)
 
     def get_output(
-        self, key: str | None = None, *, device: bool = False
+        self,
+        key: str | None = None,
+        *,
+        device: bool = False,
+        dtype: Any = None,
     ) -> np.ndarray | jax.Array:
         """Aggregated (C, I, J, K) volume.
 
@@ -194,7 +198,11 @@ class PatchAggregator:
         normalized volume stays in HBM as a ``jax.Array`` so a
         device-side consumer (inverse spatial transform, argmax,
         metrics) never pays the device→host pull; through a
-        low-bandwidth link the pull dwarfs the reassembly itself.
+        low-bandwidth link the pull dwarfs the reassembly itself
+        (measured 75% of the pass — BASELINE.md round-5 config-5
+        decomposition). ``dtype`` casts ON DEVICE before any transfer:
+        ``dtype=np.float16`` halves the host-materialization bytes for
+        consumers that export reduced precision anyway.
         """
         resolved = key if key is not None else "__default__"
         if resolved not in self._outputs:
@@ -209,7 +217,10 @@ class PatchAggregator:
             # internal buffer — a later add_batch donates it to
             # _scatter_set_kernel, which would invalidate the array the
             # caller holds; hand out a fresh device copy instead
+            # (astype(same_dtype) would alias, so copy unconditionally)
             output = output.copy()
+        if dtype is not None:
+            output = output.astype(jnp.dtype(dtype))
         if device:
             return output
         return np.asarray(output)

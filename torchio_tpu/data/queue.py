@@ -173,8 +173,49 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
             patches.append(Subject(**kwargs))
         return patches
 
+    def _batched_prepared(self, group_size: int) -> Iterator[Subject]:
+        """Load subjects and run the transform on GROUPS stacked into
+        one batch: ``group_size`` subjects cost ONE pipeline dispatch
+        sequence instead of one each (through a high-latency link the
+        per-program dispatches dominate subject prep). Requires every
+        transform in the pipeline to gate per element (``p == 1`` or
+        per-instance p support) so grouping cannot couple subjects'
+        p-coins; shape-mismatched groups fall back to per-subject
+        preparation."""
+        from .batch import SubjectsBatch
+
+        if self.transform is not None:
+            children = getattr(self.transform, "transforms", [self.transform])
+            for t in children:
+                if t.p < 1.0 and not t.supports_per_instance_p:
+                    raise ValueError(
+                        f"prep_batch > 1 needs per-element p-gating, but"
+                        f" {type(t).__name__}(p={t.p}) gates batch-wide —"
+                        " use prep_batch=1 for this pipeline"
+                    )
+
+        def prepared(group: list[Subject]) -> list[Subject]:
+            if not group or self.transform is None:
+                return group
+            if len(group) == 1:
+                return [self.transform(group[0])]
+            try:
+                batch = SubjectsBatch.from_subjects(group)
+            except (RuntimeError, ValueError, KeyError):
+                return [self.transform(s) for s in group]
+            return self.transform(batch).unbatch()
+
+        group: list[Subject] = []
+        for subject in self._make_subject_iter():
+            subject.load()
+            group.append(subject)
+            if len(group) >= group_size:
+                yield from prepared(group)
+                group = []
+        yield from prepared(group)
+
     def device_batches(
-        self, batch_size: int, *, epochs: int = 1
+        self, batch_size: int, *, epochs: int = 1, prep_batch: int = 1
     ) -> Iterator[Any]:
         """Device-resident training batches through an HBM ring buffer.
 
@@ -195,6 +236,12 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
         along. Per epoch, ``patches_per_epoch // batch_size`` batches
         are yielded (at least one), paced as subjects stream in so the
         pool keeps refreshing.
+
+        ``prep_batch > 1`` prepares that many subjects per transform
+        dispatch by stacking them into one batch (the pipeline must
+        gate per element: ``p == 1`` or per-instance p support) — the
+        dominant ring-path cost through a high-latency link is the
+        per-subject transform dispatch sequence, and this divides it.
         """
         import jax.numpy as jnp
         import numpy as np
@@ -288,8 +335,12 @@ class Queue(_TorchIterableBase):  # type: ignore[valid-type,misc]
         for _epoch in range(epochs):
             yielded = 0
             seen = 0
-            if self.num_workers > 0:
-                prepared: Iterator[Subject] = self._prefetched_subjects()
+            if prep_batch > 1:
+                prepared: Iterator[Subject] = self._batched_prepared(
+                    prep_batch
+                )
+            elif self.num_workers > 0:
+                prepared = self._prefetched_subjects()
             else:
                 prepared = (
                     self._prepare(s) for s in self._make_subject_iter()
