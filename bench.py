@@ -61,6 +61,9 @@ def make_pipeline():
     # The unified Spatial applies affine + elastic through ONE sampling
     # grid (the reference's headline design). Composing separate
     # Affine + ElasticDeformation transforms would resample twice.
+    # fuse=True: BiasField + Noise run as ONE program after the Spatial
+    # stage (identical results/history — tests/test_fuse.py); Spatial
+    # has host geometry and executes as its own kernel family.
     return tio.Compose(
         [
             tio.Spatial(
@@ -73,6 +76,7 @@ def make_pipeline():
             tio.Noise(std=0.1),
         ],
         copy=False,
+        fuse=True,
     )
 
 

@@ -225,3 +225,44 @@ class TestFusedEquivalence:
         np.testing.assert_array_equal(
             np.asarray(out.images["t1"].data), 0.0
         )
+
+
+class TestFusedBiasField:
+    def test_bias_field_per_element(self):
+        unfused, fused = run_pair(
+            lambda: [tio.BiasField(std=(0.1, 0.5)), tio.Noise(std=0.05)]
+        )
+        assert_batches_match(unfused, fused)
+        names = [t.name for t in fused.applied_transforms]
+        assert names == ["BiasField", "Noise"]
+
+    def test_bias_field_gated(self):
+        unfused, fused = run_pair(
+            lambda: [tio.BiasField(std=0.4, p=0.5)],
+            batch_kwargs={"b": 6},
+            seed=11,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(unfused.images["t1"].data),
+            np.asarray(fused.images["t1"].data),
+        )
+
+    def test_bias_field_shared(self):
+        unfused, fused = run_pair(
+            lambda: [tio.BiasField(std=0.3, per_instance=False)],
+            batch_kwargs={"b": 2},
+        )
+        assert_batches_match(unfused, fused)
+
+    def test_bias_field_inverse_through_history(self):
+        tio.seed(4)
+        batch = make_batch()
+        original = np.asarray(batch.images["t1"].data).copy()
+        out = tio.Compose(
+            [tio.BiasField(std=(0.2, 0.4))], copy=False, fuse=True
+        )(batch)
+        restored = out.apply_inverse_transform()
+        np.testing.assert_allclose(
+            np.asarray(restored.images["t1"].data), original,
+            rtol=1e-4, atol=1e-5,
+        )

@@ -238,6 +238,40 @@ def clamp_apply(
     return apply
 
 
+def bias_apply(
+    names: tuple[str, ...],
+    scale: float,
+    per_element: bool,
+    gated: bool,
+    all_identity: bool,
+):
+    import jax.numpy as jnp
+
+    from .intensity.bias_field import (
+        _bias_kernel_per_element,
+        _bias_kernel_shared,
+    )
+
+    def apply(datas, args):
+        if all_identity:
+            return datas, None
+        out = dict(datas)
+        stds, seeds, keep = args
+        for nm in names:
+            data = out[nm]
+            if per_element:
+                res = _bias_kernel_per_element(data, stds, seeds, scale, False)
+                if gated:
+                    mask = keep.reshape((-1,) + (1,) * (data.ndim - 1))
+                    res = jnp.where(mask > 0.5, res, data)
+            else:
+                res = _bias_kernel_shared(data, stds, seeds, scale, False)
+            out[nm] = res
+        return out, None
+
+    return apply
+
+
 def normalize_apply(
     names: tuple[str, ...], explicit: bool, use_minmax: bool
 ):

@@ -155,6 +155,44 @@ class BiasField(IntensityTransform):
             )
         return batch
 
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        return bool(self._get_images(batch))
+
+    def fused_stage(self, batch: SubjectsBatch):
+        from ..fuse import FusedStage, bias_apply
+
+        names = tuple(self._get_images(batch))
+        if not names:
+            return None
+        params = self.make_params(batch)
+        per_element = isinstance(params["seed"], list)
+        if per_element:
+            stds = params["std"]
+            identity = [s == 0 for s in stds]
+            all_id = all(identity)
+            gated = any(identity) and not all_id
+            args = (
+                jnp.asarray(np.asarray(stds, np.float32)),
+                jnp.asarray(np.asarray(params["seed"], np.uint32)),
+                jnp.asarray(
+                    np.asarray([not i for i in identity], np.float32)
+                ),
+            )
+        else:
+            all_id = params["std"] == 0
+            gated = False
+            args = (
+                jnp.float32(params["std"]),
+                jnp.uint32(params["seed"]),
+                jnp.float32(0.0),
+            )
+        return FusedStage(
+            key=("bias", names, self.scale, per_element, gated, all_id),
+            apply=bias_apply(names, self.scale, per_element, gated, all_id),
+            args=args,
+            params=params,
+        )
+
     @property
     def invertible(self) -> bool:
         return True
