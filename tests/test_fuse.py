@@ -266,3 +266,92 @@ class TestFusedBiasField:
             np.asarray(restored.images["t1"].data), original,
             rtol=1e-4, atol=1e-5,
         )
+
+
+class TestFusedStageEdges:
+    def test_flip_static_path_single_subject(self):
+        # B=1: per-instance is inactive, the static-dims branch applies
+        tio.seed(2)
+        sub = tio.Subject(
+            t1=tio.ScalarImage(
+                np.random.default_rng(0).normal(size=(1, 6, 6, 6)).astype(np.float32)
+            )
+        )
+        tio.seed(2)
+        a = tio.Compose([tio.Flip(axes=(0, 2))], copy=True)(sub)
+        tio.seed(2)
+        b = tio.Compose([tio.Flip(axes=(0, 2))], copy=True, fuse=True)(sub)
+        np.testing.assert_array_equal(
+            np.asarray(a.t1.data), np.asarray(b.t1.data)
+        )
+
+    def test_flip_static_empty_axes_identity(self):
+        tio.seed(0)
+        sub = tio.Subject(
+            t1=tio.ScalarImage(np.ones((1, 4, 4, 4), np.float32))
+        )
+        out = tio.Compose(
+            [tio.Flip(axes=(0,), flip_probability=0.0)], fuse=True
+        )(sub)
+        np.testing.assert_array_equal(np.asarray(out.t1.data), 1.0)
+        assert out.applied_transforms[-1].params["axes"] == ()
+
+    def test_fused_stage_none_without_images(self):
+        seg_only = SubjectsBatch.from_subjects(
+            [
+                tio.Subject(
+                    seg=tio.LabelMap(np.zeros((1, 4, 4, 4), np.int32))
+                )
+                for _ in range(2)
+            ]
+        )
+        for t in (
+            tio.Noise(std=0.1),
+            tio.Gamma(log_gamma=0.1),
+            tio.Clamp(out_min=0.0),
+            tio.RescaleIntensity(out_min=0.0, out_max=1.0),
+            tio.BiasField(std=0.2),
+        ):
+            assert not t.fusable(seg_only)
+            assert t.fused_stage(seg_only) is None
+
+    def test_base_transform_not_fusable(self):
+        batch = make_batch()
+        t = tio.Blur(std=0.5)
+        assert t.fusable(batch) is False
+        assert t.fused_stage(batch) is None
+
+    def test_nnunet_percentiles_fused(self):
+        # deterministic non-(0,100) percentiles ride the fused
+        # quantiles_on_device path
+        unfused, fused = run_pair(
+            lambda: [
+                tio.RescaleIntensity(
+                    out_min=0.0,
+                    out_max=1.0,
+                    percentile_low=0.5,
+                    percentile_high=99.5,
+                )
+            ]
+        )
+        assert_batches_match(unfused, fused, rtol=1e-5, atol=1e-5)
+
+    def test_randomized_percentiles_not_fused(self):
+        batch = make_batch()
+        t = tio.RescaleIntensity(
+            out_min=0.0, out_max=1.0,
+            percentile_low=(0.0, 1.0), percentile_high=99.5,
+        )
+        assert not t.fusable(batch)
+
+    def test_bias_all_identity_rows(self):
+        # std=0 everywhere: the fused stage is a bit-exact identity
+        tio.seed(0)
+        batch = make_batch()
+        before = np.asarray(batch.images["t1"].data).copy()
+        out = tio.Compose([tio.BiasField(std=0.0)], copy=False, fuse=True)(
+            batch
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.images["t1"].data), before
+        )
