@@ -291,3 +291,21 @@ class TestBatchEdges:
         trace = out.applied_transforms[-1]
         with pytest.raises(IndexError, match="outside the batch"):
             _trace_for_element(trace, 7)
+
+
+class TestBatchDeviceStrings:
+    def test_to_device_string(self):
+        import torchio_tpu as tio
+        from torchio_tpu.data.batch import SubjectsBatch
+
+        batch = SubjectsBatch.from_subjects(
+            [tio.Subject(t1=tio.ScalarImage(np.zeros((1, 4, 4, 4), np.float32)))]
+        )
+        out = batch.to("cpu")
+        assert np.asarray(out.images["t1"].data).shape == (1, 1, 4, 4, 4)
+
+    def test_empty_batch_size_raises(self):
+        from torchio_tpu.data.batch import SubjectsBatch
+
+        with pytest.raises(ValueError, match="no images or metadata"):
+            SubjectsBatch({}).batch_size

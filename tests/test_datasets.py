@@ -515,3 +515,32 @@ class TestDatasetBranches:
 
         with pytest.raises(FileNotFoundError):
             Colin27._find(tmp_path, "t1")
+
+
+class TestICBMTissues:
+    def test_load_4d_tissues_file_present(self, monkeypatch, tmp_path, rng):
+        monkeypatch.setattr(
+            "torchio_tpu.datasets.mni.get_cache_dir", lambda: tmp_path
+        )
+        monkeypatch.setattr(
+            "torchio_tpu.datasets.mni.download_and_extract_archive",
+            lambda *a, **k: None,
+        )
+        name = "mni_icbm152_nlin_sym_09c_nifti"
+        p = "mni_icbm152"
+        s = "tal_nlin_sym_09c.nii"
+        root = tmp_path / name
+        root.mkdir(parents=True)
+        stems = [
+            f"{p}_t1_{s}", f"{p}_t2_{s}", f"{p}_pd_{s}",
+            f"{p}_t1_{s[:-4]}_eye_mask.nii",
+            f"{p}_t1_{s[:-4]}_face_mask.nii",
+            f"{p}_t1_{s[:-4]}_mask.nii",
+            f"{p}_{s[:-4]}_tissues.nii",
+        ]
+        for stem in stems:
+            img = tio.ScalarImage(rng.random((1, 4, 4, 4)).astype(np.float32))
+            img.save(root / stem if stem.endswith(".nii") else root / stem)
+        subject = datasets.ICBM2009CNonlinearSymmetric(load_4d_tissues=True)
+        assert "tissues" in subject.images
+        assert isinstance(subject.images["tissues"], tio.LabelMap)

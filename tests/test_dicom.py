@@ -1046,3 +1046,243 @@ class TestDicomQuantization:
         (tmp_path / "x.dcm").write_bytes(b"junk" * 40)
         with pytest.raises(ValueError, match="No readable DICOM"):
             read_dicom_dir(tmp_path)
+
+
+class TestDicomCoverageLines:
+    def _meta(self, syntax):
+        import struct
+
+        from torchio_tpu.io.dicom import _el
+
+        body = b"".join([
+            _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
+            _el(0x0002, 0x0002, b"UI", b"1.2.840.10008.5.1.4.1.1.7"),
+            _el(0x0002, 0x0003, b"UI", b"2.25.1"),
+            _el(0x0002, 0x0010, b"UI", syntax.encode()),
+        ])
+        return (
+            _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(body))) + body
+        )
+
+    def test_truncated_sequence_returns_at_eof(self):
+        import struct
+
+        from torchio_tpu.io.dicom import _ElementParser
+
+        # undefined-length SQ holding one defined-length empty item,
+        # then EOF with no sequence delimiter: the skip must stop
+        raw = (
+            struct.pack("<HH", 0x0008, 0x1140)
+            + b"SQ\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+        )
+        parser = _ElementParser(raw, explicit=True, big=False)
+        out, pos = parser.parse(0)
+        assert pos == len(raw)
+
+    def test_fragment_frame_mismatch_raises(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import (
+            RLE_LOSSLESS,
+            _el,
+            _encapsulate,
+            read_dicom_file,
+        )
+
+        meta = self._meta(RLE_LOSSLESS)
+        pixel = (
+            struct.pack("<HH", 0x7FE0, 0x0010)
+            + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + _encapsulate([b"\x00" * 8, b"\x00" * 8, b"\x00" * 8])
+        )
+        elements = b"".join([
+            _el(0x0028, 0x0008, b"IS", b"2 "),
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 2)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 2)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        ])
+        path = tmp_path / "bad.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + elements + pixel)
+        with pytest.raises(ValueError, match="fragments for 2 frames"):
+            read_dicom_file(path)
+
+    def test_jpeg_lossless_color_unsupported(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import (
+            JPEG_LOSSLESS_SV1,
+            _el,
+            _encapsulate,
+            read_dicom_file,
+        )
+
+        meta = self._meta(JPEG_LOSSLESS_SV1)
+        pixel = (
+            struct.pack("<HH", 0x7FE0, 0x0010)
+            + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + _encapsulate([b"\xff\xd8\xff"])
+        )
+        elements = b"".join([
+            _el(0x0028, 0x0002, b"US", struct.pack("<H", 3)),
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 2)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 2)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        ])
+        path = tmp_path / "color.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + elements + pixel)
+        with pytest.raises(ValueError, match="SamplesPerPixel"):
+            read_dicom_file(path)
+
+    def test_rle_short_stream_pads(self, tmp_path):
+        import struct
+
+        from torchio_tpu.io.dicom import (
+            RLE_LOSSLESS,
+            _el,
+            _encapsulate,
+            read_dicom_file,
+        )
+
+        # one RLE segment whose packbits data decodes to fewer bytes
+        # than rows*cols: the decoder zero-pads
+        header = struct.pack("<16I", 1, 64, *([0] * 14))
+        packbits = b"\x00\x07"  # one literal byte -> 1 of 4 expected
+        frame = header + packbits
+        meta = self._meta(RLE_LOSSLESS)
+        pixel = (
+            struct.pack("<HH", 0x7FE0, 0x0010)
+            + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + _encapsulate([frame])
+        )
+        elements = b"".join([
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", 2)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", 2)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 8)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        ])
+        path = tmp_path / "short.dcm"
+        path.write_bytes(b"\x00" * 128 + b"DICM" + meta + elements + pixel)
+        data, _ = read_dicom_file(path)
+        flat = np.asarray(data).reshape(-1)
+        assert flat[0] == 7 and (flat[1:] == 0).all()
+
+    def test_backend_dtype_and_region(self, tmp_path):
+        from torchio_tpu.io.dicom import DicomBackend, write_dicom
+
+        data = np.arange(8, dtype=np.int16).reshape(1, 2, 2, 2)
+        write_dicom(tmp_path / "x.dcm", data, np.eye(4))
+        backend = DicomBackend(tmp_path / "x.dcm")
+        assert np.dtype(backend.dtype).kind in "if"
+        region = backend[(slice(None), slice(0, 1), slice(None), slice(None))]
+        assert region.shape[1] == 1
+
+
+class TestJpegLosslessCoverageLines:
+    def test_eoi_before_sos_raises(self, monkeypatch):
+        from torchio_tpu.io.jpeg_lossless import decode_lossless_jpeg
+
+        _python_jpegll_edge6(monkeypatch)
+        with pytest.raises(ValueError):
+            decode_lossless_jpeg(b"\xff\xd8\xff\xd9\x00\x00")
+
+    def test_unsupported_predictor_raises(self, monkeypatch, rng):
+        import struct
+
+        from torchio_tpu.io.jpeg_lossless import (
+            decode_lossless_jpeg,
+            encode_lossless_jpeg,
+        )
+
+        _python_jpegll_edge6(monkeypatch)
+        img = rng.integers(0, 255, (4, 4)).astype(np.uint8)
+        stream = bytearray(encode_lossless_jpeg(img, predictor=1))
+        # patch the SOS spectral-selection byte (the predictor) to 8
+        sos = stream.find(b"\xff\xda")
+        assert sos >= 0
+        length = struct.unpack_from(">H", stream, sos + 2)[0]
+        ncomp = stream[sos + 4]
+        predictor_at = sos + 5 + 2 * ncomp
+        assert stream[predictor_at] == 1
+        stream[predictor_at] = 8
+        with pytest.raises(ValueError, match="predictor"):
+            decode_lossless_jpeg(bytes(stream))
+
+
+class TestPilChannelHandling:
+    def _encapsulated(self, tmp_path, syntax, frame, rows, cols, *,
+                      bits=8, spp=1, photometric=None):
+        import struct
+
+        from torchio_tpu.io.dicom import _el, _encapsulate
+
+        meta_body = b"".join([
+            _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
+            _el(0x0002, 0x0002, b"UI", b"1.2.840.10008.5.1.4.1.1.7"),
+            _el(0x0002, 0x0003, b"UI", b"2.25.1"),
+            _el(0x0002, 0x0010, b"UI", syntax.encode()),
+        ])
+        meta = (
+            _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+            + meta_body
+        )
+        elements = [
+            _el(0x0028, 0x0002, b"US", struct.pack("<H", spp)),
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", bits)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0)),
+        ]
+        if photometric is not None:
+            elements.append(_el(0x0028, 0x0004, b"CS", photometric))
+        pixel = (
+            struct.pack("<HH", 0x7FE0, 0x0010)
+            + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + _encapsulate([frame])
+        )
+        path = tmp_path / "pil.dcm"
+        path.write_bytes(
+            b"\x00" * 128 + b"DICM" + meta + b"".join(elements) + pixel
+        )
+        return path
+
+    def test_rgb_coded_grayscale_trims_channels(self, tmp_path, rng):
+        import io
+
+        from PIL import Image as PILImage
+
+        from torchio_tpu.io.dicom import JPEG_BASELINE, read_dicom_file
+
+        gray = rng.integers(100, 120, (8, 8)).astype(np.uint8)
+        rgb = np.stack([gray] * 3, axis=-1)
+        buf = io.BytesIO()
+        PILImage.fromarray(rgb, "RGB").save(buf, "JPEG", quality=100)
+        path = self._encapsulated(
+            tmp_path, JPEG_BASELINE, buf.getvalue(), 8, 8, spp=1
+        )
+        data, _ = read_dicom_file(path)
+        assert np.asarray(data).shape[0] == 1  # one channel kept
+
+    def test_ybr_photometric_with_pil_syntax_passthrough(self, tmp_path, rng):
+        import io
+
+        from PIL import Image as PILImage
+
+        from torchio_tpu.io.dicom import JPEG_BASELINE, read_dicom_file
+
+        rgb = rng.integers(90, 140, (8, 8, 3)).astype(np.uint8)
+        buf = io.BytesIO()
+        PILImage.fromarray(rgb, "RGB").save(buf, "JPEG", quality=100)
+        path = self._encapsulated(
+            tmp_path, JPEG_BASELINE, buf.getvalue(), 8, 8, spp=3,
+            photometric=b"YBR_FULL_422",
+        )
+        data, _ = read_dicom_file(path)
+        assert np.asarray(data).shape[0] == 3  # RGB kept as-is (no YBR remap)

@@ -355,3 +355,41 @@ class TestFusedStageEdges:
         np.testing.assert_array_equal(
             np.asarray(out.images["t1"].data), before
         )
+
+
+class TestRunFusedInternals:
+    def test_empty_stage_list_is_identity(self):
+        batch = make_batch()
+        out = fuse_mod.run_fused(batch, [])
+        assert out is batch
+
+    def test_include_exclude_recorded_in_history(self):
+        tio.seed(0)
+        batch = make_batch(with_labels=True)
+        out = tio.Compose(
+            [
+                tio.Noise(std=0.1, include=["t1"]),
+                tio.Gamma(log_gamma=(0.1, 0.2), exclude=["seg"]),
+            ],
+            copy=False,
+            fuse=True,
+        )(batch)
+        noise_trace, gamma_trace = out.applied_transforms
+        assert noise_trace.include == ["t1"]
+        assert gamma_trace.exclude == ["seg"]
+
+    def test_history_attr_created_when_missing(self, monkeypatch):
+        tio.seed(0)
+        batch = make_batch()
+        if hasattr(batch, "applied_transforms"):
+            del batch.applied_transforms
+        out = tio.Compose([tio.Noise(std=0.1)], copy=False, fuse=True)(batch)
+        assert [t.name for t in out.applied_transforms] == ["Noise"]
+
+    def test_flip_fused_stage_none_on_imageless(self):
+        imageless = SubjectsBatch.from_subjects(
+            [tio.Subject(sid=1), tio.Subject(sid=2)]
+        )
+        flip = tio.Flip(axes=(0,))
+        assert not flip.fusable(imageless)
+        assert flip.fused_stage(imageless) is None

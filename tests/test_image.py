@@ -442,3 +442,10 @@ class TestImageEdges:
         blank = object.__new__(ScalarImage)
         with pytest.raises(AttributeError):
             blank.anything  # noqa: B018
+
+
+class TestImageDeviceString:
+    def test_to_device_string(self):
+        img = tio.ScalarImage(np.zeros((1, 4, 4, 4), np.float32))
+        out = img.to("cpu")
+        assert out.shape == (1, 4, 4, 4)

@@ -712,3 +712,28 @@ class TestIntensityEdges:
             if keep is not None and any(keep) and not all(keep):
                 break
         assert out is not None
+
+
+class TestNormalizeIntegerZeroRange:
+    def test_constant_int_image_noops_with_warning(self):
+        import torchio_tpu as tio
+        from torchio_tpu.data.batch import SubjectsBatch
+
+        subjects = [
+            tio.Subject(
+                t1=tio.ScalarImage(np.full((1, 4, 4, 4), 7, np.int32))
+            )
+            for _ in range(2)
+        ]
+        batch = SubjectsBatch.from_subjects(subjects)
+        import jax.numpy as jnp
+
+        for ib in batch.images.values():
+            ib.data = jnp.asarray(ib.data)
+        with pytest.warns(RuntimeWarning, match="input range is zero"):
+            out = tio.RescaleIntensity(out_min=0.0, out_max=1.0, copy=False)(
+                batch
+            )
+        result = np.asarray(out.images["t1"].data)
+        assert result.dtype == np.int32
+        np.testing.assert_array_equal(result, 7)

@@ -396,3 +396,69 @@ class TestJpegLsPython:
         bad = stream[:idx] + sos + bytes([0xFF, 0xD9])
         with pytest.raises(ValueError, match="interleave mode 0"):
             decode_jpeg_ls_python(bad)
+
+
+class TestJlsCoverageLines:
+    def test_bitreader_runaway_unary(self):
+        from torchio_tpu.io.jpeg_ls import _BitReader
+
+        reader = _BitReader(b"\x00" * 2048)
+        with pytest.raises(ValueError, match="runaway unary"):
+            reader.read_unary()
+
+    def test_decode_limited_overlong_code(self):
+        from torchio_tpu.io.jpeg_ls import _BitReader, _decode_limited
+
+        reader = _BitReader(b"\x20" + b"\x00" * 8)  # unary 2 then zeros
+        with pytest.raises(ValueError, match="over-long"):
+            _decode_limited(reader, k=0, limit=4, qbpp=2)
+
+    def test_find_scan_end_without_marker(self):
+        from torchio_tpu.io.jpeg_ls import _find_scan_end
+
+        assert _find_scan_end(b"\x00" * 10, 0) == 10
+        assert _find_scan_end(b"\x00\x00\xff", 0) == 3
+
+    def test_stray_rst_marker_between_segments(self, rng):
+        from torchio_tpu.io.jpeg_ls import decode_jpeg_ls_python as decode_jls, encode_jpeg_ls
+
+        img = rng.integers(0, 255, (6, 7)).astype(np.uint8)
+        stream = bytearray(encode_jpeg_ls(img))
+        assert stream[:2] == b"\xff\xd8"
+        stream[2:2] = b"\xff\xd0"  # stray RST0 after SOI
+        out = decode_jls(bytes(stream))
+        np.testing.assert_array_equal(np.asarray(out), img)
+
+    def test_lse_zero_maxval_defaults_to_precision(self, rng):
+        import struct
+
+        from torchio_tpu.io.jpeg_ls import decode_jpeg_ls_python as decode_jls, encode_jpeg_ls
+
+        img = rng.integers(0, 255, (5, 5)).astype(np.uint8)
+        stream = bytearray(encode_jpeg_ls(img))
+        # insert an LSE (ID 1) with MAXVAL=0 and zero thresholds right
+        # after SOF55: decoder must fall back to (1 << precision) - 1
+        sof = stream.find(b"\xff\xf7")
+        assert sof >= 0
+        sof_len = struct.unpack_from(">H", stream, sof + 2)[0]
+        insert_at = sof + 2 + sof_len
+        lse = b"\xff\xf8" + struct.pack(">H", 13) + b"\x01" + struct.pack(
+            ">HHHHH", 0, 0, 0, 0, 0
+        )
+        stream[insert_at:insert_at] = lse
+        out = decode_jls(bytes(stream))
+        np.testing.assert_array_equal(np.asarray(out), img)
+
+    def test_marker_terminated_stream_zero_pads(self, rng):
+        from torchio_tpu.io.jpeg_ls import decode_jpeg_ls_python as decode_jls, encode_jpeg_ls
+
+        img = rng.integers(0, 255, (8, 8)).astype(np.uint8)
+        stream = bytearray(encode_jpeg_ls(img))
+        # truncate a chunk of entropy data before EOI: bit reads that
+        # hit the EOI marker zero-pad instead of walking past it
+        assert stream[-2:] == b"\xff\xd9"
+        truncated = bytes(stream[:-12]) + b"\xff\xd9"
+        try:
+            decode_jls(truncated)
+        except ValueError:
+            pass  # corrupt-stream errors are acceptable; no overrun

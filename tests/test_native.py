@@ -232,3 +232,22 @@ class TestNativeFallbacks:
         out = native.f2c_transpose(arr)
         np.testing.assert_array_equal(out, arr)
         assert out.flags["C_CONTIGUOUS"]
+
+
+class TestNativeLoadFailure:
+    def test_cdll_oserror_yields_none(self, monkeypatch):
+        import ctypes
+
+        import torchio_tpu.native as native
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", False)
+
+        def boom(path):
+            raise OSError("refused")
+
+        monkeypatch.setattr(ctypes, "CDLL", boom)
+        assert native.get_lib() is None
+        assert native._lib is None
+        # restore the loader cache for later tests
+        monkeypatch.setattr(native, "_tried", False)

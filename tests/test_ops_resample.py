@@ -655,3 +655,23 @@ class TestResampleEdgesEdge2:
         assert any(
             "window_resample_label_fused" in str(w.message) for w in caught
         )
+
+
+class TestSingletonAxisLines:
+    def test_inbounds_weight_all_singleton(self):
+        from torchio_tpu.ops.resample import build_coords, resample
+
+        vol = jnp.asarray(np.arange(8, dtype=np.float32).reshape(1, 1, 2, 2, 2))
+        m = np.eye(4)
+        coords = build_coords((1, 1, 1), m)
+        out = resample(vol, coords, mode="linear", fill=0.0)
+        assert out.shape == (1, 1, 1, 1, 1)
+        np.testing.assert_allclose(np.asarray(out)[0, 0, 0, 0, 0], 0.0)
+
+    def test_fused_spatial_singleton_axes(self):
+        import torchio_tpu as tio
+
+        data = np.random.default_rng(0).random((1, 1, 6, 1), np.float32)
+        sub = tio.Subject(t1=tio.ScalarImage(data))
+        out = tio.Spatial(translation=(0.5, 0.5))(sub)
+        assert np.isfinite(np.asarray(out.t1.data)).all()

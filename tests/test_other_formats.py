@@ -455,3 +455,30 @@ class TestMatrixEdges:
         tgroup["TransformParameters"] = params[:6]
         with pytest.raises(ValueError, match="parameter count"):
             tio.read_matrix(tmp_path / "t.h5")
+
+
+class TestMhaHeaderEdgeLines:
+    def test_header_line_without_equals_stops_parse(self, tmp_path):
+        from torchio_tpu.io.other_formats import read_meta_image
+
+        # a header line with no '=' terminates field parsing;
+        # ElementDataFile then defaults to LOCAL and the payload follows
+        data = np.arange(8, dtype=np.uint8).reshape(2, 2, 2)
+        header = (
+            b"ObjectType = Image\n"
+            b"NDims = 3\n"
+            b"DimSize = 2 2 2\n"
+            b"ElementType = MET_UCHAR\n"
+            b"\n"
+        )
+        path = tmp_path / "x.mha"
+        path.write_bytes(header + data.tobytes(order="F"))
+        arr, _ = read_meta_image(path)
+        assert arr.shape == (1, 2, 2, 2)
+        np.testing.assert_array_equal(arr[0], data)
+
+    def test_write_matrix_unknown_suffix(self, tmp_path):
+        from torchio_tpu.io.matrix import write_matrix
+
+        with pytest.raises(ValueError, match="Unknown suffix"):
+            write_matrix(np.eye(4), tmp_path / "m.weird")

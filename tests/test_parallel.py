@@ -946,3 +946,59 @@ class TestShardAxisProbe:
         )
         assert _spatial_shard_axis(sharding) == "space"
         assert _spatial_shard_axis(object()) is None
+
+
+class TestLargeVolumeGuards:
+    def test_indivisible_j_raises(self, tmp_path):
+        from torchio_tpu.io.nifti import write_nifti
+        from torchio_tpu.parallel.large import shard_volume_from_file
+        from torchio_tpu.parallel.mesh import make_mesh
+
+        vol = np.zeros((1, 4, 10, 4), np.float32)  # J=10, 8 shards
+        src = tmp_path / "v.nii"
+        write_nifti(src, vol)
+        mesh = make_mesh(jax.devices(), space=8)
+        with pytest.raises(ValueError, match="not divisible"):
+            shard_volume_from_file(tio.ScalarImage(src), mesh)
+
+    def test_write_default_affine_and_multichannel(self, tmp_path):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from torchio_tpu.io.nifti import read_nifti
+        from torchio_tpu.parallel.large import write_volume_sharded
+        from torchio_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices(), space=8)
+        data = np.random.default_rng(0).random((1, 2, 4, 16, 4)).astype(
+            np.float32
+        )
+        sharded = jax.device_put(
+            jnp.asarray(data),
+            NamedSharding(mesh, PartitionSpec(None, None, None, "space", None)),
+        )
+        out = tmp_path / "mc.nii"
+        write_volume_sharded(out, sharded)  # affine defaults to identity
+        got, affine = read_nifti(out)
+        np.testing.assert_allclose(got, data[0], rtol=1e-6)
+        np.testing.assert_allclose(affine, np.eye(4))
+
+
+class TestShardedPatchGuards:
+    def test_int_patch_size_and_indivisible_j(self, mesh):
+        from torchio_tpu.parallel.halo import HaloUnsupported
+        from torchio_tpu.parallel.patches import sharded_grid_inference
+
+        vol = jnp.zeros((1, 1, 8, 48, 8), jnp.float32)
+        out = sharded_grid_inference(
+            vol, mesh=mesh, patch_size=4, patch_overlap=2,
+            overlap_mode="average",
+        )
+        assert out.shape == vol.shape
+
+        with pytest.raises(HaloUnsupported, match="not divisible"):
+            sharded_grid_inference(
+                jnp.zeros((1, 1, 8, 47, 8), jnp.float32),
+                mesh=mesh,
+                patch_size=4,
+                overlap_mode="average",
+            )

@@ -1236,3 +1236,134 @@ class TestAggregatorDtypeExport:
         np.testing.assert_allclose(
             np.asarray(dev), np.asarray(subject.t1.data), rtol=1e-5
         )
+
+
+class TestQueueCoverageEdges:
+    def _subjects(self, n=2, shape=(1, 12, 12, 12), seed=0):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            seg = np.zeros(shape, np.int32)
+            seg[0, 4:8, 4:8, 4:8] = 1
+            out.append(
+                tio.Subject(
+                    t1=tio.ScalarImage(
+                        jnp.asarray(rng.random(shape).astype(np.float32))
+                    ),
+                    seg=tio.LabelMap(jnp.asarray(seg)),
+                )
+            )
+        return out
+
+    def test_prep_batch_remainder_group_of_one(self):
+        tio.seed(0)
+        queue = tio.Queue(
+            self._subjects(3),
+            patch_sampler=tio.LabelSampler(patch_size=4, label_name="seg"),
+            max_length=8,
+            patches_per_volume=2,
+            transform=tio.Noise(std=0.05),
+        )
+        batches = list(queue.device_batches(batch_size=2, prep_batch=2))
+        assert sum(b.batch_size for b in batches) == 6
+
+    def test_prep_batch_shape_mismatch_falls_back(self):
+        import jax.numpy as jnp
+
+        tio.seed(0)
+        subjects = self._subjects(1) + [
+            tio.Subject(
+                t1=tio.ScalarImage(
+                    jnp.zeros((1, 10, 10, 10), jnp.float32)
+                ),
+                seg=tio.LabelMap(
+                    jnp.ones((1, 10, 10, 10), jnp.int32)
+                ),
+            )
+        ]
+        queue = tio.Queue(
+            subjects,
+            patch_sampler=tio.LabelSampler(patch_size=4, label_name="seg"),
+            max_length=8,
+            patches_per_volume=2,
+            shuffle_subjects=False,
+            transform=tio.Noise(std=0.05),
+        )
+        batches = list(queue.device_batches(batch_size=2, prep_batch=2))
+        assert sum(b.batch_size for b in batches) == 4
+
+    def test_short_subject_iterator_drains_remaining_batches(
+        self, monkeypatch
+    ):
+        # a subject iterator that under-delivers (e.g. filtered or
+        # failed loads) must not starve the epoch: the trailing drain
+        # still yields the remaining batches from the filled ring
+        tio.seed(0)
+        subjects = self._subjects(2)
+        queue = tio.Queue(
+            subjects,
+            patch_sampler=tio.LabelSampler(patch_size=4, label_name="seg"),
+            max_length=8,
+            patches_per_volume=4,
+            shuffle_subjects=False,
+        )
+        monkeypatch.setattr(
+            queue, "_make_subject_iter", lambda: iter(subjects[:1])
+        )
+        batches = list(queue.device_batches(batch_size=4))
+        assert sum(b.batch_size for b in batches) == 8
+
+    def test_prefetched_empty_subject_list(self):
+        tio.seed(0)
+        queue = tio.Queue(
+            self._subjects(2),
+            patch_sampler=tio.LabelSampler(patch_size=4, label_name="seg"),
+            num_workers=1,
+            shuffle_subjects=False,
+            subject_sampler=[],
+        )
+        assert list(queue.device_batches(batch_size=2)) == []
+
+    def test_empty_locations_push_skipped(self):
+        # a sampler that produces zero locations for a subject: the
+        # push is a no-op and later subjects still fill the ring
+        tio.seed(0)
+        subjects = self._subjects(2)
+
+        class SparseSampler(tio.LabelSampler):
+            def sample_locations(self, subject, num_patches):
+                if float(np.asarray(subject.t1.data).sum()) == 0.0:
+                    return []
+                return super().sample_locations(subject, num_patches)
+
+        import jax.numpy as jnp
+
+        subjects[0].t1.data = jnp.zeros((1, 12, 12, 12), jnp.float32)
+        queue = tio.Queue(
+            subjects,
+            patch_sampler=SparseSampler(patch_size=4, label_name="seg"),
+            max_length=8,
+            patches_per_volume=2,
+            shuffle_subjects=False,
+        )
+        batches = list(queue.device_batches(batch_size=2))
+        assert sum(b.batch_size for b in batches) >= 2
+
+
+class TestAggregatorAutoFlush:
+    def test_flush_bytes_triggers_mid_stream(self, subject):
+        agg = tio.PatchAggregator(
+            subject.spatial_shape, overlap_mode="average", flush_bytes=1
+        )
+        sampler = tio.GridSampler(subject, patch_size=8)
+        for patch in sampler:
+            agg.add_batch(
+                np.asarray(patch.t1.data)[None], [patch.patch_location]
+            )
+            assert not agg._pending  # every add flushed immediately
+        np.testing.assert_allclose(
+            agg.get_output(), np.asarray(subject.t1.data), rtol=1e-4,
+            atol=1e-5,
+        )

@@ -607,3 +607,26 @@ class TestGridBuilderDefaults:
             affine_first=True,
         )
         assert grid.control_points is not None
+
+
+class TestSpatialCoverageLines:
+    def test_include_matching_nothing_is_noop(self):
+        tio.seed(0)
+        data = np.random.default_rng(0).random((1, 6, 6, 6), np.float32)
+        sub = tio.Subject(t1=tio.ScalarImage(data))
+        out = tio.Spatial(degrees=(1.0, 2.0), include=["missing"])(sub)
+        np.testing.assert_array_equal(np.asarray(out.t1.data), data)
+
+    def test_multichannel_label_antialias_linear(self):
+        tio.seed(0)
+        rng = np.random.default_rng(1)
+        seg = rng.integers(0, 2, (2, 10, 10, 10)).astype(np.int32)
+        sub = tio.Subject(seg=tio.LabelMap(seg))
+        out = tio.Spatial(
+            scales=(0.5, 0.5),
+            antialias=True,
+            label_interpolation="linear",
+        )(sub)
+        result = np.asarray(out.seg.data)
+        assert result.dtype == seg.dtype  # int path returns unconverted
+        assert result.shape[0] == 2

@@ -862,3 +862,22 @@ class TestCliEdgesEdge5:
         )
         assert rc == 0
         assert ScalarImage(dst).shape == (1, 6, 6, 6)
+
+
+class TestCliMainGuard:
+    def test_module_entry_point(self, tmp_path):
+        import subprocess
+        import sys
+
+        proc = subprocess.run(
+            [sys.executable, "-m", "torchio_tpu.cli", "cache", "dir"],
+            capture_output=True,
+            text=True,
+            timeout=240,
+            env={
+                **__import__("os").environ,
+                "JAX_PLATFORMS": "cpu",
+            },
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert proc.stdout.strip()

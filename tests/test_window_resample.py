@@ -818,3 +818,31 @@ class TestWindowResampleEdges:
             (1, 1, 32, 32, 32), (32, 32, 32), mats, cps
         )
         assert out is None
+
+
+class TestEligibilityEdgeLines:
+    def test_tpu_dispatch_backend_fallback(self, monkeypatch):
+        from torchio_tpu.ops.window_resample import _tpu_dispatch
+
+        monkeypatch.delenv("TORCHIO_TPU_WINDOW_INTERPRET", raising=False)
+        assert jax.config.jax_default_device is None
+        # no default-device scope, no data: falls through to the
+        # backend probe (cpu here)
+        assert _tpu_dispatch() is False
+
+    def test_cubic_eligibility_shape_change_rejected(self, monkeypatch):
+        from torchio_tpu.ops.window_resample import cubic_window_eligible
+
+        monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+        eye = [np.eye(4)]
+        assert (
+            cubic_window_eligible((1, 1, 16, 16, 16), (8, 8, 8), eye, [None])
+            is None
+        )
+        # displacement far past MAX_BOUND_CUBIC
+        m = np.eye(4)
+        m[0, 3] = 1e5
+        assert (
+            cubic_window_eligible((1, 1, 16, 16, 16), (16, 16, 16), [m], [None])
+            is None
+        )
