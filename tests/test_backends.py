@@ -405,3 +405,15 @@ class TestMatcherEdgeLines:
         except Exception:
             return
         assert backend is not None
+
+
+class TestNiftiMatcherFileLike:
+    def test_file_like_source_is_not_matched(self):
+        import io
+
+        from torchio_tpu.io.backends import BackendRequest, _match_nifti
+
+        request = BackendRequest(source=io.BytesIO(b"\x00" * 400))
+        if request.path is not None:
+            pytest.skip("file-like sources resolve a path on this build")
+        assert _match_nifti(request) is None

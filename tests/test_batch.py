@@ -309,3 +309,23 @@ class TestBatchDeviceStrings:
 
         with pytest.raises(ValueError, match="no images or metadata"):
             SubjectsBatch({}).batch_size
+
+
+class TestBatchNamedDeviceString:
+    def test_non_host_device_string_resolves(self, monkeypatch):
+        import jax
+
+        import torchio_tpu as tio
+        from torchio_tpu.data.batch import SubjectsBatch
+
+        batch = SubjectsBatch.from_subjects(
+            [tio.Subject(t1=tio.ScalarImage(np.zeros((1, 4, 4, 4), np.float32)))]
+        )
+        # a named accelerator string resolves through jax.devices(name);
+        # intercept so the routing runs on this CPU-only host
+        monkeypatch.setattr(
+            "torchio_tpu.data.batch.jax.devices",
+            lambda name=None: jax.local_devices(backend="cpu"),
+        )
+        out = batch.to("tpu")
+        assert np.asarray(out.images["t1"].data).shape == (1, 1, 4, 4, 4)

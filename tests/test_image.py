@@ -449,3 +449,16 @@ class TestImageDeviceString:
         img = tio.ScalarImage(np.zeros((1, 4, 4, 4), np.float32))
         out = img.to("cpu")
         assert out.shape == (1, 4, 4, 4)
+
+
+class TestImageNamedDeviceString:
+    def test_non_host_device_string_resolves(self, monkeypatch):
+        import jax
+
+        monkeypatch.setattr(
+            "torchio_tpu.data.image.jax.devices",
+            lambda name=None: jax.local_devices(backend="cpu"),
+        )
+        img = tio.ScalarImage(np.zeros((1, 4, 4, 4), np.float32))
+        out = img.to("tpu")
+        assert out.shape == (1, 4, 4, 4)

@@ -462,3 +462,28 @@ class TestJlsCoverageLines:
             decode_jls(truncated)
         except ValueError:
             pass  # corrupt-stream errors are acceptable; no overrun
+
+
+class TestJlsBitstreamBranches:
+    def test_bitreader_marker_zero_pads(self):
+        from torchio_tpu.io.jpeg_ls import _BitReader
+
+        reader = _BitReader(b"\x12\xff\xd9")
+        value = reader.read(24)
+        # one real byte then the EOI marker: remaining bits read as zero
+        assert value == 0x12 << 16
+
+    def test_run_past_line_end_detected(self):
+        from torchio_tpu.io.jpeg_ls import (
+            decode_jpeg_ls_python,
+            encode_jpeg_ls,
+        )
+
+        img = np.full((2, 8), 100, np.uint8)  # constant rows -> run mode
+        stream = bytearray(encode_jpeg_ls(img))
+        # deterministic corruption (found by exhaustive byte search):
+        # inflating this entropy byte makes the run-interruption count
+        # exceed the remaining line width
+        stream[46] = 232
+        with pytest.raises(ValueError, match="run past line end"):
+            decode_jpeg_ls_python(bytes(stream))

@@ -675,3 +675,44 @@ class TestSingletonAxisLines:
         sub = tio.Subject(t1=tio.ScalarImage(data))
         out = tio.Spatial(translation=(0.5, 0.5))(sub)
         assert np.isfinite(np.asarray(out.t1.data)).all()
+
+
+class TestSingletonAxisDirect:
+    def test_inbounds_weight_singleton_all_axes(self):
+        from torchio_tpu.ops.resample import _inbounds_weight
+
+        pts = jnp.asarray([[0.0], [0.0], [0.0]], jnp.float32)
+        w = _inbounds_weight(pts[0], pts[1], pts[2], (1, 1, 1))
+        np.testing.assert_allclose(np.asarray(w), 1.0)
+
+    def test_plane_kernel_singleton_in_plane_axes(self):
+        from torchio_tpu.ops.resample import _resample_element_plane
+
+        # mixed plane (I, J) with BOTH in-plane axes singleton: the
+        # kernel pins the coordinates to zero (align-corners semantics)
+        data = jnp.asarray(
+            np.arange(3, dtype=np.float32).reshape(1, 1, 1, 3)
+        )
+        a2 = jnp.asarray(np.eye(2), jnp.float32)
+        b2 = jnp.zeros((2,), jnp.float32)
+        out = _resample_element_plane(
+            data, a2, b2, jnp.float32(1.0), jnp.float32(0.0),
+            jnp.zeros((1,), jnp.float32), (1, 1, 3), "linear", True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), data, rtol=1e-6
+        )
+
+    def test_fused_kernel_singleton_i_and_j(self):
+        from torchio_tpu.ops.resample import resample_fused
+
+        data = np.random.default_rng(0).random((1, 1, 1, 1, 5)).astype(
+            np.float32
+        )
+        cps = [np.zeros((2, 2, 2, 3), np.float32)]  # elastic keeps it off
+        out = resample_fused(                        # the separable path
+            data, [np.eye(4)], cps, fill=0.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), data, rtol=1e-5, atol=1e-6
+        )

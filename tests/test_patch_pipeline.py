@@ -1367,3 +1367,29 @@ class TestAggregatorAutoFlush:
             agg.get_output(), np.asarray(subject.t1.data), rtol=1e-4,
             atol=1e-5,
         )
+
+
+class TestQueueIterEmptyLocations:
+    def test_device_sampler_with_no_locations_falls_back(self):
+        import jax.numpy as jnp
+
+        class EmptySampler(tio.UniformSampler):
+            def sample_locations(self, subject, num_patches):
+                return []
+
+            def __call__(self, subject, num_patches=None):
+                return iter(())
+
+        tio.seed(0)
+        subjects = [
+            tio.Subject(
+                t1=tio.ScalarImage(jnp.zeros((1, 8, 8, 8), jnp.float32))
+            )
+        ]
+        queue = tio.Queue(
+            subjects,
+            patch_sampler=EmptySampler(patch_size=4),
+            patches_per_volume=2,
+            shuffle_subjects=False,
+        )
+        assert list(queue) == []

@@ -630,3 +630,53 @@ class TestSpatialCoverageLines:
         result = np.asarray(out.seg.data)
         assert result.dtype == seg.dtype  # int path returns unconverted
         assert result.shape[0] == 2
+
+
+class TestSpatialInternalBranches:
+    def test_pipeline_with_no_image_names_returns(self):
+        from torchio_tpu.data.batch import SubjectsBatch
+        from torchio_tpu.transforms.spatial.spatial import (
+            _run_spatial_pipeline,
+        )
+
+        batch = SubjectsBatch.from_subjects(
+            [tio.Subject(t1=tio.ScalarImage(np.zeros((1, 4, 4, 4), np.float32)))]
+        )
+        # inverse replay with an include list matching nothing routes
+        # here with an empty selection; must be a clean no-op
+        assert (
+            _run_spatial_pipeline(
+                batch=batch,
+                image_names=[],
+                target_space=None,
+                affine_matrix=np.eye(4),
+                control_points=None,
+                max_displacement=None,
+                affine_first=True,
+                image_interpolation="linear",
+                label_interpolation="nearest",
+                antialias=False,
+                default_pad_value=0.0,
+                default_pad_label=0.0,
+            )
+            is None
+        )
+
+    def test_multichannel_label_mode_antialias_int(self):
+        tio.seed(3)
+        rng = np.random.default_rng(3)
+        seg = rng.integers(0, 3, (2, 12, 12, 12)).astype(np.int32)
+        sub = tio.Subject(seg=tio.LabelMap(seg))
+        out = tio.Spatial(
+            scales=(0.6, 0.6),
+            antialias=True,
+            label_interpolation="label",
+        )(sub)
+        result = np.asarray(out.seg.data)
+        # reference parity: multi-channel inputs are treated as a
+        # partial-volume map; integer inputs return float32 so the
+        # interpolated fractions are not truncated (reference
+        # spatial.py:1335-1339)
+        assert result.dtype == np.float32
+        assert result.shape[0] == 2
+        assert float(result.min()) >= 0.0 and float(result.max()) <= 2.0

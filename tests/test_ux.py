@@ -881,3 +881,15 @@ class TestCliMainGuard:
         )
         assert proc.returncode == 0, proc.stderr
         assert proc.stdout.strip()
+
+
+class TestCliDunderMain:
+    def test_runpy_module_as_main(self, monkeypatch, capsys):
+        import runpy
+        import sys
+
+        monkeypatch.setattr(sys, "argv", ["torchio_tpu.cli", "cache", "dir"])
+        with pytest.raises(SystemExit) as excinfo:
+            runpy.run_module("torchio_tpu.cli", run_name="__main__")
+        assert excinfo.value.code == 0
+        assert capsys.readouterr().out.strip()

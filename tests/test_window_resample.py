@@ -846,3 +846,32 @@ class TestEligibilityEdgeLines:
             cubic_window_eligible((1, 1, 16, 16, 16), (16, 16, 16), [m], [None])
             is None
         )
+
+
+class TestCubicEligibilityMoreLines:
+    def test_unsupported_order_rejected(self, monkeypatch):
+        from torchio_tpu.ops.window_resample import cubic_window_eligible
+
+        monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+        assert (
+            cubic_window_eligible(
+                (1, 1, 16, 16, 16), (16, 16, 16), [np.eye(4)], [None],
+                order=1,
+            )
+            is None
+        )
+
+    def test_bound_between_linear_and_cubic_caps(self, monkeypatch):
+        from torchio_tpu.ops.window_resample import cubic_window_eligible
+
+        monkeypatch.setenv("TORCHIO_TPU_WINDOW_INTERPRET", "1")
+        # displacement passes window_bounds (<= MAX_BOUND = 24) but
+        # 3*dev + reach exceeds MAX_BOUND_CUBIC = 32
+        m = np.eye(4)
+        m[0, 3] = 12.0
+        assert (
+            cubic_window_eligible(
+                (1, 1, 64, 64, 64), (64, 64, 64), [m], [None], order=3
+            )
+            is None
+        )
