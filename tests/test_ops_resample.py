@@ -716,3 +716,17 @@ class TestSingletonAxisDirect:
         np.testing.assert_allclose(
             np.asarray(out), data, rtol=1e-5, atol=1e-6
         )
+
+
+class TestLabelKernelSingletonAxes:
+    def test_corner_label_kernel_singleton_i_and_j(self):
+        from torchio_tpu.ops.resample import resample_label_fused
+
+        labels = np.random.default_rng(0).integers(0, 3, (1, 1, 1, 1, 6)).astype(
+            np.int32
+        )
+        cps = [np.zeros((2, 2, 2, 3), np.float32)]
+        out = resample_label_fused(
+            labels, [np.eye(4)], cps, pad_label=0
+        )
+        np.testing.assert_array_equal(np.asarray(out), labels)
