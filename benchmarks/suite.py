@@ -144,6 +144,10 @@ def config1() -> dict:
 
 def config2() -> dict:
     tio.seed(0)
+    # NOTE fuse=True works here too (tests/test_fuse.py) but the fused
+    # 3-stage 256^3 program's first XLA compile takes minutes on the
+    # 1-core tunnel host — per-stage programs amortize better for a
+    # short benchmark window, so the suite measures unfused
     pipeline = tio.Compose(
         [
             tio.Blur(std=(0.5, 1.5)),

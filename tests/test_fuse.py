@@ -393,3 +393,41 @@ class TestRunFusedInternals:
         flip = tio.Flip(axes=(0,))
         assert not flip.fusable(imageless)
         assert flip.fused_stage(imageless) is None
+
+
+class TestFusedBlur:
+    def test_blur_per_instance_matches_unfused(self):
+        unfused, fused = run_pair(
+            lambda: [tio.Blur(std=(0.3, 0.9)), tio.Gamma(log_gamma=(0.05, 0.1))],
+            batch_kwargs={"shape": (1, 10, 10, 10)},
+        )
+        assert_batches_match(unfused, fused)
+        names = [t.name for t in fused.applied_transforms]
+        assert names == ["Blur", "Gamma"]
+
+    def test_blur_gated_rows_bit_exact(self):
+        unfused, fused = run_pair(
+            lambda: [tio.Blur(std=0.8, p=0.5)],
+            batch_kwargs={"b": 6, "shape": (1, 8, 8, 8)},
+            seed=13,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(unfused.images["t1"].data),
+            np.asarray(fused.images["t1"].data),
+        )
+
+    def test_config2_chain_fuses_fully(self):
+        unfused, fused = run_pair(
+            lambda: [
+                tio.Blur(std=(0.5, 1.5)),
+                tio.BiasField(std=0.3),
+                tio.Gamma(log_gamma=(-0.1, 0.1)),
+            ],
+            batch_kwargs={"b": 2, "shape": (1, 10, 10, 10)},
+        )
+        assert_batches_match(unfused, fused, rtol=2e-6, atol=2e-6)
+
+    def test_blur_shared_path_not_fused(self):
+        batch = make_batch(b=2)
+        t = tio.Blur(std=0.5, per_instance=False)
+        assert not t.fusable(batch)

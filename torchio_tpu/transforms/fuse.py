@@ -238,6 +238,37 @@ def clamp_apply(
     return apply
 
 
+def blur_apply(
+    names: tuple[str, ...],
+    drawn: dict,
+    truncate: float,
+    gated: dict,
+    skip: dict,
+):
+    import jax.numpy as jnp
+
+    from ..ops.gaussian import _blur_per_element_kernel
+
+    def apply(datas, args):
+        out = dict(datas)
+        for nm in names:
+            if skip[nm]:
+                continue
+            sig, keep = args[nm]
+            data = out[nm]
+            res = _blur_per_element_kernel(
+                jnp.asarray(data), sig, drawn[nm], (False, False, False),
+                truncate,
+            ).astype(data.dtype)
+            if gated[nm]:
+                mask = keep.reshape((-1,) + (1,) * (data.ndim - 1))
+                res = jnp.where(mask > 0.5, res, data)
+            out[nm] = res
+        return out, None
+
+    return apply
+
+
 def bias_apply(
     names: tuple[str, ...],
     scale: float,

@@ -67,6 +67,67 @@ class Blur(IntensityTransform):
                 )
         return batch
 
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        # only the per-instance path fuses: the shared path's host-built
+        # band matrix is a different (bit-level) numeric artifact
+        return bool(self._get_images(batch)) and self._per_instance_active(
+            batch
+        )
+
+    def fused_stage(self, batch: SubjectsBatch):
+        import jax.numpy as jnp
+
+        from ...ops.gaussian import radius_for_sigma
+        from ..fuse import FusedStage, blur_apply
+
+        images = self._get_images(batch)
+        if not images:
+            return None
+        params = self.make_params(batch)
+        sig_mm = np.asarray(params["std"], np.float64)
+        keep = params.get("_keep")
+        args = {}
+        drawn = {}
+        gated = {}
+        skip = {}
+        for name, img_batch in images.items():
+            radii = self._radius_bound(img_batch)
+            spacings = np.asarray(
+                [a.spacing for a in img_batch.affines], np.float64
+            )
+            sig_vox = np.divide(
+                sig_mm, spacings, out=np.zeros_like(sig_mm),
+                where=spacings > 0,
+            )
+            per_draw = tuple(
+                0
+                if sig_vox[:, a].max() <= 0
+                else radius_for_sigma(float(sig_vox[:, a].max()))
+                for a in range(3)
+            )
+            drawn[name] = tuple(
+                max(int(radii[a]), per_draw[a]) for a in range(3)
+            )
+            skip[name] = bool(np.all(sig_vox <= 0))
+            row_keep = ~np.all(sig_vox <= 0, axis=1)
+            gated[name] = bool(not row_keep.all()) and not skip[name]
+            args[name] = (
+                jnp.asarray(sig_vox, jnp.float32),
+                jnp.asarray(row_keep.astype(np.float32)),
+            )
+        names = tuple(images)
+        return FusedStage(
+            key=(
+                "blur", names,
+                tuple(sorted(drawn.items())),
+                tuple(sorted(gated.items())),
+                tuple(sorted(skip.items())),
+            ),
+            apply=blur_apply(names, drawn, 3.0, gated, skip),
+            args=args,
+            params=params,
+        )
+
     def _radius_bound(self, img_batch: ImagesBatch) -> tuple[int, int, int]:
         """Static per-axis kernel radius from the std UPPER bound.
 
