@@ -143,18 +143,19 @@ class TestFusedEquivalence:
         )
 
     def test_nonfusable_breaks_run(self):
-        # Blur has host kernel planning -> the chain splits around it
+        # Motion's k-space segmentation has host geometry -> the chain
+        # splits around it and both halves still match unfused
         unfused, fused = run_pair(
             lambda: [
                 tio.Noise(std=0.1),
-                tio.Blur(std=0.7),
+                tio.Motion(degrees=2, translation=1, num_transforms=1),
                 tio.RescaleIntensity(out_min=0.0, out_max=1.0),
             ],
             batch_kwargs={"shape": (1, 8, 8, 8)},
         )
         assert_batches_match(unfused, fused, rtol=1e-5, atol=1e-5)
         names = [t.name for t in fused.applied_transforms]
-        assert names == ["Noise", "Blur", "Normalize"]
+        assert names == ["Noise", "Motion", "Normalize"]
 
     def test_batchwide_p_gating_skips(self):
         tio.seed(1)
@@ -317,9 +318,11 @@ class TestFusedStageEdges:
 
     def test_base_transform_not_fusable(self):
         batch = make_batch()
-        t = tio.Blur(std=0.5)
+        t = tio.Motion(degrees=2, translation=1, num_transforms=1)
         assert t.fusable(batch) is False
         assert t.fused_stage(batch) is None
+        # Blur fuses only per-instance: the shared path stays unfused
+        assert tio.Blur(std=0.5, per_instance=False).fusable(batch) is False
 
     def test_nnunet_percentiles_fused(self):
         # deterministic non-(0,100) percentiles ride the fused
