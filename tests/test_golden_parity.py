@@ -768,3 +768,56 @@ def test_resample_to_spacing_golden(volume):
         atol=1e-3,
         rtol=0,
     )
+
+
+def test_fused_compose_golden(volume):
+    """Compose(fuse=True) vs the REFERENCE's Compose with degenerate
+    (constant) parameter ranges: the fused single-program execution must
+    land on the reference's numbers directly, not merely match our own
+    unfused path (tests/test_fuse.py covers that leg)."""
+    import torch
+
+    def stages(m):
+        return [
+            m.Flip(axes=(0,), flip_probability=1.0),
+            m.Gamma(log_gamma=(0.25, 0.25)),
+            m.Clamp(out_min=0.1, out_max=0.9),
+            m.RescaleIntensity(out_min=-1.0, out_max=1.0),
+        ]
+
+    s_ref = ref.Subject(t1=ref.ScalarImage(torch.as_tensor(volume.copy())))
+    out_ref = ref.Compose(stages(ref))(s_ref)
+    s_mine = tio.Subject(t1=tio.ScalarImage(volume.copy()))
+    out_mine = tio.Compose(stages(tio), fuse=True)(s_mine)
+    np.testing.assert_allclose(
+        np.asarray(out_mine.images["t1"].data),
+        out_ref.t1.data.numpy(),
+        atol=1e-5,
+        rtol=0,
+    )
+    assert [t.name for t in out_mine.applied_transforms] == [
+        t.name for t in out_ref.applied_transforms
+    ]
+    # history replay: the fused pipeline's inverse matches the reference
+    inv_ref = out_ref.apply_inverse_transform(ignore_intensity=False)
+    inv_mine = out_mine.apply_inverse_transform()
+    np.testing.assert_allclose(
+        np.asarray(inv_mine.images["t1"].data),
+        inv_ref.t1.data.numpy(),
+        atol=1e-4,
+        rtol=0,
+    )
+
+
+def test_fused_bias_field_seed_replay_golden(volume):
+    """The fused BiasField's recorded seed regenerates the exact field:
+    dividing the fused output by the replayed field restores the input
+    bit-tight (the reference's seeded-inverse contract,
+    bias_field.py:67-146)."""
+    tio.seed(123)
+    s = tio.Subject(t1=tio.ScalarImage(volume.copy()))
+    out = tio.Compose([tio.BiasField(std=(0.4, 0.4))], fuse=True)(s)
+    restored = out.apply_inverse_transform()
+    np.testing.assert_allclose(
+        np.asarray(restored.t1.data), volume, atol=1e-5, rtol=0
+    )
