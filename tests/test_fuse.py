@@ -434,3 +434,62 @@ class TestFusedBlur:
         batch = make_batch(b=2)
         t = tio.Blur(std=0.5, per_instance=False)
         assert not t.fusable(batch)
+
+
+class TestFusedStandardizeAndMask:
+    def test_standardize_matches_unfused(self):
+        unfused, fused = run_pair(
+            lambda: [tio.Noise(std=0.2), tio.ZNormalization()]
+        )
+        assert_batches_match(unfused, fused, rtol=1e-5, atol=1e-6)
+        pa = unfused.applied_transforms[-1].params["stats"]["t1"]
+        pb = fused.applied_transforms[-1].params["stats"]["t1"]
+        np.testing.assert_allclose(pa, pb, rtol=1e-5)
+
+    def test_standardize_masked_by_label_key(self):
+        unfused, fused = run_pair(
+            lambda: [tio.ZNormalization(masking_method="seg")],
+            batch_kwargs={"with_labels": True},
+        )
+        assert_batches_match(unfused, fused, rtol=1e-5, atol=1e-6)
+
+    def test_standardize_zero_std_raises_from_fused_call(self):
+        tio.seed(0)
+        subjects = [
+            tio.Subject(t1=tio.ScalarImage(np.ones((1, 4, 4, 4), np.float32)))
+            for _ in range(2)
+        ]
+        batch = SubjectsBatch.from_subjects(subjects)
+        with pytest.raises(RuntimeError, match="standard deviation"):
+            tio.Compose([tio.ZNormalization()], copy=False, fuse=True)(batch)
+
+    def test_mask_by_label_key(self):
+        unfused, fused = run_pair(
+            lambda: [
+                tio.Mask(masking_method="seg", outside_value=-1.0),
+                tio.Gamma(log_gamma=(0.1, 0.1)),
+            ],
+            batch_kwargs={"with_labels": True},
+        )
+        assert_batches_match(unfused, fused)
+
+    def test_mask_label_subset(self):
+        unfused, fused = run_pair(
+            lambda: [tio.Mask(masking_method="seg", labels=[1, 3])],
+            batch_kwargs={"with_labels": True},
+        )
+        assert_batches_match(unfused, fused)
+        np.testing.assert_array_equal(
+            np.asarray(fused.images["seg"].data),
+            np.asarray(unfused.images["seg"].data),
+        )
+
+    def test_mask_callable_not_fused(self):
+        batch = make_batch()
+        t = tio.Mask(masking_method=lambda a: a > 0)
+        assert not t.fusable(batch)
+
+    def test_standardize_callable_not_fused(self):
+        batch = make_batch()
+        t = tio.ZNormalization(masking_method=lambda a: a > 0)
+        assert not t.fusable(batch)

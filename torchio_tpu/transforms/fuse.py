@@ -342,6 +342,73 @@ def normalize_apply(
     return apply
 
 
+def standardize_apply(names: tuple[str, ...], mask_name: str | None):
+    import jax.numpy as jnp
+
+    def apply(datas, args):
+        del args
+        out = dict(datas)
+        aux = {}
+        for nm in names:
+            data = out[nm].astype(jnp.float32)
+            first = data[0]
+            if mask_name is not None:
+                m = jnp.broadcast_to(
+                    datas[mask_name][0] != 0, first.shape
+                )
+                count = jnp.sum(m).astype(jnp.float32)
+                mean = jnp.sum(jnp.where(m, first, 0.0)) / jnp.maximum(
+                    count, 1
+                )
+                ss = jnp.sum(jnp.where(m, (first - mean) ** 2, 0.0))
+                std = jnp.sqrt(ss / jnp.maximum(count - 1.0, 1.0))
+                aux[nm] = jnp.stack([mean, std, count])
+            else:
+                mean = jnp.mean(first)
+                std = jnp.std(first, ddof=1)
+                aux[nm] = jnp.stack([mean, std, jnp.float32(1.0)])
+            out[nm] = (data - mean) / std
+        return out, aux
+
+    return apply
+
+
+def mask_apply(
+    names: tuple[str, ...],
+    mask_name: str,
+    labels: tuple | None,
+    outside_value: float,
+):
+    import jax.numpy as jnp
+
+    def apply(datas, args):
+        del args
+        mask_data = datas[mask_name][0]
+        if labels is not None:
+            mask = jnp.zeros_like(mask_data, bool)
+            for label in labels:
+                mask = mask | (mask_data == label)
+        else:
+            mask = mask_data.astype(bool)
+        out = dict(datas)
+        for nm in names:
+            out[nm] = jnp.where(mask, out[nm], outside_value)
+        return out, None
+
+    return apply
+
+
+def install_standardize_params(aux: dict, params: dict) -> None:
+    from .intensity.standardize import _finalize_stats
+
+    params["stats"] = {
+        nm: DeferredParam(
+            triple, _finalize_stats(nm), eager=True
+        )
+        for nm, triple in aux.items()
+    }
+
+
 def finalize_range_warn(name: str):
     """Host finalizer matching ``normalize._percentile_range``'s."""
     import warnings

@@ -46,6 +46,36 @@ class Mask(IntensityTransform):
             img_batch.data = jnp.where(mask, data, self.outside_value)
         return batch
 
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        # LabelMap-key masks fuse (the mask rides the data dict);
+        # callable masks run host numpy on concrete arrays
+        return (
+            bool(self._get_images(batch))
+            and isinstance(self.masking_method, str)
+            and self.masking_method in batch.images
+            and issubclass(
+                batch.images[self.masking_method].image_class, LabelMap
+            )
+        )
+
+    def fused_stage(self, batch: SubjectsBatch):
+        from ..fuse import FusedStage, mask_apply
+
+        names = tuple(self._get_images(batch))
+        if not names:
+            return None
+        mask_name = self.masking_method
+        labels = None if self.labels is None else tuple(self.labels)
+        return FusedStage(
+            key=(
+                "mask", (*names, mask_name), mask_name, labels,
+                self.outside_value,
+            ),
+            apply=mask_apply(names, mask_name, labels, self.outside_value),
+            args=(),
+            params={},
+        )
+
     def _resolve_mask(self, batch: SubjectsBatch):
         if callable(self.masking_method) and not isinstance(self.masking_method, str):
             first = next(iter(self._get_images(batch).values()))

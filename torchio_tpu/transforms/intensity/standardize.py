@@ -19,6 +19,27 @@ from ..transform import DeferredParam, IntensityTransform
 from .normalize import resolve_mask
 
 
+def _finalize_stats(name: str):
+    """Host finalizer: validates the (mean, std, count) triple and
+    records (mean, std) — errors surface at resolution, after the
+    output compute has dispatched."""
+
+    def finalize(host: np.ndarray) -> tuple[float, float]:
+        mean, std, count = (float(v) for v in host)
+        if count == 0:
+            raise RuntimeError(
+                f'Standardization mask for "{name}" is empty.'
+            )
+        if std == 0:
+            raise RuntimeError(
+                f'Cannot standardize "{name}": standard deviation'
+                " is zero."
+            )
+        return (mean, std)
+
+    return finalize
+
+
 class Standardize(IntensityTransform):
     """Z-score normalization: subtract mean, divide by std.
 
@@ -60,20 +81,7 @@ class Standardize(IntensityTransform):
                     [jnp.mean(data), jnp.std(data, ddof=1), jnp.float32(1.0)]
                 )
 
-            def finalize(host: np.ndarray, name: str = name) -> tuple[float, float]:
-                mean, std, count = (float(v) for v in host)
-                if count == 0:
-                    raise RuntimeError(
-                        f'Standardization mask for "{name}" is empty.'
-                    )
-                if std == 0:
-                    raise RuntimeError(
-                        f'Cannot standardize "{name}": standard deviation'
-                        " is zero."
-                    )
-                return (mean, std)
-
-            stats[name] = DeferredParam(triple, finalize, eager=True)
+            stats[name] = DeferredParam(triple, _finalize_stats(name), eager=True)
         return {"stats": stats}
 
     def apply_transform(
@@ -90,6 +98,38 @@ class Standardize(IntensityTransform):
             data = as_jnp(img_batch.data).astype(jnp.float32)
             img_batch.data = (data - mean) / std
         return batch
+
+    def fusable(self, batch: SubjectsBatch) -> bool:
+        if not self._get_images(batch):
+            return False
+        if self.masking_method is None:
+            return True
+        # a LabelMap-key mask rides the fused data dict; callables run
+        # host numpy and stay on the eager path
+        return (
+            isinstance(self.masking_method, str)
+            and self.masking_method in batch.images
+        )
+
+    def fused_stage(self, batch: SubjectsBatch):
+        from ..fuse import FusedStage, install_standardize_params, standardize_apply
+
+        names = tuple(self._get_images(batch))
+        if not names:
+            return None
+        mask_name = (
+            self.masking_method
+            if isinstance(self.masking_method, str)
+            else None
+        )
+        key_names = names if mask_name is None else (*names, mask_name)
+        return FusedStage(
+            key=("standardize", key_names, mask_name),
+            apply=standardize_apply(names, mask_name),
+            args=(),
+            params={},
+            finish=install_standardize_params,
+        )
 
     @property
     def invertible(self) -> bool:
