@@ -312,6 +312,9 @@ class TestFusedStageEdges:
             tio.Clamp(out_min=0.0),
             tio.RescaleIntensity(out_min=0.0, out_max=1.0),
             tio.BiasField(std=0.2),
+            tio.ZNormalization(),
+            tio.Mask(masking_method="seg"),
+            tio.Blur(std=0.5),
         ):
             assert not t.fusable(seg_only)
             assert t.fused_stage(seg_only) is None
@@ -493,3 +496,20 @@ class TestFusedStandardizeAndMask:
         batch = make_batch()
         t = tio.ZNormalization(masking_method=lambda a: a > 0)
         assert not t.fusable(batch)
+
+
+class TestFusedBlurSkip:
+    def test_all_zero_sigma_image_skipped_in_chain(self):
+        # a Blur whose drawn sigma is zero for every element skips its
+        # image inside the fused program (bit-exact passthrough)
+        tio.seed(0)
+        batch = make_batch()
+        before = np.asarray(batch.images["t1"].data).copy()
+        out = tio.Compose(
+            [tio.Blur(std=0.0), tio.Clamp(out_min=-10.0, out_max=10.0)],
+            copy=False,
+            fuse=True,
+        )(batch)
+        np.testing.assert_array_equal(
+            np.asarray(out.images["t1"].data), np.clip(before, -10, 10)
+        )
